@@ -1,38 +1,84 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC pipeline end-to-end on sf0.001;
+``queries()``/``oracle_sql()`` expose the SURVEY.md §2 operator
+inventory as (Spark DataFrame, DuckDB SQL) pairs checked by the driver
+at sf0.01.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tail a deterministic CDC change log derived from the
+    sf0.001 events table, apply it to a fresh lake table via salted
+    dedup + MERGE (exactly-once commits), return the final page state.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # deterministic change events from the stream table: url keyed by
+    # user, op mapped from event_type ('error' => tombstone), html built
+    # from the event payload
+    changes = ev.select(
+        F.concat(F.lit("https://site.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary")).otherwise(
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><h1>User "),
+                    F.col("user_id").cast("string"),
+                    F.lit("</h1><p>the value is now "),
+                    F.round("value", 2).cast("string"),
+                    F.lit(" and the props are "),
+                    F.col("props"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            )
+        ).alias("html"),
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+        .alias("op"),
+        (F.col("event_id") * 4 / F.lit(1000)).cast("long").alias("batch_id"),
+    )
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="pages_entry_")
+    table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
+    CDCRunner(table).run(changes)
+    return table.read().select("url", "warc_ts", "text", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from dbp_etl_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted => rows-only check)."""
+    from dbp_etl_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Default mode (the driver runs this): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus the CDC apply-pipeline end-to-end
+throughput, printed as ONE JSON line.
+
+``--scaling`` mode: the north-rule evidence — the identical CDC job on
+the identical deterministic input at two parallelism levels (local[8]
+vs local[32]), reporting events/sec at each and the scaling
+efficiency (throughput@4N / throughput@N) / 4. Results are appended to
+BENCH/BASELINE.md by scripts/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+BENCH_QUERIES = [
+    "cdc_latest_state",
+    "cdc_apply_with_deletes",
+    "cdc_changeset_classify",
+    "pricing_summary",
+    "revenue_by_region",
+    "top3_orders_per_customer",
+    "session_gaps",
+    "activity_islands",
+    "user_segment_classifier",
+    "scalar_gauntlet",
+    "doc_token_stats",
+    "ann_cosine_topk",
+]
+
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "300000"))
+CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "40000"))
+CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
+
+
+def run_cdc_pipeline(spark, n_events: int, num_buckets: int = 32) -> dict:
+    """The flagship job: generate -> dedup(salted) -> MERGE -> commit,
+    n batches, exactly-once. Returns throughput + state hash."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        table = LakeTable.create(
+            spark, f"{root}/pages", schema, key="url", num_buckets=num_buckets
+        )
+        events = generate_changes(
+            spark,
+            n_events,
+            CDC_URLS,
+            n_batches=CDC_BATCHES,
+            hot_fraction_pct=20,
+            hot_urls=4,
+            seed=42,
+        )
+        t0 = time.time()
+        report = CDCRunner(table, salt_buckets=32).run(events)
+        wall = time.time() - t0
+        state = table.state_hash()
+        return {
+            "events": n_events,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "state_hash": state,
+            "counts": report.total_counts(),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_default() -> dict:
+    from dbp_etl_spark.queries import QUERIES
+    from dbp_etl_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    t_all = time.time()
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+        _ = n
+
+    t0 = time.time()
+    cdc = run_cdc_pipeline(spark, CDC_EVENTS)
+    per_query["cdc_apply_e2e"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "cdc_events_per_sec": cdc["events_per_sec"],
+        "cdc_events": cdc["events"],
+        "cdc_state_hash": cdc["state_hash"],
+        "cpus": cpus,
+    }
+    spark.stop()
+    return out
+
+
+def bench_scaling(levels=(8, 32), n_events: int | None = None) -> dict:
+    """Same job, same input, two parallelism levels (N and 4N cores)."""
+    from dbp_etl_spark.session import get_spark
+
+    n_events = n_events or CDC_EVENTS
+    results = {}
+    for cores in levels:
+        spark = get_spark(
+            app_name=f"bench-scaling-{cores}", cores=cores, shuffle_partitions=cores
+        )
+        res = run_cdc_pipeline(spark, n_events)
+        results[cores] = res
+        spark.stop()
+    lo, hi = min(levels), max(levels)
+    eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
+    return {
+        "metric": "cdc_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "levels": {
+            str(c): {
+                "events_per_sec": results[c]["events_per_sec"],
+                "wall_sec": results[c]["wall_sec"],
+                "state_hash": results[c]["state_hash"],
+            }
+            for c in levels
+        },
+        "state_identical": results[lo]["state_hash"] == results[hi]["state_hash"],
+        "events": n_events,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+    else:
+        print(json.dumps(bench_default()))

@@ -1,0 +1,69 @@
+"""Per-key latest-wins dedup with salted two-phase skew handling.
+
+Reference semantics: /root/reference/load/FilenameReducer.py:73-120 —
+group rows by natural key; when a key has several candidates, the one
+with max(event timestamp) wins, with a deterministic tiebreak (the
+reference tiebreaks on filename length; we tiebreak on op priority and
+payload hash so the winner is a total order).
+
+Scale: a plain ``row_number() over (partition by key)`` puts every
+event of a hot key into one task. The salted two-phase variant first
+ranks within ``(key, salt)`` — spreading a hot key over S tasks — then
+ranks the ≤S survivors per key. Both phases use the same total order,
+so the result is identical to the unsalted window (tests assert this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "_dedup_rn"
+_SALT = "_dedup_salt"
+
+
+def dedup_latest(
+    df: DataFrame,
+    key: str | list[str],
+    order_by: list[Column],
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Keep exactly one row per key: the first under ``order_by``.
+
+    ``order_by`` must be a total order within a key (include a
+    deterministic tiebreak) or the result is nondeterministic.
+    ``salt_buckets > 1`` enables the two-phase skew-defusing variant.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if salt_buckets and salt_buckets > 1:
+        # salt from a hash of all columns: deterministic, spreads a hot
+        # key's events across salt_buckets reducers in phase 1
+        salted = df.withColumn(
+            _SALT,
+            F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]), F.lit(salt_buckets)),
+        )
+        w1 = Window.partitionBy(*keys, _SALT).orderBy(*order_by)
+        phase1 = (
+            salted.withColumn(_RN, F.row_number().over(w1))
+            .filter(F.col(_RN) == 1)
+            .drop(_RN, _SALT)
+        )
+        df = phase1
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(_RN, F.row_number().over(w2)).filter(F.col(_RN) == 1).drop(_RN)
+
+
+def cdc_order(ts_col: str = "warc_ts", op_col: str = "op", payload_col: str = "html") -> list[Column]:
+    """Total order for CDC events of one url: latest warc_ts first; ties
+    broken by delete-beats-write (a tombstone issued at the same instant
+    as a write wins) then payload hash. This order is chosen to be
+    *batch-split invariant*: applying a log as one batch or as many
+    batches yields the same final state, because the cross-batch merge
+    guards (late-event suppression, tombstone precedence, payload-hash
+    tiebreak in merge.py) realize exactly the same total order."""
+    is_delete = F.when(F.col(op_col) == "delete", 1).otherwise(0)
+    return [
+        F.col(ts_col).desc(),
+        is_delete.desc(),
+        F.md5(F.col(payload_col)).desc_nulls_last(),
+    ]

@@ -1,0 +1,280 @@
+"""MERGE INTO for the lake table: changeset planning + copy-on-write apply.
+
+This is the Spark re-expression of the reference's CDC heart — the
+read-state → diff → apply loop in
+/root/reference/load/UpdateDBPFilesetTables.py:306-468 (audio/text/video
+handlers), /root/reference/load/UpdateDBPTextFilesets.py:103-141
+(verses) and /root/reference/load/UpdateDBPBooksTable.py:309-377
+(books): existing rows are keyed and probed by input rows; matched →
+column-diff update, unmatched input → insert, explicit tombstones →
+delete. Differences from the reference, by design:
+
+* deletes are explicit events (``op='delete'``) instead of
+  leftover-key inference — the clean generalization (SURVEY §7);
+* a monotonic guard ``s.warc_ts >= t.warc_ts`` makes late/out-of-order
+  events no-ops (the reference applies batches serially per key,
+  /root/reference/load/DBPLoadController.py:118-141);
+* the column-diff guard (update only when the payload actually
+  changed, reference /root/reference/load/UpdateDBPFilesetTables.py:350-375)
+  additionally lets the transform stage REUSE previously extracted
+  text for touch-only updates — incremental compute.
+
+Physical shape (the 100 TB story): the batch's keys select candidate
+buckets; only those buckets' files are scanned (file-level pruning);
+the full-outer join runs bucket-partitioned with AQE skew handling;
+only buckets with at least one real change are rewritten; everything
+else carries forward by manifest reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
+from dbp_etl_spark.functions.extract import detect_lang_udf, extract_text_udf
+from dbp_etl_spark.lake.table import LakeTable
+
+VALID_OPS = ("insert", "update", "delete")
+
+# core change-event columns; anything else in the batch is treated as a
+# schema-evolution payload column
+CORE_COLS = ("url", "warc_ts", "html", "op", "batch_id")
+
+
+@dataclass
+class MergeResult:
+    batch_id: object
+    skipped: bool = False
+    counts: dict = field(default_factory=dict)
+    dirty_buckets: list = field(default_factory=list)
+    lineage: list = field(default_factory=list)  # per-bucket op counts
+    snapshot_id: int | None = None
+    max_warc_ts: str | None = None
+    deadletter: DataFrame | None = None
+
+
+def default_transform(df: DataFrame) -> DataFrame:
+    """html -> (text, lang) via Arrow-batched pandas UDFs, reusing the
+    previous row's text/lang when the payload bytes did not change."""
+    df = df.withColumn(
+        "text",
+        F.when(F.col("_payload_changed"), extract_text_udf(F.col("html"))).otherwise(
+            F.col("_old_text")
+        ),
+    )
+    return df.withColumn(
+        "lang",
+        F.when(F.col("_payload_changed"), detect_lang_udf(F.col("text"))).otherwise(
+            F.col("_old_lang")
+        ),
+    )
+
+
+def split_deadletter(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Route malformed events to the dead-letter side-output.
+
+    Reference analog: quarantine CSV routing,
+    /root/reference/load/FilenameReducer.py:44-70 — bad rows are set
+    aside, the batch still commits.
+    """
+    reason = (
+        F.when(F.col("url").isNull(), "null_url")
+        .when(~F.col("op").isin(*VALID_OPS), "bad_op")
+        .when(F.col("warc_ts").isNull(), "null_ts")
+        .when((F.col("op") != "delete") & F.col("html").isNull(), "null_payload")
+    )
+    tagged = batch.withColumn("_dl_reason", reason)
+    valid = tagged.filter(F.col("_dl_reason").isNull()).drop("_dl_reason")
+    dead = tagged.filter(F.col("_dl_reason").isNotNull())
+    return valid, dead
+
+
+def merge_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id,
+    transform=default_transform,
+    salt_buckets: int = 16,
+) -> MergeResult:
+    """Apply one change batch to the table: exactly-once, atomic.
+
+    MERGE semantics (full-outer-join form):
+      WHEN NOT MATCHED AND op<>'delete'            THEN INSERT
+      WHEN MATCHED AND s.ts>=t.ts AND op='delete'  THEN DELETE
+      WHEN MATCHED AND s.ts> t.ts                  THEN UPDATE
+      WHEN MATCHED AND s.ts= t.ts AND payload diff THEN UPDATE (det. tiebreak)
+      WHEN MATCHED AND s.ts< t.ts                  THEN no-op (late event)
+    """
+    if table.is_committed(batch_id):
+        return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=table.snapshot_id)
+
+    key = table.key
+    valid, dead = split_deadletter(batch)
+
+    # --- schema evolution driven by the batch: extra payload columns ---
+    extra_cols = [c for c in valid.columns if c not in CORE_COLS]
+    schema_names = table.schema.names()
+    for c in extra_cols:
+        if c not in schema_names:
+            table = table.add_column(c, _lake_type(valid.schema[c].dataType.simpleString()))
+    schema_names = table.schema.names()
+
+    # --- dedup: one event per url, latest warc_ts wins (salted) ---
+    src = dedup_latest(valid, key, cdc_order(), salt_buckets=salt_buckets)
+
+    # --- candidate buckets from the batch's keys (file pruning) ---
+    cand_rows = src.select(table.bucket_expr(key).alias("b")).distinct().collect()
+    cand = sorted(r["b"] for r in cand_rows)
+    if not cand:
+        empty = table.read().limit(0)
+        table.overwrite_buckets(empty, [], batch_id, summary={"empty_batch": True})
+        return MergeResult(
+            batch_id=batch_id,
+            counts={},
+            snapshot_id=table.snapshot_id,
+            deadletter=dead,
+        )
+
+    tgt = table.read(buckets=cand, include_deleted=True)
+
+    s = src.select(
+        F.col(key),
+        F.col("warc_ts").alias("_s_ts"),
+        F.col("html").alias("_s_html"),
+        F.col("op").alias("_s_op"),
+        *[F.col(c).alias(f"_s_{c}") for c in extra_cols],
+    )
+    t = tgt.select(
+        F.col(key),
+        *[F.col(c).alias(f"_t_{c}") for c in schema_names if c != key],
+    )
+
+    j = t.join(s, key, "full_outer")
+
+    same_payload = F.col("_s_html").eqNullSafe(F.col("_t_html"))
+    s_md5 = F.md5(F.col("_s_html"))
+    t_md5 = F.md5(F.col("_t_html"))
+    t_dead = F.coalesce(F.col("_t__deleted"), F.lit(False))
+    # Action ladder. Deletes write ts-guarded tombstone rows instead of
+    # erasing state, so an out-of-order event arriving in a LATER batch
+    # than the delete is still suppressed — this is what makes applying
+    # the log as 1 batch vs N batches byte-identical (test_batch_split_
+    # invariance). Ties at equal warc_ts follow cdc_order(): tombstone
+    # beats write, then payload-md5-desc decides between writes.
+    action = (
+        F.when(F.col("_s_op").isNull(), F.lit("keep"))
+        .when(F.col("_t_warc_ts").isNull() & (F.col("_s_op") != "delete"), F.lit("insert"))
+        .when(F.col("_t_warc_ts").isNull(), F.lit("delete"))  # tombstone for absent key
+        .when(F.col("_s_ts") < F.col("_t_warc_ts"), F.lit("late"))
+        .when(F.col("_s_op") == "delete", F.lit("delete"))  # s_ts >= t_ts: (re)tombstone
+        .when(t_dead & (F.col("_s_ts") > F.col("_t_warc_ts")), F.lit("insert"))  # resurrect
+        .when(t_dead, F.lit("noop"))  # equal-ts write vs tombstone: tombstone wins
+        .when((F.col("_s_ts") == F.col("_t_warc_ts")) & same_payload, F.lit("noop"))
+        .when(
+            (F.col("_s_ts") == F.col("_t_warc_ts")) & (s_md5 <= t_md5), F.lit("noop")
+        )  # equal-ts deterministic loser (mirrors dedup tiebreak)
+        .otherwise(F.lit("update"))
+    )
+    j = j.withColumn("_action", action).withColumn("_b", table.bucket_expr(key))
+    j = j.persist()
+    try:
+        # one aggregation pass: per-bucket op counts + max event ts
+        per_bucket = (
+            j.groupBy("_b", "_action")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("_s_ts").alias("max_ts"))
+            .collect()
+        )
+        counts: dict[str, int] = {}
+        lineage: list[dict] = []
+        max_ts = None
+        for r in per_bucket:
+            counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
+            lineage.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
+            if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
+                max_ts = r["max_ts"]
+
+        dirty = sorted(
+            {r["bucket"] for r in lineage if r["action"] in ("insert", "update", "delete")}
+        )
+
+        summary = {
+            "counts": counts,
+            "max_warc_ts": max_ts.isoformat() if max_ts else None,
+            "dirty_buckets": dirty,
+            "candidate_buckets": cand,
+        }
+
+        if not dirty:
+            empty = table.read().limit(0)
+            table.overwrite_buckets(empty, [], batch_id, summary=summary)
+            return MergeResult(
+                batch_id=batch_id,
+                counts=counts,
+                lineage=lineage,
+                snapshot_id=table.snapshot_id,
+                max_warc_ts=summary["max_warc_ts"],
+                deadletter=dead,
+            )
+
+        in_dirty = j.filter(F.col("_b").isin([int(b) for b in dirty]))
+
+        carried = in_dirty.filter(F.col("_action").isin("keep", "late", "noop")).select(
+            F.col(key), *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key]
+        )
+
+        changed = in_dirty.filter(F.col("_action").isin("insert", "update")).select(
+            F.col(key),
+            F.col("_s_ts").alias("warc_ts"),
+            F.col("_s_html").alias("html"),
+            (~F.col("_s_html").eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
+            F.col("_t_text").alias("_old_text"),
+            F.col("_t_lang").alias("_old_lang"),
+            F.lit(False).alias("_deleted"),
+            *[
+                (
+                    F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
+                ).alias(c)
+                for c in schema_names
+                if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
+            ],
+        )
+        changed = transform(changed).select(*schema_names)
+
+        # delete -> ts-guarded tombstone row (all payload columns NULL)
+        cur_struct = table.schema.to_struct()
+        tombstones = in_dirty.filter(F.col("_action") == "delete").select(
+            F.col(key),
+            F.col("_s_ts").alias("warc_ts"),
+            F.lit(True).alias("_deleted"),
+            *[
+                F.lit(None).cast(cur_struct[c].dataType).alias(c)
+                for c in schema_names
+                if c not in (key, "warc_ts", "_deleted")
+            ],
+        )
+
+        new_state = (
+            carried.select(*schema_names)
+            .unionByName(changed)
+            .unionByName(tombstones.select(*schema_names))
+        )
+        table.overwrite_buckets(new_state, dirty, batch_id, summary=summary)
+        return MergeResult(
+            batch_id=batch_id,
+            counts=counts,
+            dirty_buckets=dirty,
+            lineage=lineage,
+            snapshot_id=table.snapshot_id,
+            max_warc_ts=summary["max_warc_ts"],
+            deadletter=dead,
+        )
+    finally:
+        j.unpersist()
+
+
+def _lake_type(simple: str) -> str:
+    aliases = {"bigint": "long", "integer": "int", "smallint": "int"}
+    return aliases.get(simple, simple)

@@ -1,0 +1,134 @@
+"""Microbatch runner: tail a change stream, apply batches in order,
+checkpoint, resume, side-output dead letters and lineage.
+
+Reference analog: the driver loop
+/root/reference/load/DBPLoadController.py:229-283 (validate → … →
+update tables → complete, one fileset at a time), run bookkeeping
+/root/reference/load/RunStatus.py:28-48, and error-log side outputs
+/root/reference/load/Log.py:103-136.
+
+Exactly-once: the commit ledger lives INSIDE the table manifest (a
+batch id is recorded in the same atomic pointer swing that publishes
+its data), so replay after a crash cannot double-apply — the runner
+just skips already-committed batch ids. Resume = re-tail from the
+first uncommitted batch id.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.cdc.merge import MergeResult, default_transform, merge_batch
+from dbp_etl_spark.lake.table import LakeTable
+
+
+@dataclass
+class RunReport:
+    results: list[MergeResult] = field(default_factory=list)
+    n_batches: int = 0
+    n_skipped: int = 0
+    n_events: int = 0
+    wall_sec: float = 0.0
+
+    def total_counts(self) -> dict:
+        out: dict[str, int] = {}
+        for r in self.results:
+            for k, v in r.counts.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+
+class CDCRunner:
+    def __init__(
+        self,
+        table: LakeTable,
+        errors_path: str | None = None,
+        lineage_path: str | None = None,
+        transform=default_transform,
+        salt_buckets: int = 16,
+    ):
+        self.table = table
+        self.errors_path = errors_path
+        self.lineage_path = lineage_path
+        self.transform = transform
+        self.salt_buckets = salt_buckets
+
+    def run(self, changes: DataFrame, batch_col: str = "batch_id") -> RunReport:
+        """Apply every batch of ``changes`` in batch-id order (ST1/ST6:
+        strictly ordered microbatches), skipping committed ones."""
+        t0 = time.time()
+        batch_ids = [
+            r[0]
+            for r in changes.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+        report = RunReport()
+        for b in batch_ids:
+            report.n_batches += 1
+            if self.table.is_committed(b):
+                report.n_skipped += 1
+                report.results.append(
+                    MergeResult(batch_id=b, skipped=True, snapshot_id=self.table.snapshot_id)
+                )
+                continue
+            batch = changes.filter(F.col(batch_col) == b)
+            res = merge_batch(
+                self.table,
+                batch,
+                b,
+                transform=self.transform,
+                salt_buckets=self.salt_buckets,
+            )
+            self._side_outputs(res)
+            report.results.append(res)
+        report.wall_sec = time.time() - t0
+        return report
+
+    def _side_outputs(self, res: MergeResult) -> None:
+        spark = self.table.spark
+        if self.errors_path and res.deadletter is not None:
+            (
+                res.deadletter.select(
+                    F.lit(str(res.batch_id)).alias("batch_id"),
+                    F.col("url"),
+                    F.lit("EROR").alias("level"),
+                    F.col("_dl_reason").alias("message"),
+                )
+                .write.mode("append")
+                .parquet(self.errors_path)
+            )
+        if self.lineage_path and res.lineage:
+            rows = [
+                (
+                    str(res.batch_id),
+                    int(line["bucket"]),
+                    line["action"],
+                    int(line["n"]),
+                )
+                for line in res.lineage
+            ]
+            spark.createDataFrame(
+                rows, "batch_id string, partition_id int, action string, n long"
+            ).write.mode("append").parquet(self.lineage_path)
+
+    # -- checkpoint/resume introspection -------------------------------
+
+    def last_committed_batch(self):
+        ledger = self.table.committed_batches()
+        if not ledger:
+            return None
+        return max(ledger, key=lambda k: ledger[k]["snapshot_id"])
+
+    def errors(self) -> DataFrame | None:
+        if self.errors_path and os.path.exists(self.errors_path):
+            return self.table.spark.read.parquet(self.errors_path)
+        return None
+
+    def lineage(self) -> DataFrame | None:
+        if self.lineage_path and os.path.exists(self.lineage_path):
+            return self.table.spark.read.parquet(self.lineage_path)
+        return None

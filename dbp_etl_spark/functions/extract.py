@@ -1,0 +1,131 @@
+"""HTML -> text extraction and language tagging.
+
+This is the engine's analog of the reference's external row transform
+(sofria-cli USX->verses extraction, /root/reference/load/UpdateDBPTextFilesets.py:60-89,
+consumed at :158-196): an opaque payload column is turned into a clean
+text column with a **byte-identical** contract — the same input bytes
+must always produce the same output string, across runs, partitionings
+and parallelism levels.
+
+Two implementations of the *same* spec:
+
+* ``extract_text_py`` — pure-Python oracle (used by tests as golden).
+* ``extract_text_udf`` — Arrow-batched pandas UDF (the production path;
+  no per-row Python at the Spark API layer).
+
+Determinism rules (the reference's equivalent traps are its unicode
+sanitization and quote-escaping, /root/reference/load/SQLBatchExec.py:30-41,99-104):
+
+1. bytes are decoded as UTF-8 with U+FFFD replacement;
+2. ``<script>``/``<style>`` blocks and HTML comments are removed;
+3. block-level closing tags and ``<br>`` become newlines;
+4. remaining tags are stripped; entities decoded via ``html.unescape``;
+5. output is NFC-normalized;
+6. ``\r`` is dropped (reference analog: .replace('\\r',''),
+   /root/reference/load/UpdateDBPTextFilesets.py:186); each line is
+   space-collapsed and stripped; empty lines dropped; lines joined
+   with a single ``\n``.
+
+No locale-dependent calls; ``html.unescape`` and ``unicodedata`` are
+stdlib and version-stable for the entity/NFC subsets we exercise.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_BREAK_RE = re.compile(
+    r"<\s*(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/section|/article|/header|/footer|/title)\s*>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_SPACE_RE = re.compile(r"[ \t\f\v]+")
+
+
+def extract_text_py(html_bytes: bytes | None) -> str | None:
+    """Pure-Python golden implementation of the extraction spec."""
+    if html_bytes is None:
+        return None
+    s = bytes(html_bytes).decode("utf-8", errors="replace")
+    s = _SCRIPT_STYLE_RE.sub("", s)
+    s = _COMMENT_RE.sub("", s)
+    s = _BLOCK_BREAK_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _html.unescape(s)
+    s = unicodedata.normalize("NFC", s)
+    s = s.replace("\r", "")
+    lines = []
+    for line in s.split("\n"):
+        line = _SPACE_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched production path; same spec as ``extract_text_py``."""
+    return html.map(extract_text_py, na_action="ignore")
+
+
+# ---------------------------------------------------------------------------
+# Language tagging — deterministic n-gram / stopword heuristic.
+# Reference analog: ISO language resolution against the LPTS dimension
+# (/root/reference/load/LPTSExtractReader.py:674-676 and the fallback
+# ladder /root/reference/load/UpdateDBPBiblesTable.py:138-189). We have
+# no dimension for raw web text, so the engine ships a lightweight,
+# fully deterministic classifier over the extracted text.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to a in is it that was for on are with as be at by this have from or had not but what all were when we there can an your which their".split()
+    ),
+    "de": frozenset(
+        "der die das und ist in den von zu mit sich des auf für nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über".split()
+    ),
+    "fr": frozenset(
+        "le la les de des et un une du en est que qui dans pour pas sur ne se ce il au plus par avec sont ou son ses mais comme tout nous".split()
+    ),
+    "es": frozenset(
+        "el la los las de y un una en es que del se no por con para su al lo como más pero sus le ha me si sin sobre este ya entre cuando todo esta son".split()
+    ),
+}
+_TOKEN_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
+
+
+def detect_lang_py(text: str | None) -> str | None:
+    """Deterministic stopword-vote language id over {en,de,fr,es}; 'und' if unsure."""
+    if text is None:
+        return None
+    tokens = _TOKEN_RE.findall(text.lower())
+    if not tokens:
+        return "und"
+    scores = {lang: 0 for lang in _STOPWORDS}
+    for tok in tokens:
+        for lang, sw in _STOPWORDS.items():
+            if tok in sw:
+                scores[lang] += 1
+    # deterministic arg-max: break ties on language code order
+    best_lang, best_score = None, -1
+    for lang in sorted(scores):
+        if scores[lang] > best_score:
+            best_lang, best_score = lang, scores[lang]
+    if best_score * 20 < len(tokens):  # <5% stopword hits -> undetermined
+        return "und"
+    return best_lang
+
+
+@F.pandas_udf(T.StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    return text.map(detect_lang_py, na_action="ignore")

@@ -1,0 +1,394 @@
+"""LakeTable — copy-on-write snapshot table over Parquet.
+
+The storage half of the engine's MERGE sink. Semantics modeled on the
+reference's transactional apply unit (one SQL transaction per fileset,
+/root/reference/load/SQLBatchExec.py:168-213) and run ledger
+(/root/reference/load/RunStatus.py:28-48), generalized to a lake table:
+
+* **Atomic snapshot commit** — a manifest JSON is written, then a
+  single ``os.replace`` swings the VERSION pointer. Readers see either
+  the old or the new snapshot, never a torn state.
+* **Idempotent batch ledger** — every commit carries a ``batch_id``;
+  re-applying an already-committed batch is a no-op (the reference's
+  rerun-produces-empty-diff property, made structural).
+* **bucket(key) layout** — data files are hash-bucketed by the merge
+  key. A MERGE that touches K of B buckets reads and rewrites only
+  those buckets' files; untouched files are carried forward by
+  reference in the new manifest. This is the file-pruning that makes
+  copy-on-write viable at 10^10-row scale.
+* **Schema evolution without rewrite** — see lake/schema.py. Old data
+  files are projected to the current schema at read time by column id.
+
+Layout under ``root/``::
+
+    _meta/VERSION            # current snapshot id (atomic pointer)
+    _meta/v{N}.json          # manifest of snapshot N
+    data/snap-{N}/_bucket=K/part-*.parquet
+
+Concurrency: single writer per table (the reference applies batches
+serially, /root/reference/load/DBPLoadController.py:118-141; SURVEY
+ST6). A compare-and-swap check on VERSION rejects lost-update commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.lake.schema import TableSchema
+
+_META = "_meta"
+_DATA = "data"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this table handle loaded its snapshot."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+        self.spark = spark
+        self.root = root
+        self.manifest = manifest
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: TableSchema,
+        key: str = "url",
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        if key not in schema.names():
+            raise ValueError(f"key column {key!r} not in schema")
+        if "_deleted" not in schema.names():
+            # internal tombstone flag: a delete event writes a tombstone
+            # row (ts-guarded) instead of erasing state, so out-of-order
+            # events arriving after the delete are still suppressed.
+            # Hidden from plain reads; vacuumable.
+            schema = schema.add_column("_deleted", "boolean")
+        os.makedirs(os.path.join(root, _META), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        manifest = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "key": key,
+            "num_buckets": num_buckets,
+            "schema_version": 1,
+            "schemas": {"1": schema.to_json()},
+            "files": [],
+            "committed_batches": {},
+            "summary": {},
+        }
+        _atomic_write(os.path.join(root, _META, "v0.json"), json.dumps(manifest, indent=1))
+        _atomic_write(os.path.join(root, _META, "VERSION"), "0")
+        return cls(spark, root, manifest)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        with open(os.path.join(root, _META, "VERSION")) as f:
+            snap = int(f.read().strip())
+        with open(os.path.join(root, _META, f"v{snap}.json")) as f:
+            return cls(spark, root, json.load(f))
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, _META, "VERSION"))
+
+    def refresh(self) -> "LakeTable":
+        return LakeTable.load(self.spark, self.root)
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def key(self) -> str:
+        return self.manifest["key"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest["num_buckets"]
+
+    @property
+    def snapshot_id(self) -> int:
+        return self.manifest["snapshot_id"]
+
+    @property
+    def schema(self) -> TableSchema:
+        return TableSchema.from_json(
+            self.manifest["schemas"][str(self.manifest["schema_version"])]
+        )
+
+    def schema_at(self, version: int) -> TableSchema:
+        return TableSchema.from_json(self.manifest["schemas"][str(version)])
+
+    def is_committed(self, batch_id) -> bool:
+        return str(batch_id) in self.manifest["committed_batches"]
+
+    def committed_batches(self) -> dict:
+        return dict(self.manifest["committed_batches"])
+
+    def bucket_expr(self, col: str | None = None) -> Column:
+        """Deterministic bucket id for a key value: pmod(xxhash64(key), B)."""
+        return F.pmod(F.xxhash64(F.col(col or self.key)), F.lit(self.num_buckets)).cast("int")
+
+    # ------------------------------------------------------------------ read
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read current (or time-travel) state, optionally pruned to buckets.
+
+        Bucket pruning is file-level: only manifest entries whose bucket
+        is in ``buckets`` are scanned — the Iceberg-partition-pruning
+        analog of the reference's keyed state reads
+        (/root/reference/load/UpdateDBPFilesetTables.py:234-242).
+        """
+        manifest = self.manifest
+        if snapshot_id is not None and snapshot_id != manifest["snapshot_id"]:
+            with open(os.path.join(self.root, _META, f"v{snapshot_id}.json")) as f:
+                manifest = json.load(f)
+        current = TableSchema.from_json(manifest["schemas"][str(manifest["schema_version"])])
+        files = manifest["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+
+        cur_struct = current.to_struct()
+        if not files:
+            empty = self.spark.createDataFrame([], cur_struct)
+            if not include_deleted and "_deleted" in empty.columns:
+                empty = empty.drop("_deleted")
+            return empty
+
+        # group files by the schema version they were written under,
+        # project each group to the current schema by column id
+        by_ver: dict[int, list[str]] = {}
+        for f in files:
+            by_ver.setdefault(f["schema_version"], []).append(os.path.join(self.root, f["path"]))
+
+        parts: list[DataFrame] = []
+        for ver, paths in sorted(by_ver.items()):
+            written = TableSchema.from_json(manifest["schemas"][str(ver)])
+            df = self.spark.read.schema(written.to_struct()).parquet(*paths)
+            written_by_id = {c.col_id: c for c in written.columns}
+            projection = []
+            for cur_col in current.columns:
+                old = written_by_id.get(cur_col.col_id)
+                if old is None:  # column added after these files were written
+                    projection.append(
+                        F.lit(None).cast(cur_struct[cur_col.name].dataType).alias(cur_col.name)
+                    )
+                else:  # rename and/or widen by id
+                    projection.append(
+                        F.col(old.name).cast(cur_struct[cur_col.name].dataType).alias(cur_col.name)
+                    )
+            parts.append(df.select(*projection))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not include_deleted and "_deleted" in out.columns:
+            out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        return out
+
+    # ----------------------------------------------------------------- write
+
+    def _write_data(self, df: DataFrame, snap_id: int, schema_version: int) -> list[dict]:
+        """Write df (current-schema columns) bucketed by key; return file entries."""
+        schema = self.schema_at(schema_version)
+        snap_dir_rel = os.path.join(_DATA, f"snap-{snap_id}")
+        snap_dir = os.path.join(self.root, snap_dir_rel)
+        if "_deleted" in schema.names() and "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        (
+            df.select(*schema.names())
+            .withColumn("_bucket", self.bucket_expr())
+            .repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .mode("append")
+            .parquet(snap_dir)
+        )
+        entries: list[dict] = []
+        for bucket_dir in sorted(os.listdir(snap_dir)):
+            if not bucket_dir.startswith("_bucket="):
+                continue
+            bucket = int(bucket_dir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(snap_dir, bucket_dir))):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "path": os.path.join(snap_dir_rel, bucket_dir, fn),
+                            "bucket": bucket,
+                            "schema_version": schema_version,
+                        }
+                    )
+        return entries
+
+    def _commit(self, new_manifest: dict) -> "LakeTable":
+        """Compare-and-swap the VERSION pointer to the new snapshot."""
+        meta = os.path.join(self.root, _META)
+        with open(os.path.join(meta, "VERSION")) as f:
+            head = int(f.read().strip())
+        if head != self.manifest["snapshot_id"]:
+            raise CommitConflict(
+                f"table advanced to snapshot {head} (we hold {self.manifest['snapshot_id']})"
+            )
+        snap_id = new_manifest["snapshot_id"]
+        _atomic_write(os.path.join(meta, f"v{snap_id}.json"), json.dumps(new_manifest, indent=1))
+        _atomic_write(os.path.join(meta, "VERSION"), str(snap_id))
+        self.manifest = new_manifest
+        return self
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        batch_id,
+        summary: dict | None = None,
+    ) -> "LakeTable":
+        """Atomically replace the contents of ``buckets`` with ``df``.
+
+        ``df`` must hold the complete new state of those buckets in the
+        current schema. Files of untouched buckets carry forward by
+        reference — the copy-on-write MERGE primitive.
+        """
+        if self.is_committed(batch_id):
+            return self
+        snap_id = self.snapshot_id + 1
+        ver = self.manifest["schema_version"]
+        new_files = self._write_data(df, snap_id, ver)
+        bset = set(buckets)
+        stray = {e["bucket"] for e in new_files} - bset
+        if stray:
+            raise ValueError(f"df contains rows for undeclared buckets {sorted(stray)}")
+        kept = [f for f in self.manifest["files"] if f["bucket"] not in bset]
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = snap_id
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["files"] = kept + new_files
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(batch_id)] = {"snapshot_id": snap_id, **(summary or {})}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = summary or {}
+        return self._commit(new_manifest)
+
+    def append(self, df: DataFrame, batch_id, summary: dict | None = None) -> "LakeTable":
+        """Append-only commit (bulk load path; no key semantics)."""
+        if self.is_committed(batch_id):
+            return self
+        snap_id = self.snapshot_id + 1
+        new_files = self._write_data(df, snap_id, self.manifest["schema_version"])
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = snap_id
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["files"] = self.manifest["files"] + new_files
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(batch_id)] = {"snapshot_id": snap_id, **(summary or {})}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = summary or {}
+        return self._commit(new_manifest)
+
+    # ------------------------------------------------------ schema evolution
+
+    def _evolve(self, new_schema: TableSchema, op: str) -> "LakeTable":
+        new_ver = self.manifest["schema_version"] + 1
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = self.snapshot_id + 1
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["schema_version"] = new_ver
+        schemas = dict(self.manifest["schemas"])
+        schemas[str(new_ver)] = new_schema.to_json()
+        new_manifest["schemas"] = schemas
+        new_manifest["summary"] = {"schema_op": op}
+        return self._commit(new_manifest)
+
+    def add_column(self, name: str, type_name: str) -> "LakeTable":
+        return self._evolve(self.schema.add_column(name, type_name), f"add:{name}:{type_name}")
+
+    def rename_column(self, old: str, new: str) -> "LakeTable":
+        return self._evolve(self.schema.rename_column(old, new), f"rename:{old}->{new}")
+
+    def widen_column(self, name: str, new_type: str) -> "LakeTable":
+        return self._evolve(self.schema.widen_column(name, new_type), f"widen:{name}:{new_type}")
+
+    def vacuum_tombstones(self, older_than_ts, batch_id) -> "LakeTable":
+        """Drop tombstone rows whose warc_ts < older_than_ts (the
+        late-event watermark): once no event older than the watermark
+        can arrive, tombstones before it are garbage. Rewrites only
+        buckets that actually hold expired tombstones."""
+        if self.is_committed(batch_id):
+            return self
+        full = self.read(include_deleted=True)
+        expired = full.filter(F.col("_deleted") & (F.col("warc_ts") < F.lit(older_than_ts)))
+        dirty = sorted(
+            r["b"]
+            for r in expired.select(self.bucket_expr().alias("b")).distinct().collect()
+        )
+        if not dirty:
+            return self
+        kept = self.read(buckets=dirty, include_deleted=True).filter(
+            ~(F.col("_deleted") & (F.col("warc_ts") < F.lit(older_than_ts)))
+        )
+        return self.overwrite_buckets(
+            kept, dirty, batch_id, summary={"vacuum_older_than": str(older_than_ts)}
+        )
+
+    # ------------------------------------------------------------ diagnostics
+
+    def state_hash(self) -> str:
+        """Order-independent content hash of current state (replay tests).
+
+        Sum of per-row xxhash64 over all columns (binary rendered as
+        md5 hex, timestamps as epoch micros) — deterministic across
+        partitioning and parallelism levels.
+        """
+        df = self.read()
+        cols = []
+        for f_ in df.schema.fields:
+            c = F.col(f_.name)
+            t = f_.dataType.simpleString()
+            if t == "binary":
+                c = F.md5(c)
+            elif t == "timestamp":
+                c = F.unix_micros(c)
+            cols.append(c.cast("string"))
+        row_hash = F.xxhash64(*cols).cast("decimal(38,0)")
+        agg = df.agg(F.sum(row_hash).alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
+        return f"{agg['n']}:{agg['h']}"
+
+    def history(self) -> list[dict]:
+        out = []
+        meta = os.path.join(self.root, _META)
+        for i in range(self.snapshot_id + 1):
+            p = os.path.join(meta, f"v{i}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    m = json.load(f)
+                out.append(
+                    {
+                        "snapshot_id": m["snapshot_id"],
+                        "parent_id": m["parent_id"],
+                        "schema_version": m["schema_version"],
+                        "n_files": len(m["files"]),
+                        "summary": m.get("summary", {}),
+                    }
+                )
+        return out

@@ -1,0 +1,824 @@
+"""Query registry: named (Spark DataFrame, DuckDB oracle SQL) pairs.
+
+Each query exercises operators from SURVEY.md §2 against the driver's
+test tables (region nation customer supplier part orders lineitem
+events documents embeddings). Conventions enforced for the driver's
+order-insensitive value-hash compare:
+
+* every computed column is aliased identically in Spark and SQL;
+* timestamps/dates are rendered to strings with matching patterns;
+* floating aggregates are rounded (per-row float math is bit-identical
+  between engines; only cross-row accumulation order is not);
+* integer-valued computed columns are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapper
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapper
+
+    return deco
+
+
+# =====================================================================
+# CDC core semantics expressed over the `events` stream table
+# =====================================================================
+
+
+@q(
+    "cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark, sf_dir):
+    """W1/ST2 (reference: /root/reference/load/FilenameReducer.py:99-120):
+    latest event per key wins — the microbatch dedup rule."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+@q(
+    "cdc_apply_with_deletes",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, round(value, 2) AS current_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_with_deletes(spark, sf_dir):
+    """Flagship semantic: apply a change log; keys whose latest event is
+    a tombstone ('error' stands in for op='delete') are absent from the
+    final state (reference: leftover-key deletes,
+    /root/reference/load/UpdateDBPTextFilesets.py:132-134)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", F.round("value", 2).alias("current_value"))
+    )
+
+
+@q(
+    "cdc_changeset_classify",
+    """
+    WITH ranked_old AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+    old AS (SELECT * FROM ranked_old WHERE rn = 1),
+    ranked_new AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    newest AS (SELECT * FROM ranked_new WHERE rn = 1)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.ts > o.ts THEN 'update'
+                ELSE 'noop' END AS action
+    FROM old o FULL OUTER JOIN newest n ON o.user_id = n.user_id
+    """,
+)
+def cdc_changeset_classify(spark, sf_dir):
+    """J2 — the merge-key full-outer diff (the CDC heart; reference:
+    /root/reference/load/UpdateDBPFilesetTables.py:306-377): snapshot
+    at a cutoff vs. final snapshot, rows classified insert/update/noop."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    newest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    old = (
+        ev.filter(F.col("ts") < "2024-01-16 00:00:00")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    o = old.select(F.col("user_id").alias("o_uid"), F.col("ts").alias("o_ts"))
+    n = newest.select(F.col("user_id").alias("n_uid"), F.col("ts").alias("n_ts"))
+    j = o.join(n, o.o_uid == n.n_uid, "full_outer")
+    return j.select(
+        F.coalesce("o_uid", "n_uid").alias("user_id"),
+        F.when(F.col("o_uid").isNull(), "insert")
+        .when(F.col("n_ts") > F.col("o_ts"), "update")
+        .otherwise("noop")
+        .alias("action"),
+    )
+
+
+@q(
+    "op_rollup",
+    """
+    SELECT event_type AS op, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def op_rollup(spark, sf_dir):
+    """A5/A7 — per-op metrics rollup (reference:
+    /root/reference/load/SQLBatchExec.py:146-160)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("op"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+# =====================================================================
+# Joins (J1-J6)
+# =====================================================================
+
+
+@q(
+    "revenue_by_region",
+    """
+    SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def revenue_by_region(spark, sf_dir):
+    """J1/J6 — broadcast dimension chain (reference: dict-probe maps,
+    /root/reference/load/FilenameParser.py:279-283). nation/region are
+    tiny: forced broadcast, no shuffle on the dim side."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """J3/SO3 — anti join = delete detection (reference:
+    /root/reference/load/UpdateDBPFilesetTables.py:460-466)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "customers_with_bigticket",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def customers_with_bigticket(spark, sf_dir):
+    """J4 — semi join existence guard (reference:
+    /root/reference/load/UpdateDBPLPTSTable.py:161-175)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "lang_fallback_resolution",
+    """
+    WITH dim1(lang, source, lang_label) AS (
+      VALUES ('en','src0','english-src0'), ('de','src1','german-src1'), ('fr','src2','french-src2')),
+    dim2(lang, lang_label) AS (
+      VALUES ('en','english'), ('de','german'), ('fr','french'), ('es','spanish'))
+    SELECT d.doc_id, coalesce(d1.lang_label, d2.lang_label, 'unknown') AS lang_label
+    FROM documents d
+    LEFT JOIN dim1 d1 ON d.lang = d1.lang AND d.source = d1.source
+    LEFT JOIN dim2 d2 ON d.lang = d2.lang
+    """,
+)
+def lang_fallback_resolution(spark, sf_dir):
+    """J5 — multi-level fallback join: most-specific probe wins, then
+    coarser, then default (reference language-resolution ladder:
+    /root/reference/load/UpdateDBPBiblesTable.py:138-189)."""
+    docs = _t(spark, sf_dir, "documents")
+    dim1 = spark.createDataFrame(
+        [("en", "src0", "english-src0"), ("de", "src1", "german-src1"), ("fr", "src2", "french-src2")],
+        "lang string, source string, lang_label string",
+    )
+    dim2 = spark.createDataFrame(
+        [("en", "english"), ("de", "german"), ("fr", "french"), ("es", "spanish")],
+        "lang string, lang_label string",
+    )
+    d1 = F.broadcast(dim1.withColumnRenamed("lang_label", "l1"))
+    d2 = F.broadcast(dim2.withColumnRenamed("lang_label", "l2"))
+    return (
+        docs.join(d1, ["lang", "source"], "left")
+        .join(d2, ["lang"], "left")
+        .select("doc_id", F.coalesce("l1", "l2", F.lit("unknown")).alias("lang_label"))
+    )
+
+
+# =====================================================================
+# Aggregations (A1-A9)
+# =====================================================================
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """A-family headline aggregate (TPC-H Q1 shape): map-side partial
+    aggregation, 6 output groups — the scan dominates, as it should."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "user_day_completeness",
+    """
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n, CAST(count(*) = 1 AS BIGINT) AS is_single
+    FROM events GROUP BY 1, 2
+    """,
+)
+def user_day_completeness(spark, sf_dir):
+    """A2 — group-count completeness flag (reference
+    is_complete_chapter: /root/reference/load/UpdateDBPFilesetTables.py:470-488)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("is_single", (F.col("n") == 1).cast("long"))
+    )
+
+
+@q(
+    "max_per_user",
+    """
+    SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def max_per_user(spark, sf_dir):
+    """A3 — max per group (reference maxChapterByBook:
+    /root/reference/load/FilenameReducer.py:144-167)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+@q(
+    "user_segment_classifier",
+    """
+    SELECT user_id,
+           CASE WHEN has_purchase AND has_signup THEN 'FULL'
+                WHEN has_purchase THEN 'BUYER'
+                WHEN has_signup THEN 'MEMBER'
+                ELSE 'VISITOR' END AS segment
+    FROM (SELECT user_id,
+                 bool_or(event_type = 'purchase') AS has_purchase,
+                 bool_or(event_type = 'signup') AS has_signup
+          FROM events GROUP BY user_id)
+    """,
+)
+def user_segment_classifier(spark, sf_dir):
+    """A4/F13 — set-membership aggregate + CASE ladder classifier
+    (reference size-code classifier:
+    /root/reference/load/UpdateDBPFilesetTables.py:35-60,214-222)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("boolean")).alias("has_purchase"),
+        F.max((F.col("event_type") == "signup").cast("boolean")).alias("has_signup"),
+    )
+    return agg.select(
+        "user_id",
+        F.when(F.col("has_purchase") & F.col("has_signup"), "FULL")
+        .when(F.col("has_purchase"), "BUYER")
+        .when(F.col("has_signup"), "MEMBER")
+        .otherwise("VISITOR")
+        .alias("segment"),
+    )
+
+
+@q("distinct_event_types", "SELECT DISTINCT event_type FROM events")
+def distinct_event_types(spark, sf_dir):
+    """A6 — distinct (reference: SELECT DISTINCT code,
+    /root/reference/load/UpdateDBPFilesetTables.py:204)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@q(
+    "user_active_days_list",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d'), ','
+                      ORDER BY strftime(date_trunc('day', ts), '%Y-%m-%d')) AS days
+    FROM events GROUP BY user_id
+    """,
+)
+def user_active_days_list(spark, sf_dir):
+    """A1 — group-by collect into an ordered list (reference
+    book→chapters map: /root/reference/load/FilenameParser.py:457-466);
+    rendered as a joined string for engine-neutral comparison."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))),
+            ",",
+        ).alias("days")
+    )
+
+
+# =====================================================================
+# Windows (W1-W6), sorts/top-k (O1-O4)
+# =====================================================================
+
+
+@q(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    """O4/W — top-k per group via rank window (reference max/min top-1:
+    /root/reference/load/FilenameReducer.py:99-120)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@q(
+    "missing_days_per_user",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(EXTRACT(day FROM ts) AS BIGINT) AS d
+      FROM events WHERE ts < TIMESTAMP '2024-01-29 00:00:00'),
+    mx AS (SELECT user_id, max(d) AS mxd FROM ud GROUP BY user_id),
+    alld AS (SELECT user_id, UNNEST(generate_series(1, mxd)) AS d FROM mx)
+    SELECT a.user_id, a.d AS missing_day
+    FROM alld a LEFT JOIN ud p ON a.user_id = p.user_id AND a.d = p.d
+    WHERE p.user_id IS NULL
+    """,
+)
+def missing_days_per_user(spark, sf_dir):
+    """W2 — sequential gap detection via sequence+explode+anti
+    (reference missing-chapters: /root/reference/load/FilenameParser.py:457-477)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-29 00:00:00")
+    ud = ev.select("user_id", F.dayofmonth("ts").cast("long").alias("d")).distinct()
+    alld = (
+        ud.groupBy("user_id")
+        .agg(F.max("d").alias("mxd"))
+        .select("user_id", F.explode(F.sequence(F.lit(1).cast("long"), F.col("mxd"))).alias("d"))
+    )
+    return alld.join(ud, ["user_id", "d"], "left_anti").select(
+        "user_id", F.col("d").alias("missing_day")
+    )
+
+
+@q(
+    "session_gaps",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, count(*) AS n_gaps
+    FROM o WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 21600000000
+    GROUP BY user_id
+    """,
+)
+def session_gaps(spark, sf_dir):
+    """W3 — lag-window gap detection (reference verse-range gaps:
+    /root/reference/load/FilenameParser.py:480-509). 6-hour threshold
+    compared in exact microseconds on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; cast for unix_micros
+    # (session TZ is UTC so the cast is value-preserving)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull() & (us("ts") - us("prev") > 21600000000))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+@q(
+    "activity_islands",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+    nb AS (SELECT user_id, d,
+                  (d - DATE '2024-01-01') - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+           FROM days)
+    SELECT user_id, strftime(min(d), '%Y-%m-%d') AS island_start,
+           strftime(max(d), '%Y-%m-%d') AS island_end, count(*) AS len
+    FROM nb GROUP BY user_id, grp
+    """,
+)
+def activity_islands(spark, sf_dir):
+    """W4 — gaps-and-islands run-length compression (reference
+    consecutive error-range collapse:
+    /root/reference/load/FilenameReducer.py:215-264)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    nb = days.withColumn(
+        "grp", F.datediff("d", F.lit("2024-01-01")) - F.row_number().over(w)
+    )
+    return nb.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
+        F.count(F.lit(1)).alias("len"),
+    ).drop("grp")
+
+
+@q(
+    "global_sequence_assignment",
+    """
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+    """,
+)
+def global_sequence_assignment(spark, sf_dir):
+    """W6 — positional sequence numbering (reference TOC book
+    sequencing: /root/reference/load/UpdateDBPBooksTable.py:179-214).
+    NOTE scale: a global row_number single-partitions the sort; at
+    100 TB use zipWithIndex-per-range or a keyed sequence instead —
+    here it is the semantic being tested, over a filtered slice."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-01 00:00:00")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return orders.select("o_orderkey", F.row_number().over(w).cast("long").alias("seq"))
+
+
+# =====================================================================
+# Set operations (SO1-SO4)
+# =====================================================================
+
+
+@q(
+    "setops_user_cohorts",
+    """
+    SELECT 'click_or_view' AS op, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION SELECT user_id FROM events WHERE event_type = 'view')
+    UNION ALL
+    SELECT 'click_and_view' AS op, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT SELECT user_id FROM events WHERE event_type = 'view')
+    UNION ALL
+    SELECT 'click_not_purchase' AS op, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def setops_user_cohorts(spark, sf_dir):
+    """SO1/SO2/SO3 — union/intersect/except cohorts (reference:
+    set unions /root/reference/load/UpdateDBPBooksTable.py:357-363,
+    intersections /root/reference/load/UpdateDBPFilesetTables.py:220-221)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    clicks, views, purchases = users("click"), users("view"), users("purchase")
+    rows = [
+        ("click_or_view", clicks.union(views).distinct().count()),
+        ("click_and_view", clicks.intersect(views).count()),
+        ("click_not_purchase", clicks.distinct().exceptAll(purchases.distinct()).count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
+# =====================================================================
+# Scalar function gauntlet (F1-F13)
+# =====================================================================
+
+
+@q(
+    "scalar_gauntlet",
+    """
+    SELECT o_orderkey,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           regexp_extract(o_orderpriority, '([0-9])', 1) AS pri_digit,
+           split_part(o_orderpriority, '-', 2) AS pri_word,
+           lower(o_orderstatus) AS status_lc,
+           substr(md5(concat(CAST(o_orderkey AS VARCHAR), '-', o_orderstatus)), 1, 12) AS hash_id,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri_int,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           round(o_totalprice, 1) AS price_round,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000 THEN 'mid'
+                ELSE 'small' END AS size_class
+    FROM orders
+    """,
+)
+def scalar_gauntlet(spark, sf_dir):
+    """F1-F13 in one projection: substring decode (F1, reference
+    /root/reference/load/InputFileset.py:166-187), regex extract (F2,
+    /root/reference/load/FilenameParser.py:268-276), split (F3),
+    case-fold (F4), md5 key derivation (F5/F6,
+    /root/reference/load/UpdateDBPLPTSTable.py:26-33), try_cast (F7),
+    ceil/round (F8), date format (F9), year extract (F10), CASE ladder
+    (F13, /root/reference/load/UpdateDBPLPTSTable.py:94-126)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.regexp_extract("o_orderpriority", "([0-9])", 1).alias("pri_digit"),
+        F.element_at(F.split("o_orderpriority", "-"), 2).alias("pri_word"),
+        F.lower("o_orderstatus").alias("status_lc"),
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("-"), F.col("o_orderstatus"))),
+            1,
+            12,
+        ).alias("hash_id"),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("pri_int"),
+        F.ceil("o_totalprice").cast("long").alias("price_ceil"),
+        F.round("o_totalprice", 1).alias("price_round"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """F12 — JSON field extraction (reference transcoder JSON parse:
+    /root/reference/load/AWSTranscoder.py:50-88)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# =====================================================================
+# Training-data pipeline ops: documents / embeddings
+# =====================================================================
+
+
+@q(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(length(text) * 1.0 / len(string_split(text, ' ')), 3) AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    """Token counting over the documents table (training-data op)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.length("text") * 1.0 / n_tok, 3).alias("avg_token_len"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, substr(md5(text), 1, 16) AS fp, lang
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting via stable content hash (dedup key)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.md5("text"), 1, 16).alias("fp"), "lang"
+    )
+
+
+@q(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep lowest id per content hash."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@q(
+    "doc_quality_score",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS the_count,
+           round(((length(text) - length(replace(text, 'the', ''))) / 3.0)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def doc_quality_score(spark, sf_dir):
+    """Quality scoring: stopword-density heuristic (training-data op)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    the_count = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        the_count.cast("long").alias("the_count"),
+        F.round(the_count / n_tok, 4).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "embedding_norms_by_label",
+    """
+    SELECT label,
+           round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS avg_norm,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark, sf_dir):
+    """Vector math over array<float>: L2 norms via JVM-side higher-order
+    functions (no Python in the loop)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm), 3).alias("avg_norm"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, c.vec_id AS cid,
+             round(
+               list_sum(list_transform(list_zip(q.qe, c.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               3) AS cos_sim
+      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid)
+    SELECT qid, cid, cos_sim FROM (
+      SELECT qid, cid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Similarity search baseline: brute-force cosine top-5 for 5 query
+    vectors. The query side is broadcast (tiny); the scan side streams —
+    at scale swap in the LSH-bucketed variant (operators.similarity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    pairs = (
+        F.broadcast(q_side)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round(
+                dot(F.col("qe"), F.col("embedding"))
+                / (norm(F.col("qe")) * norm(F.col("embedding"))),
+                3,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "cos_sim")
+    )

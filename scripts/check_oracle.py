@@ -1,0 +1,108 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count, column names, and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from dbp_etl_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        # match driver-ish float rendering; our queries round anyway
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(col_names, rows):
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+            if sh != dh:
+                problems.append(f"valuehash {sh} vs {dh}")
+                # show a sample diff
+                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                a = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in s_rows)
+                do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                b = sorted("\x1f".join(norm_cell(r[i]) for i in do) for r in d_rows)
+                for x, y in zip(a, b):
+                    if x != y:
+                        problems.append(f"first diff:\n  spark={x[:200]}\n  duck ={y[:200]}")
+                        break
+        if problems:
+            failures.append((name, "; ".join(problems[:2])))
+            print(f"FAIL  {name}: " + " | ".join(p.splitlines()[0] for p in problems[:1]))
+            for p in problems:
+                if p.startswith("first diff"):
+                    print("      " + p.replace("\n", "\n      "))
+        else:
+            print(f"OK    {name}: {len(s_rows)} rows")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""LakeTable: atomic snapshots, idempotent ledger, bucket pruning,
+schema evolution without rewrite, time travel."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbp_etl_spark.lake import LakeTable, TableSchema
+from dbp_etl_spark.lake.table import CommitConflict
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def mk_rows(spark, n, tag="v1"):
+    return spark.range(n).select(
+        F.concat(F.lit("https://h.example/p"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<p>"), F.col("id"), F.lit(tag), F.lit("</p>")), "utf-8").alias("html"),
+        F.concat(F.col("id").cast("string"), F.lit(tag)).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "pages"), TableSchema.from_struct(PAGES), key="url", num_buckets=8
+    )
+
+
+def test_create_load_roundtrip(spark, table):
+    t2 = LakeTable.load(spark, table.root)
+    assert t2.snapshot_id == 0
+    # user-facing read hides the internal tombstone column
+    assert t2.read().columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert t2.schema.names() == ["url", "warc_ts", "html", "text", "lang", "_deleted"]
+    assert t2.read().count() == 0
+
+
+def test_append_and_read(spark, table):
+    table.append(mk_rows(spark, 100), batch_id="b0")
+    assert table.snapshot_id == 1
+    df = table.read()
+    assert df.count() == 100
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_idempotent_ledger(spark, table):
+    table.append(mk_rows(spark, 10), batch_id="b0")
+    snap = table.snapshot_id
+    table.append(mk_rows(spark, 10), batch_id="b0")  # replay: no-op
+    assert table.snapshot_id == snap
+    assert table.read().count() == 10
+    assert table.is_committed("b0")
+
+
+def test_bucket_pruning_reads_subset(spark, table):
+    table.append(mk_rows(spark, 200), batch_id="b0")
+    all_rows = table.read().count()
+    some = table.read(buckets=[0, 1]).count()
+    assert 0 < some < all_rows
+    # pruned read only lists files of those buckets
+    files = [f for f in table.manifest["files"] if f["bucket"] in (0, 1)]
+    assert len(files) < len(table.manifest["files"])
+    # union of per-bucket reads == full read
+    total = sum(table.read(buckets=[b]).count() for b in range(8))
+    assert total == all_rows
+
+
+def test_overwrite_buckets_carries_untouched_files(spark, table):
+    table.append(mk_rows(spark, 200), batch_id="b0")
+    before = {f["path"]: f for f in table.manifest["files"]}
+    bucket0 = table.read(buckets=[0]).withColumn("text", F.lit("rewritten"))
+    table.overwrite_buckets(bucket0, [0], batch_id="b1")
+    after = table.manifest["files"]
+    untouched = [f for f in after if f["bucket"] != 0]
+    for f in untouched:
+        assert f["path"] in before  # carried forward by reference, not rewritten
+    assert set(table.read().filter(F.col("text") == "rewritten").select("url").toPandas()["url"]) == set(
+        table.read(buckets=[0]).select("url").toPandas()["url"]
+    )
+
+
+def test_overwrite_rejects_stray_buckets(spark, table):
+    table.append(mk_rows(spark, 50), batch_id="b0")
+    with pytest.raises(ValueError, match="undeclared buckets"):
+        table.overwrite_buckets(mk_rows(spark, 50), [0], batch_id="b1")
+
+
+def test_schema_add_column_reads_old_files_as_null(spark, table):
+    table.append(mk_rows(spark, 20), batch_id="b0")
+    table.add_column("lang2", "string")
+    df = table.read()
+    assert "lang2" in df.columns
+    assert df.filter(F.col("lang2").isNull()).count() == 20
+    # new writes carry the new column
+    new_rows = mk_rows(spark, 5, tag="v2").withColumn("lang2", F.lit("xx"))
+    table.append(new_rows, batch_id="b1")
+    assert table.read().filter(F.col("lang2") == "xx").count() == 5
+    assert table.read().count() == 25
+
+
+def test_schema_rename_no_rewrite(spark, table):
+    table.append(mk_rows(spark, 20), batch_id="b0")
+    files_before = sorted(f["path"] for f in table.manifest["files"])
+    table.rename_column("text", "text_v2")
+    assert sorted(f["path"] for f in table.manifest["files"]) == files_before  # no rewrite
+    df = table.read()
+    assert "text_v2" in df.columns and "text" not in df.columns
+    assert df.filter(F.col("text_v2").isNotNull()).count() == 20
+
+
+def test_schema_widen_int_to_long(spark, tmp_path):
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [T.StructField("url", T.StringType()), T.StructField("n", T.IntegerType())]
+        )
+    )
+    t = LakeTable.create(spark, str(tmp_path / "w"), schema, key="url", num_buckets=4)
+    t.append(
+        spark.range(10).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"), F.col("id").cast("int").alias("n")
+        ),
+        batch_id="b0",
+    )
+    t.widen_column("n", "long")
+    df = t.read()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.agg(F.sum("n")).collect()[0][0] == 45
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("url", "long")
+
+
+def test_time_travel(spark, table):
+    table.append(mk_rows(spark, 10), batch_id="b0")
+    snap1 = table.snapshot_id
+    table.append(mk_rows(spark, 5, tag="v2"), batch_id="b1")
+    assert table.read().count() == 15
+    assert table.read(snapshot_id=snap1).count() == 10
+
+
+def test_commit_conflict_detection(spark, table):
+    stale = LakeTable.load(spark, table.root)
+    table.append(mk_rows(spark, 5), batch_id="b0")
+    with pytest.raises(CommitConflict):
+        stale.append(mk_rows(spark, 5), batch_id="b1")
+
+
+def test_state_hash_stable_across_partitioning(spark, table):
+    table.append(mk_rows(spark, 100), batch_id="b0")
+    h1 = table.state_hash()
+    h2 = table.state_hash()
+    assert h1 == h2
+    assert h1.startswith("100:")
