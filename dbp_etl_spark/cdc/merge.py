@@ -28,13 +28,15 @@ else carries forward by manifest reference.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
-from dbp_etl_spark.functions.extract import detect_lang_udf, extract_text_udf
+from dbp_etl_spark.functions.extract import extract_and_lang_udf
 from dbp_etl_spark.lake.table import LakeTable
 
 VALID_OPS = ("insert", "update", "delete")
@@ -57,20 +59,22 @@ class MergeResult:
 
 
 def default_transform(df: DataFrame) -> DataFrame:
-    """html -> (text, lang) via Arrow-batched pandas UDFs, reusing the
-    previous row's text/lang when the payload bytes did not change."""
-    df = df.withColumn(
-        "text",
-        F.when(F.col("_payload_changed"), extract_text_udf(F.col("html"))).otherwise(
-            F.col("_old_text")
-        ),
+    """html -> (text, lang) in ONE Arrow round trip.
+
+    A single struct-returning pandas UDF computes both columns and does
+    the changed/unchanged branching inside the vectorized batch. This
+    matters: a UDF referenced from several expressions (or nested under
+    ``when``) gets re-evaluated per reference after projection collapse
+    — measured 3×+ slower than the combined form. Rows whose payload
+    bytes did not change reuse the previously extracted text/lang
+    (incremental compute; reference column-diff guard analog,
+    /root/reference/load/UpdateDBPFilesetTables.py:350-375)."""
+    ex = extract_and_lang_udf(
+        F.col("html"), F.col("_payload_changed"), F.col("_old_text"), F.col("_old_lang")
     )
-    return df.withColumn(
-        "lang",
-        F.when(F.col("_payload_changed"), detect_lang_udf(F.col("text"))).otherwise(
-            F.col("_old_lang")
-        ),
-    )
+    return df.withColumn("_ex", ex).withColumn("text", F.col("_ex.text")).withColumn(
+        "lang", F.col("_ex.lang")
+    ).drop("_ex")
 
 
 def split_deadletter(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -98,6 +102,8 @@ def merge_batch(
     batch_id,
     transform=default_transform,
     salt_buckets: int = 16,
+    lineage: str = "per_bucket",
+    candidates: list[int] | None = None,
 ) -> MergeResult:
     """Apply one change batch to the table: exactly-once, atomic.
 
@@ -107,9 +113,29 @@ def merge_batch(
       WHEN MATCHED AND s.ts> t.ts                  THEN UPDATE
       WHEN MATCHED AND s.ts= t.ts AND payload diff THEN UPDATE (det. tiebreak)
       WHEN MATCHED AND s.ts< t.ts                  THEN no-op (late event)
+
+    ``lineage`` selects the metrics strategy:
+      * "per_bucket" — a dedicated aggregation pass over the joined
+        changeset yields per-bucket op counts AND lets clean buckets
+        skip rewriting entirely (update-only-if-changed at file
+        granularity). Costs one extra scan of the candidate slice.
+      * "global" — op counts are observed ON the write pass itself
+        (DataFrame.observe: zero extra scans — at 10^10 rows this
+        halves the per-batch IO); all candidate buckets are rewritten,
+        per-bucket lineage degrades to per-bucket file counts.
     """
     if table.is_committed(batch_id):
         return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=table.snapshot_id)
+
+    debug = os.environ.get("MERGE_DEBUG_TIMING")
+    _t = time.time()
+
+    def _mark(stage):
+        nonlocal _t
+        if debug:
+            now = time.time()
+            print(f"    [merge {batch_id}] {stage}: {now - _t:.2f}s")
+            _t = now
 
     key = table.key
     valid, dead = split_deadletter(batch)
@@ -122,12 +148,22 @@ def merge_batch(
             table = table.add_column(c, _lake_type(valid.schema[c].dataType.simpleString()))
     schema_names = table.schema.names()
 
-    # --- dedup: one event per url, latest warc_ts wins (salted) ---
+    # --- dedup: one event per url, latest warc_ts wins (salted).
+    # Left lazy: it materializes exactly once, inside the (persisted)
+    # merge join below.
     src = dedup_latest(valid, key, cdc_order(), salt_buckets=salt_buckets)
 
-    # --- candidate buckets from the batch's keys (file pruning) ---
-    cand_rows = src.select(table.bucket_expr(key).alias("b")).distinct().collect()
-    cand = sorted(r["b"] for r in cand_rows)
+    # --- candidate buckets from the RAW batch keys (file pruning):
+    # a map-side-combined distinct over <= num_buckets values — far
+    # cheaper than materializing the dedup just to probe buckets. The
+    # runner precomputes these for ALL batches in one job and passes
+    # them in, removing a per-batch driver round trip.
+    if candidates is not None:
+        cand = sorted(int(b) for b in candidates)
+    else:
+        cand_rows = valid.select(table.bucket_expr(key).alias("b")).distinct().collect()
+        cand = sorted(r["b"] for r in cand_rows)
+    _mark("candidates")
     if not cand:
         empty = table.read().limit(0)
         table.overwrite_buckets(empty, [], batch_id, summary={"empty_batch": True})
@@ -179,26 +215,47 @@ def merge_batch(
         .otherwise(F.lit("update"))
     )
     j = j.withColumn("_action", action).withColumn("_b", table.bucket_expr(key))
+
+    obs = None
+    counts: dict[str, int] = {}
+    lineage_rows: list[dict] = []
+    max_ts = None
+    if lineage != "per_bucket":
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge-{batch_id}")
+        obs_aggs = [
+            F.count(F.when(F.col("_action") == a, 1)).alias(a)
+            for a in ("insert", "update", "delete", "late", "noop", "keep")
+        ] + [F.max("_s_ts").alias("max_ts")]
+        j = j.observe(obs, *obs_aggs)
+    # persisted in both modes: the write job scans j in three branches
+    # (carried / tombstones / changed) — the cache populates on first
+    # computation within the action, so the join (and the Observation
+    # metrics in single-pass mode) evaluate exactly once.
     j = j.persist()
     try:
-        # one aggregation pass: per-bucket op counts + max event ts
-        per_bucket = (
-            j.groupBy("_b", "_action")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("_s_ts").alias("max_ts"))
-            .collect()
-        )
-        counts: dict[str, int] = {}
-        lineage: list[dict] = []
-        max_ts = None
-        for r in per_bucket:
-            counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
-            lineage.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
-            if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
-                max_ts = r["max_ts"]
-
-        dirty = sorted(
-            {r["bucket"] for r in lineage if r["action"] in ("insert", "update", "delete")}
-        )
+        if lineage == "per_bucket":
+            per_bucket = (
+                j.groupBy("_b", "_action")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("_s_ts").alias("max_ts"))
+                .collect()
+            )
+            _mark("join+action-agg")
+            for r in per_bucket:
+                counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
+                lineage_rows.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
+                if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
+                    max_ts = r["max_ts"]
+            dirty = sorted(
+                {
+                    r["bucket"]
+                    for r in lineage_rows
+                    if r["action"] in ("insert", "update", "delete")
+                }
+            )
+        else:
+            dirty = list(cand)  # single-pass mode rewrites all candidates
 
         summary = {
             "counts": counts,
@@ -213,7 +270,7 @@ def merge_batch(
             return MergeResult(
                 batch_id=batch_id,
                 counts=counts,
-                lineage=lineage,
+                lineage=lineage_rows,
                 snapshot_id=table.snapshot_id,
                 max_warc_ts=summary["max_warc_ts"],
                 deadletter=dead,
@@ -221,12 +278,36 @@ def merge_batch(
 
         in_dirty = j.filter(F.col("_b").isin([int(b) for b in dirty]))
 
+        # Physical shape of the write: everything is clustered by bucket
+        # BEFORE the transform UDF, so the UDF output pipelines straight
+        # into the partitioned parquet write with NO post-UDF exchange.
+        # (A shuffle placed after an Arrow UDF oversubscribes the box —
+        # python workers + shuffle writers — and measurably anti-scales.)
+        n_part = max(len(dirty), 1)
+
         carried = in_dirty.filter(F.col("_action").isin("keep", "late", "noop")).select(
-            F.col(key), *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key]
+            F.col(key),
+            F.col("_b").alias("_bucket"),
+            *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key],
+        )
+
+        # delete -> ts-guarded tombstone row (all payload columns NULL)
+        cur_struct = table.schema.to_struct()
+        tombstones = in_dirty.filter(F.col("_action") == "delete").select(
+            F.col(key),
+            F.col("_b").alias("_bucket"),
+            F.col("_s_ts").alias("warc_ts"),
+            F.lit(True).alias("_deleted"),
+            *[
+                F.lit(None).cast(cur_struct[c].dataType).alias(c)
+                for c in schema_names
+                if c not in (key, "warc_ts", "_deleted")
+            ],
         )
 
         changed = in_dirty.filter(F.col("_action").isin("insert", "update")).select(
             F.col(key),
+            F.col("_b").alias("_bucket"),
             F.col("_s_ts").alias("warc_ts"),
             F.col("_s_html").alias("html"),
             (~F.col("_s_html").eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
@@ -241,32 +322,47 @@ def merge_batch(
                 if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
             ],
         )
-        changed = transform(changed).select(*schema_names)
-
-        # delete -> ts-guarded tombstone row (all payload columns NULL)
-        cur_struct = table.schema.to_struct()
-        tombstones = in_dirty.filter(F.col("_action") == "delete").select(
-            F.col(key),
-            F.col("_s_ts").alias("warc_ts"),
-            F.lit(True).alias("_deleted"),
-            *[
-                F.lit(None).cast(cur_struct[c].dataType).alias(c)
-                for c in schema_names
-                if c not in (key, "warc_ts", "_deleted")
-            ],
+        changed = transform(changed.repartition(n_part, "_bucket")).select(
+            *schema_names, "_bucket"
         )
 
+        out_cols = [*schema_names, "_bucket"]
         new_state = (
-            carried.select(*schema_names)
+            carried.select(*out_cols)
+            .unionByName(tombstones.select(*out_cols))
+            .repartition(n_part, "_bucket")
             .unionByName(changed)
-            .unionByName(tombstones.select(*schema_names))
         )
-        table.overwrite_buckets(new_state, dirty, batch_id, summary=summary)
+        observed: dict = {}
+
+        def _observed_summary() -> dict:
+            # runs after the write action: observe metrics are final and
+            # land in the SAME manifest commit as the data
+            got = obs.get
+            observed["counts"] = {
+                k: v for k, v in got.items() if k != "max_ts" and v
+            }
+            mt = got.get("max_ts")
+            observed["max_warc_ts"] = mt.isoformat() if mt else None
+            return dict(observed)
+
+        table.overwrite_buckets(
+            new_state,
+            dirty,
+            batch_id,
+            summary=summary,
+            pre_partitioned=True,
+            summary_fn=_observed_summary if obs is not None else None,
+        )
+        _mark("transform+write+commit")
+        if obs is not None:  # single-pass mode: metrics observed on the write
+            counts = observed["counts"]
+            summary["max_warc_ts"] = observed["max_warc_ts"]
         return MergeResult(
             batch_id=batch_id,
             counts=counts,
             dirty_buckets=dirty,
-            lineage=lineage,
+            lineage=lineage_rows,
             snapshot_id=table.snapshot_id,
             max_warc_ts=summary["max_warc_ts"],
             deadletter=dead,

@@ -51,21 +51,30 @@ class CDCRunner:
         lineage_path: str | None = None,
         transform=default_transform,
         salt_buckets: int = 16,
+        lineage_mode: str = "per_bucket",
     ):
         self.table = table
         self.errors_path = errors_path
         self.lineage_path = lineage_path
         self.transform = transform
         self.salt_buckets = salt_buckets
+        self.lineage_mode = lineage_mode
 
     def run(self, changes: DataFrame, batch_col: str = "batch_id") -> RunReport:
         """Apply every batch of ``changes`` in batch-id order (ST1/ST6:
         strictly ordered microbatches), skipping committed ones."""
         t0 = time.time()
-        batch_ids = [
-            r[0]
-            for r in changes.select(batch_col).distinct().orderBy(batch_col).collect()
-        ]
+        # one discovery job: every batch id AND its candidate buckets
+        # (collect_set drops the null bucket of malformed null-key rows,
+        # but the batch id itself is still discovered and processed —
+        # its bad rows dead-letter inside merge_batch)
+        disco = (
+            changes.groupBy(batch_col)
+            .agg(F.collect_set(self.table.bucket_expr()).alias("bkts"))
+            .collect()
+        )
+        cand_by_batch = {r[0]: sorted(r["bkts"]) for r in disco}
+        batch_ids = sorted(cand_by_batch)
         report = RunReport()
         for b in batch_ids:
             report.n_batches += 1
@@ -82,6 +91,8 @@ class CDCRunner:
                 b,
                 transform=self.transform,
                 salt_buckets=self.salt_buckets,
+                lineage=self.lineage_mode,
+                candidates=cand_by_batch.get(b),
             )
             self._side_outputs(res)
             report.results.append(res)

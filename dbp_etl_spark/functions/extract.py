@@ -129,3 +129,26 @@ def detect_lang_py(text: str | None) -> str | None:
 @F.pandas_udf(T.StringType())
 def detect_lang_udf(text: pd.Series) -> pd.Series:
     return text.map(detect_lang_py, na_action="ignore")
+
+
+@F.pandas_udf(
+    T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("lang", T.StringType())]
+    )
+)
+def extract_and_lang_udf(
+    html: pd.Series, changed: pd.Series, old_text: pd.Series, old_lang: pd.Series
+) -> pd.DataFrame:
+    """Combined (text, lang) extraction in one Arrow round trip.
+
+    Rows where ``changed`` is false reuse ``old_text``/``old_lang``
+    (incremental compute for touch-only updates); a single struct
+    return avoids the N-fold UDF re-evaluation that separate
+    text/lang expressions suffer after projection collapse."""
+    texts = old_text.copy()
+    langs = old_lang.copy()
+    mask = changed.fillna(True).astype(bool)
+    new_texts = html[mask].map(extract_text_py, na_action="ignore")
+    texts[mask] = new_texts
+    langs[mask] = new_texts.map(detect_lang_py, na_action="ignore")
+    return pd.DataFrame({"text": texts, "lang": langs})

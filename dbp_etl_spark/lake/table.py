@@ -211,21 +211,32 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
 
-    def _write_data(self, df: DataFrame, snap_id: int, schema_version: int) -> list[dict]:
-        """Write df (current-schema columns) bucketed by key; return file entries."""
+    def _write_data(
+        self,
+        df: DataFrame,
+        snap_id: int,
+        schema_version: int,
+        pre_partitioned: bool = False,
+    ) -> list[dict]:
+        """Write df (current-schema columns) bucketed by key; return file entries.
+
+        ``pre_partitioned=True``: the caller already clustered rows by a
+        ``_bucket`` column (e.g. so an upstream pandas UDF pipelines
+        into the write with no post-UDF exchange) — write as-is."""
         schema = self.schema_at(schema_version)
         snap_dir_rel = os.path.join(_DATA, f"snap-{snap_id}")
         snap_dir = os.path.join(self.root, snap_dir_rel)
         if "_deleted" in schema.names() and "_deleted" not in df.columns:
             df = df.withColumn("_deleted", F.lit(False))
-        (
-            df.select(*schema.names())
-            .withColumn("_bucket", self.bucket_expr())
-            .repartition("_bucket")
-            .write.partitionBy("_bucket")
-            .mode("append")
-            .parquet(snap_dir)
-        )
+        if pre_partitioned:
+            out = df.select(*schema.names(), "_bucket")
+        else:
+            out = (
+                df.select(*schema.names())
+                .withColumn("_bucket", self.bucket_expr())
+                .repartition("_bucket")
+            )
+        out.write.partitionBy("_bucket").mode("append").parquet(snap_dir)
         entries: list[dict] = []
         for bucket_dir in sorted(os.listdir(snap_dir)):
             if not bucket_dir.startswith("_bucket="):
@@ -263,18 +274,27 @@ class LakeTable:
         buckets: list[int],
         batch_id,
         summary: dict | None = None,
+        pre_partitioned: bool = False,
+        summary_fn=None,
     ) -> "LakeTable":
         """Atomically replace the contents of ``buckets`` with ``df``.
 
         ``df`` must hold the complete new state of those buckets in the
         current schema. Files of untouched buckets carry forward by
         reference — the copy-on-write MERGE primitive.
+
+        ``summary_fn``: called AFTER the data write but BEFORE the
+        manifest commit; its dict merges into ``summary``. Lets callers
+        record metrics observed on the write itself (DataFrame.observe)
+        in the same atomic commit.
         """
         if self.is_committed(batch_id):
             return self
         snap_id = self.snapshot_id + 1
         ver = self.manifest["schema_version"]
-        new_files = self._write_data(df, snap_id, ver)
+        new_files = self._write_data(df, snap_id, ver, pre_partitioned=pre_partitioned)
+        if summary_fn is not None:
+            summary = {**(summary or {}), **summary_fn()}
         bset = set(buckets)
         stray = {e["bucket"] for e in new_files} - bset
         if stray:

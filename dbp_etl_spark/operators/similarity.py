@@ -1,0 +1,129 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k (exact; query side broadcast).
+Scale path: random-hyperplane LSH — embeddings are bucketed by a
+sign-bit sketch, probes only compare within matching buckets. The
+hyperplanes are generated deterministically from a seed via xxhash64,
+so bucket assignment is reproducible without shipping a matrix.
+
+All vector math uses JVM-side higher-order functions (zip_with /
+aggregate) over array<float> cast to double — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "qid",
+    probe_vec: str = "qe",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) probe set against the corpus
+    scan; one shuffle for the per-probe rank."""
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col(id_col) != F.col(probe_id))
+        .select(
+            probe_id,
+            F.col(id_col).alias("cid"),
+            cosine(F.col(probe_vec), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id, "cid", F.round("cos_sim", 3).alias("cos_sim"))
+    )
+
+
+def _hyperplane_sketch(vec: Column, dim: int, n_planes: int, seed: int) -> Column:
+    """Sign-bit sketch: bit p = sign(v . h_p) where h_p[i] is a
+    deterministic pseudo-random +/-1..scale weight derived from
+    xxhash64(seed, p, i). Produces a long usable as an LSH bucket key."""
+    def plane_dot(p: Column) -> Column:
+        # weight_i = (hash(seed, p, i) % 2001 - 1000): symmetric around 0
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * ((F.xxhash64(F.lit(seed), p, i) % 2001) - 1000).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "qid",
+    probe_vec: str = "qe",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane-sketch
+    buckets. With n_planes=p the corpus splits into 2^p buckets, so each
+    probe scans ~1/2^p of the data — the 100 TB path. Recall is
+    tunable via p (fewer planes = bigger buckets = higher recall)."""
+    c = corpus.withColumn("bkt", _hyperplane_sketch(F.col(vec_col), dim, n_planes, seed))
+    p = probes.withColumn("bkt", _hyperplane_sketch(F.col(probe_vec), dim, n_planes, seed))
+    pairs = (
+        F.broadcast(p)
+        .join(c, "bkt")
+        .filter(F.col(id_col) != F.col(probe_id))
+        .select(
+            probe_id,
+            F.col(id_col).alias("cid"),
+            cosine(F.col(probe_vec), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id, "cid", F.round("cos_sim", 3).alias("cos_sim"))
+    )

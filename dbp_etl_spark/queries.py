@@ -203,16 +203,19 @@ def revenue_by_region(spark, sf_dir):
     "customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def customers_without_orders(spark, sf_dir):
-    """J3/SO3 — anti join = delete detection (reference:
-    /root/reference/load/UpdateDBPFilesetTables.py:460-466)."""
+    """J3/SO3 — anti join = delete detection (reference leftover-key
+    deletes: /root/reference/load/UpdateDBPFilesetTables.py:460-466):
+    customers with no high-value order."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        big, customer.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -541,6 +544,117 @@ def global_sequence_assignment(spark, sf_dir):
     return orders.select("o_orderkey", F.row_number().over(w).cast("long").alias("seq"))
 
 
+@q(
+    "shipping_priority_top10",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark, sf_dir):
+    """TPC-H Q3 shape: selective join chain + agg + deterministic
+    top-10 (order fully tie-broken so the limit is a stable set)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15 00:00:00")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15 00:00:00")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "sales_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def sales_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (subtotal hierarchy)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@q(
+    "user_event_path",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n
+    FROM events WHERE user_id < 30 GROUP BY user_id
+    """,
+)
+def user_event_path(spark, sf_dir):
+    """Ordered per-key concatenation (W5's rolling-concat analog,
+    reference /root/reference/load/UpdateDBPTextFilesets.py:158-196):
+    collect (ts-ordered struct) -> sort_array -> join. Deterministic
+    because the sort key is total."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "top_tokens",
+    """
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok HAVING count(*) >= 100
+    """,
+)
+def top_tokens(spark, sf_dir):
+    """Token explode + frequency (vocabulary building)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
 # =====================================================================
 # Set operations (SO1-SO4)
 # =====================================================================
@@ -578,6 +692,187 @@ def setops_user_cohorts(spark, sf_dir):
         ("click_not_purchase", clicks.distinct().exceptAll(purchases.distinct()).count()),
     ]
     return spark.createDataFrame(rows, "op string, n long")
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization (1h inactivity gap) via the sessionize operator —
+    lag + conditional cumulative sum, one shuffle (reference analog:
+    stage-ordered per-key processing, SURVEY W5/ST6)."""
+    from dbp_etl_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=3600, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@q(
+    "asof_last_event_value",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(e.value, 2) AS asof_value
+    FROM (SELECT o_orderkey, o_custkey,
+                 (TIMESTAMP '2024-01-01 00:00:00'
+                  + INTERVAL (o_orderkey % 40000) SECOND) AS probe_ts
+          FROM orders WHERE o_orderkey % 37 = 0) o
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+      ON o.o_custkey % 150 = e.user_id AND e.ts <= o.probe_ts
+    """,
+)
+def asof_last_event_value(spark, sf_dir):
+    """As-of join (backward): for each probe row, the latest event at or
+    before its timestamp. Spark lacks a native ASOF; the operator uses
+    union + carry-forward window (one shuffle, no per-group Python) —
+    oracle uses DuckDB's native ASOF JOIN."""
+    from dbp_etl_spark.operators.windows import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), F.col("ts"), F.col("value")
+    )
+    probes = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") % 150).alias("uid"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(secs=(F.col("o_orderkey") % 40000).cast("double"))
+        ).cast("timestamp_ntz").alias("probe_ts"),
+    )
+    out = asof_join(
+        probes, ev, key="uid", left_ts="probe_ts", right_ts="ts", right_cols=["value"]
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("value", 2).alias("asof_value")
+    )
+
+
+@q(
+    "merge_value_ranges",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(floor(value) AS BIGINT) AS s,
+             CAST(floor(value) + 3 AS BIGINT) AS e
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM r),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ns
+      FROM w),
+    spans AS (
+      SELECT user_id, s, e,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS span
+      FROM marked)
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_merged
+    FROM spans GROUP BY user_id, span
+    """,
+)
+def merge_value_ranges(spark, sf_dir):
+    """W5 — rolling merge of overlapping ranges (reference: verse-range
+    concatenation, /root/reference/load/UpdateDBPTextFilesets.py:158-196)."""
+    from dbp_etl_spark.operators.windows import merge_overlapping_ranges
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    r = ev.select(
+        "user_id",
+        F.floor("value").cast("long").alias("s"),
+        (F.floor("value") + 3).cast("long").alias("e"),
+    )
+    return merge_overlapping_ranges(r, "user_id", "s", "e").select(
+        "user_id", "span_start", "span_end", "n_merged"
+    )
+
+
+@q(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_total
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    """Pivot as conditional aggregation (engine-neutral form of
+    groupBy().pivot())."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), F.lit(0.0)
+            ),
+            2,
+        ).alias("purchase_total"),
+    )
+
+
+# --- near-dup family: declared rows-only where no faithful SQL oracle
+# exists (hash functions differ between engines); each is additionally
+# pinned by python-oracle pytest cases in tests/test_operators.py -----
+
+
+@q("minhash_lsh_neardups")
+def minhash_lsh_neardups(spark, sf_dir):
+    """MinHash+LSH near-dup candidates verified by exact shingle
+    jaccard (rows-only driver check; exact semantics pytest-pinned)."""
+    from dbp_etl_spark.operators.dedup_ops import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return ngram_jaccard_pairs(docs, cands, threshold=0.3)
+
+
+@q("simhash_fingerprints")
+def simhash_fingerprints(spark, sf_dir):
+    """64-bit simhash per document (rows-only driver check)."""
+    from dbp_etl_spark.operators.dedup_ops import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (rows-only driver
+    check; recall vs brute force pytest-pinned)."""
+    from dbp_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return lsh_bucketed_topk(emb, probes, dim=64, k=5, n_planes=4)
 
 
 # =====================================================================

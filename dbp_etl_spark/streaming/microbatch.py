@@ -1,0 +1,75 @@
+"""Structured-Streaming tail of a change-event directory.
+
+The batch CDCRunner replays a bounded log; this module tails an
+*unbounded* one: ``readStream`` over the change-event directory →
+``foreachBatch`` applying each microbatch through the same
+``merge_batch`` MERGE (so batch and streaming share one code path) →
+exactly-once via BOTH Spark's streaming checkpoint (source offsets)
+and the table's own batch-id ledger (idempotent re-apply if a batch is
+redelivered after a checkpoint/commit race — the classic foreachBatch
+at-least-once gap, closed by the ledger).
+
+Reference analog: the driver loop that moves filesets through
+validate→…→complete stages as they arrive
+(/root/reference/load/DBPLoadController.py:229-283).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from dbp_etl_spark.cdc.merge import default_transform, merge_batch
+from dbp_etl_spark.lake.table import LakeTable
+
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+def run_stream(
+    spark: SparkSession,
+    changes_path: str,
+    table: LakeTable,
+    checkpoint_path: str,
+    transform=default_transform,
+    salt_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Tail ``changes_path`` (parquet change events) into ``table``.
+
+    ``available_now=True`` drains everything currently in the source
+    and stops (the test/replay mode); False runs continuously.
+    Returns the StreamingQuery (already started).
+    """
+    reader = spark.readStream.schema(CHANGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changes_path)
+
+    def apply_batch(df, epoch_id: int):
+        # ledger key: streaming epoch. If the stream restarts from an
+        # old checkpoint and redelivers an epoch, the ledger no-ops it.
+        merge_batch(
+            table,
+            df,
+            batch_id=f"stream-{epoch_id}",
+            transform=transform,
+            salt_buckets=salt_buckets,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -258,6 +258,23 @@ def test_lineage_and_errors_side_outputs(spark, tmp_path):
     assert lin.select("partition_id").distinct().count() > 1
 
 
+def test_global_lineage_mode_same_state_and_counts(spark, tmp_path):
+    """Single-pass (observe-metrics) mode produces identical final
+    state, identical change counts, and an identical ledger decision."""
+    events = generate_changes(spark, 2000, 100, n_batches=2, seed=21)
+    t_pb = mk_table(spark, tmp_path, "pb")
+    t_gl = mk_table(spark, tmp_path, "gl")
+    r_pb = CDCRunner(t_pb, lineage_mode="per_bucket").run(events)
+    r_gl = CDCRunner(t_gl, lineage_mode="global").run(events)
+    assert t_pb.state_hash() == t_gl.state_hash()
+    c_pb, c_gl = r_pb.total_counts(), r_gl.total_counts()
+    for k in ("insert", "update", "delete", "late"):
+        assert c_pb.get(k, 0) == c_gl.get(k, 0), (k, c_pb, c_gl)
+    # replay in global mode is still exactly-once
+    rep = CDCRunner(t_gl, lineage_mode="global").run(events)
+    assert rep.n_skipped == rep.n_batches
+
+
 def test_hot_key_skew_correctness(spark, tmp_path):
     """80% of events on 2 urls: salted dedup + merge still correct."""
     events = generate_changes(

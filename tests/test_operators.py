@@ -1,0 +1,169 @@
+"""Operator-level tests: near-dup family, similarity, windows, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.operators import (
+    asof_join,
+    brute_force_topk,
+    exact_dedup,
+    extract_image_features,
+    lsh_bucketed_topk,
+    merge_overlapping_ranges,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    sample_audio_frames,
+    sessionize,
+    simhash,
+    simhash_near_dups,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog and runs far away tonight"  # near-dup of A
+DOC_B = "completely different content about spark query engines and column stores"
+DOC_C = "another unrelated text mentioning databases tables and distributed joins"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(0, DOC_A), (1, DOC_A2), (2, DOC_B), (3, DOC_C), (4, DOC_A)]  # 4 = exact dup of 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 4 identical
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs.repartition(7)).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[4]  # identical docs -> identical signature
+    assert len(s1[0]) == 16
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 4) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 4) in pairs  # near-dup should collide in >=1 band
+    # verification stage: exact jaccard confirms, unrelated pairs score low
+    verified = ngram_jaccard_pairs(docs, minhash_lsh_candidates(docs), threshold=0.5)
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(0, 4)] == 1.0
+    assert all(a != 2 and b != 2 for (a, b) in vp)  # DOC_B unrelated
+
+
+def test_simhash_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[4]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])  # near-dup closer than unrelated
+    dups = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=7).collect()}
+    assert dups[(0, 4)] == 0
+    assert (0, 1) in dups  # hamming(0,1)=6 < n_chunks=8 -> guaranteed found
+
+
+def test_brute_force_topk_exact(spark):
+    # hand-built vectors: q matches v1 best, then v2
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame([(100, [1.0, 0.05, 0.0])], "qid long, qe array<float>")
+    out = brute_force_topk(corpus, probes, k=2).collect()
+    assert [r["cid"] for r in out] == [1, 2]
+    expect = (1.0) / (math.sqrt(1 + 0.05**2))
+    assert abs(out[0]["cos_sim"] - round(expect, 3)) < 1e-9
+
+
+def test_lsh_topk_approximates_bruteforce(spark):
+    import random
+
+    rnd = random.Random(42)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(50)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame(
+        [(i, v) for i, v in rows[:3]], "qid long, qe array<float>"
+    )
+    exact = brute_force_topk(corpus, probes, k=3).collect()
+    approx = lsh_bucketed_topk(corpus, probes, dim=16, k=3, n_planes=2).collect()
+    exact_top = {r["qid"]: r["cid"] for r in exact if True}
+    # with 2 planes (4 buckets) recall should be decent: each probe finds itself-adjacent vecs
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["qid"], []).append(r["cid"])
+    assert set(approx_by_q) == {0, 1, 2}
+    # determinism across partitionings
+    approx2 = lsh_bucketed_topk(corpus.repartition(5), probes, dim=16, k=3, n_planes=2).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_sessionize(spark):
+    rows = [("u", 0), ("u", 100), ("u", 4000), ("u", 4100), ("v", 50)]
+    df = spark.createDataFrame(rows, "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts")
+    )
+    out = sessionize(df, "k", "ts", gap_seconds=1000)
+    got = {(r["k"], r["ts"].timestamp()): r["session_id"] for r in out.collect()}
+    assert got[("u", 0)] == got[("u", 100)] == 1
+    assert got[("u", 4000)] == got[("u", 4100)] == 2
+    assert got[("v", 50)] == 1
+
+
+def test_merge_overlapping_ranges(spark):
+    rows = [("b", 1, 5), ("b", 4, 8), ("b", 10, 12), ("b", 12, 14), ("c", 1, 2)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {(r["k"], r["span_start"], r["span_end"]): r["n_merged"] for r in merge_overlapping_ranges(df, "k", "s", "e").collect()}
+    assert out[("b", 1, 8)] == 2
+    assert out[("b", 10, 14)] == 2
+    assert out[("c", 1, 2)] == 1
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("A", 30, 3.0), ("B", 15, 9.0)],
+        "sym string, t long, px double",
+    ).select("sym", F.timestamp_seconds("t").alias("qts"), "px")
+    trades = spark.createDataFrame(
+        [("A", 25), ("A", 20), ("A", 5), ("B", 100)], "sym string, t long"
+    ).select("sym", F.timestamp_seconds("t").alias("tts"))
+    out = asof_join(trades, quotes, key="sym", left_ts="tts", right_ts="qts", right_cols=["px"])
+    got = {(r["sym"], r["tts"].timestamp()): r["px"] for r in out.collect()}
+    assert got[("A", 25)] == 2.0
+    assert got[("A", 20)] == 2.0  # equal ts counts (<=)
+    assert got[("A", 5)] is None  # nothing before
+    assert got[("B", 100)] == 9.0
+
+
+def test_image_features_stub_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, b"imagebytes1", "image/png", 10, 10), (2, b"imagebytes2", "image/jpeg", 20, 20)],
+        "media_id long, content binary, mime string, width int, height int",
+    )
+    out = extract_image_features(media, deterministic_fake=True).collect()
+    got = {r["media_id"]: r for r in out}
+    assert got[1]["n_bytes"] == 11
+    assert len(got[1]["feature"]) == 8
+    # deterministic across runs
+    out2 = extract_image_features(media.repartition(3), deterministic_fake=True).collect()
+    assert {r["media_id"]: list(r["feature"]) for r in out2} == {
+        r["media_id"]: list(r["feature"]) for r in out
+    }
+    # real decode is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        extract_image_features(media, deterministic_fake=False).collect()
+
+
+def test_audio_frame_sampling_stub(spark):
+    media = spark.createDataFrame(
+        [(1, bytes(range(100)))], "media_id long, content binary"
+    )
+    out = sample_audio_frames(media, frames_per_item=4, deterministic_fake=True).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert len({r["frame_hash"] for r in out}) == 4
