@@ -121,7 +121,9 @@ def bench_default() -> dict:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    tmpfs = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    extra = {"spark.local.dir": f"{tmpfs}/spark-local"} if tmpfs else {}
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus, extra_conf=extra)
 
     t_all = time.time()
     per_query: dict[str, float] = {}
@@ -134,7 +136,7 @@ def bench_default() -> dict:
         _ = n
 
     t0 = time.time()
-    cdc = run_cdc_pipeline(spark, CDC_EVENTS)
+    cdc = run_cdc_pipeline(spark, CDC_EVENTS, work_dir=tmpfs)
     per_query["cdc_apply_e2e"] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_all, 3)

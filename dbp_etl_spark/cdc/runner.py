@@ -27,6 +27,15 @@ from dbp_etl_spark.cdc.merge import MergeResult, default_transform, merge_batch
 from dbp_etl_spark.lake.table import LakeTable
 
 
+class DriftError(RuntimeError):
+    """A batch shrank past the drift floor — refuse to apply it.
+
+    Reference analog: abort the run if the metadata extract lost more
+    than 50 records vs. the previous run
+    (/root/reference/load/LPTSExtractReader.py:53-74) — a guard against
+    accidentally tailing a truncated source."""
+
+
 @dataclass
 class RunReport:
     results: list[MergeResult] = field(default_factory=list)
@@ -52,6 +61,8 @@ class CDCRunner:
         transform=default_transform,
         salt_buckets: int = 16,
         lineage_mode: str = "per_bucket",
+        drift_floor_pct: float | None = None,
+        allow_urls: DataFrame | None = None,
     ):
         self.table = table
         self.errors_path = errors_path
@@ -59,6 +70,8 @@ class CDCRunner:
         self.transform = transform
         self.salt_buckets = salt_buckets
         self.lineage_mode = lineage_mode
+        self.drift_floor_pct = drift_floor_pct
+        self.allow_urls = allow_urls
 
     def run(self, changes: DataFrame, batch_col: str = "batch_id") -> RunReport:
         """Apply every batch of ``changes`` in batch-id order (ST1/ST6:
@@ -70,14 +83,33 @@ class CDCRunner:
         # its bad rows dead-letter inside merge_batch)
         disco = (
             changes.groupBy(batch_col)
-            .agg(F.collect_set(self.table.bucket_expr()).alias("bkts"))
+            .agg(
+                F.collect_set(self.table.bucket_expr()).alias("bkts"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         cand_by_batch = {r[0]: sorted(r["bkts"]) for r in disco}
+        n_by_batch = {r[0]: r["n"] for r in disco}
         batch_ids = sorted(cand_by_batch)
         report = RunReport()
+        prev_n: int | None = None
         for b in batch_ids:
             report.n_batches += 1
+            n = n_by_batch.get(b, 0)
+            if (
+                self.drift_floor_pct is not None
+                and prev_n
+                and n < prev_n * (1 - self.drift_floor_pct / 100.0)
+                and not self.table.is_committed(b)
+            ):
+                raise DriftError(
+                    f"batch {b} has {n} events, more than "
+                    f"{self.drift_floor_pct}% below previous batch ({prev_n}); "
+                    "refusing to apply (resume after inspection — committed "
+                    "batches are untouched)"
+                )
+            prev_n = n
             if self.table.is_committed(b):
                 report.n_skipped += 1
                 report.results.append(
@@ -102,11 +134,23 @@ class CDCRunner:
     def _side_outputs(self, res: MergeResult) -> None:
         spark = self.table.spark
         if self.errors_path and res.deadletter is not None:
+            dead = res.deadletter
+            if self.allow_urls is not None:
+                # accept-error override list (reference analog:
+                # /root/reference/load/FilenameReducer.py:22-31): known
+                # urls get level WARN instead of EROR
+                allow = F.broadcast(
+                    self.allow_urls.select(F.col("url").alias("_allow_url"))
+                ).distinct()
+                dead = dead.join(allow, dead.url == allow._allow_url, "left")
+                level = F.when(F.col("_allow_url").isNotNull(), "WARN").otherwise("EROR")
+            else:
+                level = F.lit("EROR")
             (
-                res.deadletter.select(
+                dead.select(
                     F.lit(str(res.batch_id)).alias("batch_id"),
                     F.col("url"),
-                    F.lit("EROR").alias("level"),
+                    level.alias("level"),
                     F.col("_dl_reason").alias("message"),
                 )
                 .write.mode("append")

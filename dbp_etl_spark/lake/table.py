@@ -349,6 +349,28 @@ class LakeTable:
     def widen_column(self, name: str, new_type: str) -> "LakeTable":
         return self._evolve(self.schema.widen_column(name, new_type), f"widen:{name}:{new_type}")
 
+    def compact(self, batch_id, buckets: list[int] | None = None) -> "LakeTable":
+        """Rewrite buckets so each holds a minimal number of files.
+
+        Small-file GC for long-running tails (a batch's write leaves up
+        to a few files per bucket; appends add more). Ledger-keyed, so
+        a crashed compaction replays as a no-op. Content is unchanged —
+        state_hash before == after (tested)."""
+        if self.is_committed(batch_id):
+            return self
+        by_bucket: dict[int, int] = {}
+        for f in self.manifest["files"]:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        targets = sorted(
+            b for b, n in by_bucket.items() if n > 1 and (buckets is None or b in buckets)
+        )
+        if not targets:
+            return self
+        rows = self.read(buckets=targets, include_deleted=True)
+        return self.overwrite_buckets(
+            rows, targets, batch_id, summary={"compacted_buckets": targets}
+        )
+
     def vacuum_tombstones(self, older_than_ts, batch_id) -> "LakeTable":
         """Drop tombstone rows whose warc_ts < older_than_ts (the
         late-event watermark): once no event older than the watermark

@@ -26,3 +26,7 @@ from dbp_etl_spark.operators.multimodal import (  # noqa: F401
     extract_image_features,
     sample_audio_frames,
 )
+from dbp_etl_spark.operators.derive import (  # noqa: F401
+    derive_variants,
+    normalize_url,
+)

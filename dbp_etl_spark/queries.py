@@ -835,6 +835,66 @@ def event_type_pivot(spark, sf_dir):
     )
 
 
+@q(
+    "derived_variants",
+    """
+    SELECT d.doc_id, v.kind AS variant_kind, v.res AS resolution, v.bw AS bandwidth,
+           concat(CAST(d.doc_id AS VARCHAR), '#', v.kind, CAST(v.res AS VARCHAR)) AS variant_key
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+    CROSS JOIN (VALUES ('av', 360, 588000), ('av', 480, 880000), ('av', 720, 1880000))
+         AS v(kind, res, bw)
+    """,
+)
+def derived_variants(spark, sf_dir):
+    """U4/U5 — transcode fan-out as explode of variant specs
+    (reference VIDEO_VARIANTS, /root/reference/load/InputFileset.py:83-95;
+    poll-loop jobs /root/reference/load/AWSTranscoder.py:95-127)."""
+    from dbp_etl_spark.operators.derive import derive_variants
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"
+    )
+    out = derive_variants(docs)
+    return out.select(
+        "doc_id",
+        "variant_kind",
+        F.col("resolution").cast("int").alias("resolution"),
+        F.col("bandwidth").cast("int").alias("bandwidth"),
+        F.col("variant_url").alias("variant_key"),
+    )
+
+
+@q(
+    "normalized_host_rollup",
+    """
+    SELECT lower(concat('host', CAST(user_id % 7 AS VARCHAR), '.example')) AS host,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def normalized_host_rollup(spark, sf_dir):
+    """J7 — loose-key normalization then plain equi-grouping (reference
+    damId normalization probing, /root/reference/load/LPTSExtractReader.py:116-143):
+    mixed-case urls normalize to a canonical host key."""
+    from dbp_etl_spark.operators.derive import normalize_url
+
+    ev = _t(spark, sf_dir, "events")
+    messy = ev.select(
+        F.concat(
+            F.lit("HTTPS://WWW.Host"),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(".Example/p/"),
+        ).alias("u")
+    )
+    return (
+        messy.select(
+            F.regexp_extract(normalize_url(F.col("u")), r"https://([^/]+)", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- near-dup family: declared rows-only where no faithful SQL oracle
 # exists (hash functions differ between engines); each is additionally
 # pinned by python-oracle pytest cases in tests/test_operators.py -----

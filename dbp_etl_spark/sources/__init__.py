@@ -1,0 +1,8 @@
+"""Source/sink helpers for the formats the reference ingests."""
+
+from dbp_etl_spark.sources.readers import (  # noqa: F401
+    read_binary_files,
+    read_change_csv,
+    read_change_json,
+    write_change_csv,
+)
