@@ -36,9 +36,13 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
 ]
 
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
-CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "500000"))
-CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
+# 2 batches of 500k events: production-representative batch size while
+# keeping the bench inside a tight wall budget even when the sandbox VM
+# is CPU-throttled by its host (observed steal-time episodes slow
+# everything ~4-10x; see BENCH/BASELINE.md variance disclosure)
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+CDC_URLS = int(os.environ.get("BENCH_CDC_URLS", "250000"))
+CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "2"))
 
 
 def _warmup(spark) -> None:
@@ -135,6 +139,19 @@ def bench_default() -> dict:
         per_query[name] = round(time.time() - t0, 3)
         _ = n
 
+    # CDC leg runs in its own session sized to half the physical cores:
+    # the transform stage schedules a python worker per JVM task thread,
+    # so local[ncores] oversubscribes the box 2x during extraction
+    # (measured 4x slower at local[32] than local[16] on 32 physical
+    # cores). Real clusters budget python workers inside executor cores.
+    spark.stop()
+    cdc_cores = min(cpus, max((os.cpu_count() or cpus) // 2, 4))
+    spark = get_spark(
+        app_name="bench-cdc",
+        cores=cdc_cores,
+        shuffle_partitions=cdc_cores,
+        extra_conf=extra,
+    )
     t0 = time.time()
     cdc = run_cdc_pipeline(spark, CDC_EVENTS, work_dir=tmpfs)
     per_query["cdc_apply_e2e"] = round(time.time() - t0, 3)
@@ -150,6 +167,7 @@ def bench_default() -> dict:
         "cdc_events": cdc["events"],
         "cdc_state_hash": cdc["state_hash"],
         "cpus": cpus,
+        "cdc_cores": cdc_cores,
     }
     spark.stop()
     return out

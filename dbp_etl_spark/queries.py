@@ -527,6 +527,73 @@ def activity_islands(spark, sf_dir):
 
 
 @q(
+    "window_stats_suite",
+    """
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg3,
+           round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS first_val
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def window_stats_suite(spark, sf_dir):
+    """Window-function battery: rank/dense_rank/ntile + running and
+    sliding frames + first_value — the W-family beyond dedup."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    w_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("long").alias("drnk"),
+        F.ntile(4).over(w_rank).cast("long").alias("quartile"),
+        F.round(
+            F.sum("value").over(w_time.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+        F.round(F.avg("value").over(w_time.rowsBetween(-2, 0)), 3).alias("moving_avg3"),
+        F.round(
+            F.first("value").over(w_time.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("first_val"),
+    )
+
+
+@q(
+    "value_statistics",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 3) AS sd,
+           round(var_samp(value), 3) AS var,
+           round(min(value), 2) AS mn,
+           round(max(value), 2) AS mx,
+           round(quantile_cont(value, 0.5), 3) AS median,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid
+    FROM events GROUP BY event_type
+    """,
+)
+def value_statistics(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/exact median/corr —
+    both engines compute exact (interpolated) quantiles, so results
+    hash-match after rounding."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 3).alias("sd"),
+        F.round(F.var_samp("value"), 3).alias("var"),
+        F.round(F.min("value"), 2).alias("mn"),
+        F.round(F.max("value"), 2).alias("mx"),
+        F.round(F.expr("percentile(value, 0.5)"), 3).alias("median"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_uid"),
+    )
+
+
+@q(
     "global_sequence_assignment",
     """
     SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
