@@ -594,6 +594,74 @@ def value_statistics(spark, sf_dir):
 
 
 @q(
+    "tumbling_window_agg",
+    """
+    SELECT strftime(time_bucket(INTERVAL 6 HOURS, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the batch form of the
+    streaming windowed agg; reference analog: per-stage batch rollups).
+    Uses F.window — the same operator Structured Streaming plans."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "fuzzy_name_match",
+    """
+    SELECT p.p_partkey, p.p_brand,
+           CAST(levenshtein(p.p_brand, 'Brand#33') AS BIGINT) AS dist
+    FROM part p WHERE levenshtein(p.p_brand, 'Brand#33') <= 2
+    """,
+)
+def fuzzy_name_match(spark, sf_dir):
+    """Edit-distance fuzzy matching (both engines implement classic
+    Levenshtein) — the quality-dedup primitive for short strings."""
+    part = _t(spark, sf_dir, "part")
+    dist = F.levenshtein("p_brand", F.lit("Brand#33"))
+    return part.filter(dist <= 2).select(
+        "p_partkey", "p_brand", dist.cast("long").alias("dist")
+    )
+
+
+@q(
+    "status_priority_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_cube(spark, sf_dir):
+    """CUBE grouping sets (all subtotal combinations)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@q(
     "global_sequence_assignment",
     """
     SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq

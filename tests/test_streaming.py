@@ -50,6 +50,36 @@ def test_stream_drain_matches_batch_runner(spark, tmp_path):
     assert any(k.startswith("stream-") for k in t_stream.committed_batches())
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulator: state carries across
+    microbatches; final totals equal a batch aggregation."""
+    from dbp_etl_spark.streaming import running_user_totals_stream
+
+    src = str(tmp_path / "ev")
+    ev = spark.createDataFrame(
+        [(1, 10, 1.5), (1, 20, 2.5), (2, 15, 10.0), (1, 30, 3.0), (2, 40, 5.0)],
+        "user_id long, t long, value double",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "value")
+    # two files -> two microbatches with maxFilesPerTrigger=1
+    ev.filter("t < 25").coalesce(1).write.parquet(src)
+    ev.filter("t >= 25").coalesce(1).write.mode("append").parquet(src)
+
+    q = running_user_totals_stream(
+        spark, src, str(tmp_path / "ck"), query_name="rt", max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    # update-mode memory sink: last row per user wins
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM rt"
+    ).collect()
+    last = {}
+    for r in rows:  # rely on max n_events = latest state per user
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]][0]:
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 7.0)
+    assert last[2] == (2, 15.0)
+
+
 def test_stream_restart_is_exactly_once(spark, tmp_path):
     events = generate_changes(spark, 1000, 60, n_batches=2, seed=12)
     src = str(tmp_path / "changes2")
