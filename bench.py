@@ -235,7 +235,16 @@ def bench_scaling(levels=(4, 16), n_events: int | None = None) -> dict:
     }
 
 
+def _sweep_stale_tmpfs() -> None:
+    """Remove stale spark-local dirs left by crashed/killed runs so
+    repeated bench rounds don't fill /dev/shm."""
+    d = "/dev/shm/spark-local"
+    if os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
+    _sweep_stale_tmpfs()
     if "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))
     else:

@@ -224,7 +224,11 @@ class LakeTable:
         ``_bucket`` column (e.g. so an upstream pandas UDF pipelines
         into the write with no post-UDF exchange) — write as-is."""
         schema = self.schema_at(schema_version)
-        snap_dir_rel = os.path.join(_DATA, f"snap-{snap_id}")
+        # unique dir per write ATTEMPT: if a crash lands between the
+        # data write and the manifest publish, the orphan files sit in
+        # their own directory and a retry cannot pick them up (the
+        # manifest references files explicitly, never directories)
+        snap_dir_rel = os.path.join(_DATA, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
         snap_dir = os.path.join(self.root, snap_dir_rel)
         if "_deleted" in schema.names() and "_deleted" not in df.columns:
             df = df.withColumn("_deleted", F.lit(False))
