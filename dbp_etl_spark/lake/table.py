@@ -75,6 +75,15 @@ class LakeTable:
         key: str = "url",
         num_buckets: int = 16,
     ) -> "LakeTable":
+        """Create an empty table.
+
+        ``num_buckets`` sizing: aim for bucket data size of a few GB so
+        a MERGE rewrite task is neither tiny nor spill-prone — 16-32 for
+        test scale, ~4096 at the 10^10-row / 100 TB design point (then
+        a batch touching 1% of keys reads/writes ~40 buckets ≈ 1 TB,
+        spread over the cluster). Buckets are fixed at create time;
+        changing them is a full rewrite (as in Iceberg bucket specs).
+        """
         if key not in schema.names():
             raise ValueError(f"key column {key!r} not in schema")
         if "_deleted" not in schema.names():

@@ -238,6 +238,25 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     assert got2["u2"] == ("b", "cc-2026")
 
 
+def test_widen_mid_stream(spark, tmp_path):
+    """Widen an int payload column to long between batches: old files
+    read as long, merge keeps working, large values fit."""
+    t = mk_table(spark, tmp_path)
+    b1 = ev(spark, [("u1", 100, b"<p>a</p>", "insert")]).withColumn(
+        "views", F.lit(7).cast("int")
+    )
+    merge_batch(t, b1, "b1")
+    t.widen_column("views", "long")
+    big = 2**40
+    b2 = ev(spark, [("u2", 200, b"<p>b</p>", "insert")]).withColumn(
+        "views", F.lit(big).cast("long")
+    )
+    merge_batch(t, b2, "b2")
+    got = {r["url"]: r["views"] for r in t.read().collect()}
+    assert got == {"u1": 7, "u2": big}
+    assert dict(t.read().dtypes)["views"] == "bigint"
+
+
 def test_lineage_and_errors_side_outputs(spark, tmp_path):
     events = generate_changes(spark, 1000, 60, n_batches=2, malformed_pct=5)
     t = mk_table(spark, tmp_path)

@@ -74,3 +74,36 @@ def test_exchange_count_single_shuffle_agg(spark):
     agg = ev.groupBy("event_type").agg(F.sum("value"))
     # partial aggregation => exactly one exchange
     assert count_exchanges(agg) == 1
+
+
+def test_pricing_summary_plan_shape(spark):
+    """TPC-H Q1 shape: one exchange (map-side partials), filter pushed
+    to the scan, scan reads only the referenced columns."""
+    from dbp_etl_spark.queries import QUERIES
+
+    df = QUERIES["pricing_summary"](spark, SF)
+    assert count_exchanges(df) == 1
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_pruned(df, 6)  # flag,status,qty,price,discount,shipdate
+
+
+def test_dedup_exchange_budget(spark):
+    """Salted two-phase dedup costs exactly two exchanges (one per
+    window pass); unsalted costs one."""
+    from dbp_etl_spark.cdc import generate_changes
+    from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
+
+    ev = generate_changes(spark, 1000, 100, n_batches=1)
+    assert count_exchanges(dedup_latest(ev, "url", cdc_order(), salt_buckets=0)) == 1
+    assert count_exchanges(dedup_latest(ev, "url", cdc_order(), salt_buckets=8)) == 2
+
+
+def test_semi_anti_join_no_extra_exchange(spark):
+    """Left-semi/anti keep the two-input single-shuffle shape."""
+    from dbp_etl_spark.queries import QUERIES
+
+    semi = QUERIES["customers_with_bigticket"](spark, SF)
+    anti = QUERIES["customers_without_orders"](spark, SF)
+    # small inputs broadcast => zero exchanges, or sort-merge => <=2
+    assert count_exchanges(semi) <= 2
+    assert count_exchanges(anti) <= 2
