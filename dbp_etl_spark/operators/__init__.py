@@ -15,6 +15,7 @@ from dbp_etl_spark.operators.dedup_ops import (  # noqa: F401
 )
 from dbp_etl_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
+    embedding_neardup_pairs,
     lsh_bucketed_topk,
 )
 from dbp_etl_spark.operators.windows import (  # noqa: F401

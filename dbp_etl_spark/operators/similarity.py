@@ -93,6 +93,34 @@ def _hyperplane_sketch(vec: Column, dim: int, n_planes: int, seed: int) -> Colum
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.98,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Candidate generation via the hyperplane sketch (pairs must share a
+    bucket — near-identical vectors almost surely do for small
+    n_planes), then exact cosine verification. Self-join is bucketed:
+    no cross product. Recall/cost tradeoff via n_planes, as in
+    lsh_bucketed_topk."""
+    c = corpus.withColumn("bkt", _hyperplane_sketch(F.col(vec_col), dim, n_planes, seed))
+    a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bkt")
+    b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bkt")
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -1057,6 +1057,72 @@ def simhash_fingerprints(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "embedding_neardup",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.label = b.label)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs. For the oracle comparison the
+    candidate set is label-blocked (deterministic); the production
+    operator (embedding_neardup_pairs) uses the hyperplane-LSH
+    blocking instead — same verify math."""
+    from dbp_etl_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@q(
+    "carry_forward_fill",
+    """
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_val
+      FROM events WHERE user_id < 10)
+    SELECT user_id, event_id,
+           round(last_value(purchase_val IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS last_purchase
+    FROM base
+    """,
+)
+def carry_forward_fill(spark, sf_dir):
+    """W6 carry-forward: last non-null value per key in event order
+    (reference priorBookSeq+1 carry,
+    /root/reference/load/UpdateDBPBooksTable.py:179-214)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(pv, ignorenulls=True).over(w), 2).alias("last_purchase"),
+    )
+
+
 @q("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (rows-only driver
