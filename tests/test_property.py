@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis).
+
+1. Extraction contract invariants over arbitrary byte inputs.
+2. CDC semantics: applying any event log as one batch vs. any split
+   into ordered batches yields identical final state — the core
+   replay/ordering theorem of the engine, fuzzed.
+
+Spark round trips are expensive, so the CDC property batches many
+hypothesis examples per Spark run via pre-drawn cases.
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbp_etl_spark.cdc import CDCRunner
+from dbp_etl_spark.functions.extract import detect_lang_py, extract_text_py
+from dbp_etl_spark.lake import LakeTable, TableSchema
+
+# ---------------------------------------------------------------- pure python
+
+
+@given(st.binary(max_size=500))
+@settings(max_examples=300, deadline=None)
+def test_extract_total_and_deterministic(b):
+    """extract_text_py never raises, is deterministic, and its output
+    satisfies the normalization contract for ANY bytes."""
+    out1 = extract_text_py(b)
+    out2 = extract_text_py(bytes(b))
+    assert out1 == out2
+    assert isinstance(out1, str)
+    assert "\r" not in out1
+    for line in out1.split("\n"):
+        if out1:
+            assert line == line.strip()
+            assert "  " not in line  # spaces collapsed
+    # lang id is total over extraction output
+    lang = detect_lang_py(out1)
+    assert lang is None or re.fullmatch(r"[a-z]{2,3}", lang)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_extract_utf8_text_roundtrip_stable(s):
+    """For valid UTF-8 input the result is NFC-stable: extracting the
+    encoded extraction output changes nothing further (idempotence on
+    the tag-free subset)."""
+    once = extract_text_py(s.encode("utf-8"))
+    if "<" in once or ">" in once or "&" in once:
+        return  # output may still contain literal <>& which would re-strip
+    twice = extract_text_py(once.encode("utf-8"))
+    assert twice == once
+
+
+# ------------------------------------------------------------------- CDC fuzz
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _mk_events():
+    """Pre-draw randomized event logs (urls x ts x op), deterministic seed."""
+    import random
+
+    rnd = random.Random(1234)
+    cases = []
+    for case in range(6):
+        n = rnd.randint(5, 40)
+        events = []
+        for i in range(n):
+            url = f"u{rnd.randint(0, 7)}"
+            ts = rnd.randint(1, 50)  # deliberately collision-prone
+            op = rnd.choice(["insert", "update", "update", "delete"])
+            payload = None if op == "delete" else f"<p>body {rnd.randint(0, 5)}</p>".encode()
+            events.append((url, ts, payload, op))
+        # random split into 1-4 ordered batches by position
+        k = rnd.randint(1, 4)
+        bounds = sorted(rnd.randint(0, n) for _ in range(k - 1))
+        cases.append((events, bounds))
+    return cases
+
+
+def test_cdc_split_invariance_fuzzed(spark, tmp_path):
+    """For randomized logs (including same-url same-ts collisions,
+    deletes of absent keys, duplicate events): 1-batch apply == k-batch
+    apply, and replay is a no-op. Events are ordered by position; a
+    batch split assigns batch_id by position ranges."""
+    for idx, (events, bounds) in enumerate(_mk_events()):
+        rows = []
+        for pos, (url, ts, payload, op) in enumerate(events):
+            b = sum(1 for x in bounds if x <= pos)
+            rows.append((url, ts, payload, op, b))
+        df = spark.createDataFrame(
+            rows, "url string, ts long, html binary, op string, batch_id long"
+        ).select(
+            "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "batch_id"
+        )
+        one = df.withColumn("batch_id", F.lit(0))
+
+        t1 = LakeTable.create(
+            spark, str(tmp_path / f"one{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
+        tk = LakeTable.create(
+            spark, str(tmp_path / f"k{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
+        CDCRunner(t1, salt_buckets=4).run(one)
+        CDCRunner(tk, salt_buckets=0).run(df)  # also vary salting
+        assert t1.state_hash() == tk.state_hash(), f"case {idx}: split divergence"
+        # replay both -> unchanged
+        h = tk.state_hash()
+        CDCRunner(tk).run(df)
+        assert tk.state_hash() == h, f"case {idx}: replay not idempotent"
