@@ -30,11 +30,18 @@ def dedup_latest(
 ) -> DataFrame:
     """Keep exactly one row per key: the first under ``order_by``.
 
-    ``order_by`` must be a total order within a key (include a
-    deterministic tiebreak) or the result is nondeterministic.
-    ``salt_buckets > 1`` enables the two-phase skew-defusing variant.
+    A final all-columns hash tiebreak is appended to ``order_by`` so the
+    effective order is total for ANY event shape: rows that tie on the
+    caller's order (e.g. equal warc_ts, op, payload but different extra
+    columns) still resolve to the same winner regardless of salt or
+    partitioning — the replay/scaling state-hash guarantee depends on
+    this. ``salt_buckets > 1`` enables the two-phase skew-defusing
+    variant; both phases use the same total order, so salted == unsalted.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    order_by = list(order_by) + [
+        F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).asc()
+    ]
     if salt_buckets and salt_buckets > 1:
         # salt from a hash of all columns: deterministic, spreads a hot
         # key's events across salt_buckets reducers in phase 1

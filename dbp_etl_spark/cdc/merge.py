@@ -86,7 +86,7 @@ def split_deadletter(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     reason = (
         F.when(F.col("url").isNull(), "null_url")
-        .when(~F.col("op").isin(*VALID_OPS), "bad_op")
+        .when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "bad_op")
         .when(F.col("warc_ts").isNull(), "null_ts")
         .when((F.col("op") != "delete") & F.col("html").isNull(), "null_payload")
     )

@@ -1,0 +1,160 @@
+"""Filesystem shim for LakeTable metadata IO.
+
+LakeTable keeps its transaction metadata (VERSION pointer, manifest
+JSONs) as tiny text files next to the data. On a laptop that's POSIX
+IO; on a cluster the table root is an object-store / HDFS URI and the
+same operations must go through the Hadoop FileSystem API so data and
+metadata live in the same store (reference precedent: all reference
+state lives in object storage, /root/reference/load/S3Utility.py:62-91,
+/root/reference/load/DBPRunFilesS3.py:12-48).
+
+Two implementations behind one duck-typed surface:
+
+* ``LocalFS`` — plain POSIX for plain paths. Pointer publish is
+  ``os.replace`` (atomic); manifest creation is ``open(path, "x")``
+  (O_EXCL), so two racing writers of the same snapshot id cannot both
+  succeed — the second gets ``FileExistsError``.
+* ``HadoopFS`` — routes through ``spark._jvm``'s
+  ``org.apache.hadoop.fs.FileSystem``, so the root may be ``hdfs://``,
+  ``s3a://``, ``gs://``, ``abfs://``, or ``file:``. Exclusive create
+  maps to ``FileSystem.create(path, overwrite=False)`` — atomic on
+  HDFS; on S3A it is check-then-act, so the single-writer discipline
+  documented on LakeTable applies.
+
+``fs_for(root, spark)`` picks the implementation from the root's
+scheme. Everything here is tiny-metadata IO (a few KB per commit) —
+the data plane always goes through Spark readers/writers.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+class Filesystem:
+    """Duck-typed interface (documentation only)."""
+
+    def mkdirs(self, path: str) -> None: ...
+    def exists(self, path: str) -> bool: ...
+    def read_text(self, path: str) -> str: ...
+    def write_text(self, path: str, content: str) -> None: ...
+    def create_text_exclusive(self, path: str, content: str) -> None: ...
+    def list_names(self, path: str) -> list[str]: ...
+
+
+class LocalFS(Filesystem):
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, content: str) -> None:
+        """Atomic replace (tmp file + rename); overwrite allowed."""
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def create_text_exclusive(self, path: str, content: str) -> None:
+        """O_EXCL create: raises FileExistsError if path exists."""
+        with open(path, "x") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def list_names(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+
+class HadoopFS(Filesystem):
+    """Hadoop FileSystem-backed metadata IO via the Spark JVM gateway.
+
+    Works for any scheme the session's Hadoop conf can resolve. All
+    methods raise the underlying Py4J error on IO failure except
+    ``create_text_exclusive``, which normalizes already-exists into
+    ``FileExistsError`` so callers can treat it as a CAS loss.
+    """
+
+    def __init__(self, spark, root: str):
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _write_stream(self, jpath, content: str, overwrite: bool) -> None:
+        out = self._fs.create(jpath, overwrite)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+
+    def write_text(self, path: str, content: str) -> None:
+        """Write to a tmp name, then rename over the destination.
+
+        Atomic on HDFS (rename is a metadata op); on object stores the
+        rename is copy+delete, so the pointer swap is best-effort —
+        single-writer discipline applies there.
+        """
+        tmp = self._p(f"{path}.tmp.{uuid.uuid4().hex}")
+        self._write_stream(tmp, content, overwrite=True)
+        dst = self._p(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"rename {tmp} -> {dst} failed")
+
+    def create_text_exclusive(self, path: str, content: str) -> None:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            self._write_stream(self._p(path), content, overwrite=False)
+        except Py4JJavaError as e:  # FileAlreadyExistsException and kin
+            if "xists" in str(e):
+                raise FileExistsError(path) from e
+            raise
+
+    def list_names(self, path: str) -> list[str]:
+        statuses = self._fs.listStatus(self._p(path))
+        return sorted(s.getPath().getName() for s in statuses)
+
+
+def is_uri(root: str) -> bool:
+    return "://" in root or root.startswith("file:")
+
+
+def fs_for(root: str, spark=None) -> Filesystem:
+    """Pick the metadata filesystem from the root's scheme."""
+    if is_uri(root):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"URI table root {root!r} needs a SparkSession for Hadoop FS access"
+                )
+        return HadoopFS(spark, root)
+    return LocalFS()

@@ -27,7 +27,17 @@ Layout under ``root/``::
 
 Concurrency: single writer per table (the reference applies batches
 serially, /root/reference/load/DBPLoadController.py:118-141; SURVEY
-ST6). A compare-and-swap check on VERSION rejects lost-update commits.
+ST6). Commits are guarded by a compare-and-swap: the snapshot manifest
+``v{N}.json`` is created with exclusive-create semantics (O_EXCL local,
+``FileSystem.create(overwrite=False)`` on Hadoop FS), so of two racing
+writers holding the same parent snapshot exactly one wins — the loser
+gets CommitConflict. On S3A exclusive create is check-then-act, so
+single-writer discipline still applies there.
+
+Storage: all metadata IO goes through ``lake/fs.py`` — the root may be
+a plain local path or any Hadoop-resolvable URI (``hdfs://``,
+``s3a://``, ``file:`` …); data files always go through Spark
+readers/writers, which speak those schemes natively.
 """
 
 from __future__ import annotations
@@ -39,19 +49,11 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbp_etl_spark.lake.fs import Filesystem, fs_for
 from dbp_etl_spark.lake.schema import TableSchema
 
 _META = "_meta"
 _DATA = "data"
-
-
-def _atomic_write(path: str, content: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
 
 
 class CommitConflict(RuntimeError):
@@ -59,10 +61,17 @@ class CommitConflict(RuntimeError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        manifest: dict,
+        fs: Filesystem | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.manifest = manifest
+        self._fs = fs or fs_for(root, spark)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -92,8 +101,9 @@ class LakeTable:
             # events arriving after the delete are still suppressed.
             # Hidden from plain reads; vacuumable.
             schema = schema.add_column("_deleted", "boolean")
-        os.makedirs(os.path.join(root, _META), exist_ok=True)
-        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        fs = fs_for(root, spark)
+        fs.mkdirs(os.path.join(root, _META))
+        fs.mkdirs(os.path.join(root, _DATA))
         manifest = {
             "snapshot_id": 0,
             "parent_id": None,
@@ -105,20 +115,22 @@ class LakeTable:
             "committed_batches": {},
             "summary": {},
         }
-        _atomic_write(os.path.join(root, _META, "v0.json"), json.dumps(manifest, indent=1))
-        _atomic_write(os.path.join(root, _META, "VERSION"), "0")
-        return cls(spark, root, manifest)
+        fs.create_text_exclusive(
+            os.path.join(root, _META, "v0.json"), json.dumps(manifest, indent=1)
+        )
+        fs.write_text(os.path.join(root, _META, "VERSION"), "0")
+        return cls(spark, root, manifest, fs=fs)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        with open(os.path.join(root, _META, "VERSION")) as f:
-            snap = int(f.read().strip())
-        with open(os.path.join(root, _META, f"v{snap}.json")) as f:
-            return cls(spark, root, json.load(f))
+        fs = fs_for(root, spark)
+        snap = int(fs.read_text(os.path.join(root, _META, "VERSION")).strip())
+        manifest = json.loads(fs.read_text(os.path.join(root, _META, f"v{snap}.json")))
+        return cls(spark, root, manifest, fs=fs)
 
     @classmethod
-    def exists(cls, root: str) -> bool:
-        return os.path.exists(os.path.join(root, _META, "VERSION"))
+    def exists(cls, root: str, spark: SparkSession | None = None) -> bool:
+        return fs_for(root, spark).exists(os.path.join(root, _META, "VERSION"))
 
     def refresh(self) -> "LakeTable":
         return LakeTable.load(self.spark, self.root)
@@ -173,8 +185,9 @@ class LakeTable:
         """
         manifest = self.manifest
         if snapshot_id is not None and snapshot_id != manifest["snapshot_id"]:
-            with open(os.path.join(self.root, _META, f"v{snapshot_id}.json")) as f:
-                manifest = json.load(f)
+            manifest = json.loads(
+                self._fs.read_text(os.path.join(self.root, _META, f"v{snapshot_id}.json"))
+            )
         current = TableSchema.from_json(manifest["schemas"][str(manifest["schema_version"])])
         files = manifest["files"]
         if buckets is not None:
@@ -251,11 +264,11 @@ class LakeTable:
             )
         out.write.partitionBy("_bucket").mode("append").parquet(snap_dir)
         entries: list[dict] = []
-        for bucket_dir in sorted(os.listdir(snap_dir)):
+        for bucket_dir in self._fs.list_names(snap_dir):
             if not bucket_dir.startswith("_bucket="):
                 continue
             bucket = int(bucket_dir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(snap_dir, bucket_dir))):
+            for fn in self._fs.list_names(os.path.join(snap_dir, bucket_dir)):
                 if fn.endswith(".parquet"):
                     entries.append(
                         {
@@ -267,17 +280,30 @@ class LakeTable:
         return entries
 
     def _commit(self, new_manifest: dict) -> "LakeTable":
-        """Compare-and-swap the VERSION pointer to the new snapshot."""
+        """Compare-and-swap the VERSION pointer to the new snapshot.
+
+        Two guards: (1) the snapshot check below catches a writer whose
+        handle is stale; (2) the manifest itself is created with
+        exclusive-create semantics, so two writers that BOTH pass (1)
+        concurrently still cannot both publish v{N}.json — the second
+        create fails and surfaces as CommitConflict (no lost update).
+        """
         meta = os.path.join(self.root, _META)
-        with open(os.path.join(meta, "VERSION")) as f:
-            head = int(f.read().strip())
+        head = int(self._fs.read_text(os.path.join(meta, "VERSION")).strip())
         if head != self.manifest["snapshot_id"]:
             raise CommitConflict(
                 f"table advanced to snapshot {head} (we hold {self.manifest['snapshot_id']})"
             )
         snap_id = new_manifest["snapshot_id"]
-        _atomic_write(os.path.join(meta, f"v{snap_id}.json"), json.dumps(new_manifest, indent=1))
-        _atomic_write(os.path.join(meta, "VERSION"), str(snap_id))
+        try:
+            self._fs.create_text_exclusive(
+                os.path.join(meta, f"v{snap_id}.json"), json.dumps(new_manifest, indent=1)
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {snap_id} already published by a concurrent writer"
+            ) from None
+        self._fs.write_text(os.path.join(meta, "VERSION"), str(snap_id))
         self.manifest = new_manifest
         return self
 
@@ -434,9 +460,8 @@ class LakeTable:
         meta = os.path.join(self.root, _META)
         for i in range(self.snapshot_id + 1):
             p = os.path.join(meta, f"v{i}.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    m = json.load(f)
+            if self._fs.exists(p):
+                m = json.loads(self._fs.read_text(p))
                 out.append(
                     {
                         "snapshot_id": m["snapshot_id"],

@@ -32,7 +32,10 @@ def sessionize(
         prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
     return df.withColumn(
-        "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )
 
 

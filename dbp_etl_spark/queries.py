@@ -821,12 +821,22 @@ def setops_user_cohorts(spark, sf_dir):
         return ev.filter(F.col("event_type") == t).select("user_id")
 
     clicks, views, purchases = users("click"), users("view"), users("purchase")
-    rows = [
-        ("click_or_view", clicks.union(views).distinct().count()),
-        ("click_and_view", clicks.intersect(views).count()),
-        ("click_not_purchase", clicks.distinct().exceptAll(purchases.distinct()).count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n long")
+
+    def counted(tag, df):
+        return df.agg(F.lit(tag).alias("op"), F.count(F.lit(1)).alias("n"))
+
+    # fully lazy: three 1-row aggregates unioned into ONE job — no
+    # driver-side .count() round trips in the query path
+    return (
+        counted("click_or_view", clicks.union(views).distinct())
+        .union(counted("click_and_view", clicks.intersect(views)))
+        .union(
+            counted(
+                "click_not_purchase",
+                clicks.distinct().exceptAll(purchases.distinct()),
+            )
+        )
+    )
 
 
 @q(
@@ -843,8 +853,8 @@ def setops_user_cohorts(spark, sf_dir):
       FROM o),
     sess AS (
       SELECT user_id, event_id,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, count(*) AS n_events
     FROM sess GROUP BY user_id, session_id

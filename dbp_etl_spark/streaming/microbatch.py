@@ -19,8 +19,33 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+import os
+import uuid
+
 from dbp_etl_spark.cdc.merge import default_transform, merge_batch
+from dbp_etl_spark.lake.fs import fs_for
 from dbp_etl_spark.lake.table import LakeTable
+
+
+def _stream_identity(spark, checkpoint_path: str) -> str:
+    """Stable per-checkpoint id persisted INSIDE the checkpoint dir.
+
+    Streaming epoch ids restart at 0 whenever a checkpoint is deleted or
+    a second stream (own checkpoint) feeds the same table — a bare
+    ``stream-{epoch}`` ledger key would then silently no-op genuinely
+    new microbatches. Namespacing the key with an id that lives and
+    dies with the checkpoint makes the ledger correct across checkpoint
+    recreation and multi-stream fan-in.
+    """
+    fs = fs_for(checkpoint_path, spark)
+    fs.mkdirs(checkpoint_path)
+    marker = os.path.join(checkpoint_path, "_table_stream_id")
+    if not fs.exists(marker):
+        try:
+            fs.create_text_exclusive(marker, uuid.uuid4().hex[:12])
+        except FileExistsError:
+            pass  # concurrent creator won; read theirs
+    return fs.read_text(marker).strip()
 
 CHANGES_SCHEMA = T.StructType(
     [
@@ -53,14 +78,17 @@ def run_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changes_path)
+    stream_id = _stream_identity(spark, checkpoint_path)
 
     def apply_batch(df, epoch_id: int):
-        # ledger key: streaming epoch. If the stream restarts from an
-        # old checkpoint and redelivers an epoch, the ledger no-ops it.
+        # ledger key: (checkpoint identity, streaming epoch). If the
+        # stream restarts from an old checkpoint and redelivers an
+        # epoch, the ledger no-ops it; a NEW checkpoint gets a new
+        # identity, so its epoch 0 is not mistaken for an old one.
         merge_batch(
             table,
             df,
-            batch_id=f"stream-{epoch_id}",
+            batch_id=f"stream-{stream_id}-{epoch_id}",
             transform=transform,
             salt_buckets=salt_buckets,
         )

@@ -160,3 +160,52 @@ def test_state_hash_stable_across_partitioning(spark, table):
     h2 = table.state_hash()
     assert h1 == h2
     assert h1.startswith("100:")
+
+
+def test_commit_exclusive_create_blocks_racing_writer(spark, table):
+    """Two writers that BOTH pass the VERSION check (the check-then-act
+    window) cannot both publish v{N}.json: the second exclusive create
+    fails atomically as CommitConflict, no lost update."""
+    t2 = LakeTable.load(spark, table.root)
+    table.append(mk_rows(spark, 5), batch_id="b0")
+    # make t2's VERSION read stale so it passes the snapshot check and
+    # reaches the manifest-create step, as a genuinely concurrent writer would
+    real_read = t2._fs.read_text
+
+    def stale_read(path):
+        return "0" if path.endswith("VERSION") else real_read(path)
+
+    t2._fs.read_text = stale_read
+    with pytest.raises(CommitConflict):
+        t2.append(mk_rows(spark, 5), batch_id="b1")
+    # winner's commit survives intact
+    t3 = LakeTable.load(spark, table.root)
+    assert t3.read().count() == 5
+    assert "b0" in t3.committed_batches()
+    assert "b1" not in t3.committed_batches()
+
+
+def test_hadoopfs_uri_root_full_cycle(spark, tmp_path):
+    """Table root as a file: URI — every metadata op (create, commit,
+    ledger, evolution, time travel, load, exists) goes through the
+    Hadoop FileSystem API, i.e. the object-store code path."""
+    from dbp_etl_spark.lake.fs import HadoopFS
+
+    root = "file:" + str(tmp_path / "pages_uri")
+    t = LakeTable.create(
+        spark, root, TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    assert isinstance(t._fs, HadoopFS)
+    assert LakeTable.exists(root, spark)
+    t.append(mk_rows(spark, 20), batch_id="b0")
+    snap1 = t.snapshot_id
+    t.append(mk_rows(spark, 20), batch_id="b0")  # idempotent replay
+    assert t.read().count() == 20
+    t.append(mk_rows(spark, 7, tag="v2"), batch_id="b1")
+    assert t.read().count() == 27
+    assert t.read(snapshot_id=snap1).count() == 20  # time travel
+    t = t.add_column("mirror_of", "string")  # evolution via shim
+    assert "mirror_of" in t.read().columns
+    t2 = LakeTable.load(spark, root)
+    assert t2.snapshot_id == t.snapshot_id
+    assert t2.state_hash() == t.state_hash()

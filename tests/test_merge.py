@@ -307,3 +307,47 @@ def test_hot_key_skew_correctness(spark, tmp_path):
     # no duplicate keys in final state
     dup = t.read().groupBy("url").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_null_op_dead_lettered(spark, tmp_path):
+    """A NULL op must be quarantined as bad_op (ADVICE r1): without the
+    explicit null check it slipped past validation and either vanished
+    silently or wrote an all-NULL row into state."""
+    from dbp_etl_spark.cdc.merge import split_deadletter
+
+    b = ev(spark, [("u1", 100, b"<p>x</p>", "insert"), ("u2", 100, b"<p>y</p>", None)])
+    valid, dead = split_deadletter(b)
+    assert valid.count() == 1
+    d = dead.collect()
+    assert len(d) == 1 and d[0]["_dl_reason"] == "bad_op" and d[0]["url"] == "u2"
+    # end-to-end: the null-op row reaches neither state nor the void
+    t = mk_table(spark, tmp_path)
+    r = merge_batch(t, b, "b1")
+    assert set(state(t)) == {"u1"}
+    assert r.deadletter.count() == 1
+
+
+def test_merge_cycle_on_uri_root(spark, tmp_path):
+    """Full MERGE cycle against a non-POSIX table root (file: URI →
+    HadoopFS metadata path): insert, update, delete, replay."""
+    root = "file:" + str(tmp_path / "pages_uri")
+    t = LakeTable.create(
+        spark, root, TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    merge_batch(
+        t,
+        ev(spark, [("u1", 100, b"<p>a</p>", "insert"), ("u2", 100, b"<p>b</p>", "insert")]),
+        "b1",
+    )
+    merge_batch(
+        t,
+        ev(spark, [("u1", 200, b"<p>a2</p>", "update"), ("u2", 200, None, "delete")]),
+        "b2",
+    )
+    merge_batch(  # replay of b2 must no-op via the ledger
+        t,
+        ev(spark, [("u1", 200, b"<p>a2</p>", "update"), ("u2", 200, None, "delete")]),
+        "b2",
+    )
+    s = state(t)
+    assert set(s) == {"u1"} and s["u1"][0] == "a2"

@@ -98,3 +98,31 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     t2 = table.refresh()
     assert t2.state_hash() == h1
     assert t2.snapshot_id == snap1
+
+
+def test_checkpoint_recreate_not_nooped(spark, tmp_path):
+    """Epoch ids restart at 0 when a checkpoint is recreated; the
+    per-checkpoint ledger namespace must keep the new stream's batches
+    from colliding with the old stream's 'stream-...-0' entry."""
+    t = mk_table(spark, tmp_path, "nsp")
+
+    ev1 = generate_changes(spark, 400, 40, n_batches=1, seed=21)
+    src1 = str(tmp_path / "src1")
+    ev1.coalesce(1).write.parquet(src1)
+    q = run_stream(spark, src1, t, checkpoint_path=str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    t = t.refresh()
+    keys1 = [k for k in t.committed_batches() if k.startswith("stream-")]
+    assert keys1, "first stream committed nothing"
+
+    # brand-new checkpoint + new source: epochs restart at 0
+    ev2 = generate_changes(spark, 400, 40, n_batches=1, seed=22)
+    src2 = str(tmp_path / "src2")
+    ev2.coalesce(1).write.parquet(src2)
+    h_before = t.state_hash()
+    q2 = run_stream(spark, src2, t, checkpoint_path=str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    t = t.refresh()
+    keys2 = [k for k in t.committed_batches() if k.startswith("stream-")]
+    assert len(keys2) > len(keys1), "second stream was silently no-oped"
+    assert t.state_hash() != h_before, "second stream's data never landed"
