@@ -15,12 +15,30 @@ Scale notes: all candidate generation is equi-join-shaped (band/bucket
 keys), so Spark shuffles by bucket key instead of computing O(n^2)
 pairs; verification only runs on candidates. Hash functions are
 xxhash64 with integer seeds — deterministic across runs/partitions.
+
+``hash_fn="md5_60"`` switches the hashing to the top-60-bits of md5,
+which (unlike xxhash64) every SQL engine computes identically — the
+driver's DuckDB oracle re-derives the SAME signatures, bands, chunks
+and candidate pairs, so the full LSH pipeline is value-checked, not
+just the verify stage. xxhash64 stays the production default (faster,
+seeded).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _h60(col, seed: int):
+    """Cross-engine 60-bit hash: first 15 hex chars of md5(col + '|' + seed)
+    parsed base-16. Positive in a signed 64-bit lane on every engine, so
+    min()/ordering agree between Spark and DuckDB/others."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", col, F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,14 +65,19 @@ def minhash_signatures(
     content_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — k independent minhashes over word
     shingles. One explode + one groupBy with k min-aggregates: a single
-    shuffle keyed by doc id."""
+    shuffle keyed by doc id. ``hash_fn="md5_60"`` = oracle-reproducible
+    hashing (see module docstring)."""
     sh = df.select(F.col(id_col), F.explode(_shingles(content_col, shingle_n)).alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    if hash_fn == "md5_60":
+        aggs = [F.min(_h60(F.col("sh"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -68,23 +91,30 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose minhash signatures
     collide in >=1 LSH band. Pair generation is an equi-join on
-    (band_idx, band_hash) — no cross product."""
+    (band_idx, band_hash) — no cross product. In ``md5_60`` mode the
+    band key is the raw comma-joined signature slice (string): the
+    engine-neutral form an oracle can re-derive; the xxhash64 default
+    compresses it to a long for a smaller shuffle key."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, content_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, content_col, num_hashes, shingle_n, hash_fn)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")),
+        )
+        return joined if hash_fn == "md5_60" else F.xxhash64(joined)
+
     banded = sig.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")))
-                    ).alias("bh"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bh")),
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -151,6 +181,94 @@ def simhash(
         term = F.shiftleft(bit, i)
         sh = term if sh is None else sh.bitwiseXOR(term)
     return votes.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash32x2(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(id, sh_lo, sh_hi) — 64-bit simhash carried as two 32-bit halves,
+    built from md5-derived token hashes so any SQL engine reproduces the
+    exact fingerprint (the oracle-checkable sibling of ``simhash``).
+
+    Token hash: md5 hex chars 25-32 -> bits 0..31 (lo), chars 17-24 ->
+    bits 32..63 (hi). Both halves are < 2^32, so they stay positive in
+    signed 64-bit lanes everywhere — no sign/shift divergence between
+    engines. Same single-shuffle shape as ``simhash``: one explode +
+    one groupBy with 64 conditional sums (map-side combinable)."""
+    md5h = F.md5(F.col("tok"))
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(content_col), " ")).alias("tok"))
+        .withColumn("th_lo", F.conv(F.substring(md5h, 25, 8), 16, 10).cast("long"))
+        .withColumn("th_hi", F.conv(F.substring(md5h, 17, 8), 16, 10).cast("long"))
+    )
+    aggs = []
+    for half in ("lo", "hi"):
+        for i in range(32):
+            bit = F.shiftright(F.col(f"th_{half}"), i).bitwiseAND(F.lit(1))
+            aggs.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b_{half}_{i}")
+            )
+    votes = toks.groupBy(id_col).agg(*aggs)
+    halves = {}
+    for half in ("lo", "hi"):
+        acc = None
+        for i in range(32):
+            bit = F.when(F.col(f"b_{half}_{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            acc = term if acc is None else acc + term
+        halves[half] = acc
+    return votes.select(
+        F.col(id_col), halves["lo"].alias("sh_lo"), halves["hi"].alias("sh_hi")
+    )
+
+
+def simhash32x2_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Oracle-checkable sibling of ``simhash_near_dups``: identical
+    pigeonhole candidate generation (8-bit chunk equi-join, guaranteed
+    recall for hamming < n_chunks) over the two-half md5 fingerprint.
+    Returns (id_a, id_b, hamming)."""
+    if max_hamming >= n_chunks:
+        raise ValueError("guaranteed recall needs max_hamming < n_chunks")
+    if n_chunks != 8:
+        raise ValueError("two-half layout supports n_chunks=8 (8-bit chunks)")
+    sh = simhash32x2(df, id_col, content_col)
+    chunk_structs = []
+    for j in range(8):
+        src = F.col("sh_lo") if j < 4 else F.col("sh_hi")
+        shift = (j % 4) * 8
+        chunk_structs.append(
+            F.struct(
+                F.lit(j).alias("ci"),
+                F.shiftright(src, shift).bitwiseAND(F.lit(255)).alias("cv"),
+            )
+        )
+    chunks = sh.select(
+        F.col(id_col), "sh_lo", "sh_hi", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(id_col, "sh_lo", "sh_hi", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sh_lo").alias("lo_a"), F.col("sh_hi").alias("hi_a"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sh_lo").alias("lo_b"), F.col("sh_hi").alias("hi_b"), "ci", "cv"
+    )
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_dups(

@@ -93,6 +93,32 @@ def _hyperplane_sketch(vec: Column, dim: int, n_planes: int, seed: int) -> Colum
     )
 
 
+def _formula_sketch(vec: Column, dim: int, n_planes: int) -> Column:
+    """Oracle-reproducible sign-bit sketch: plane weights come from the
+    closed-form ``((73*i + 37*p) % 97) - 48`` (integer-exact in a
+    double), not a hash — so any engine re-derives the identical bucket
+    from the raw vector. Returned as a bit STRING ('0101') to stay
+    engine-neutral. Same cost shape as the xxhash sketch: one pass over
+    the vector per plane, all JVM-side."""
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * (((F.lit(73) * i + F.lit(37) * p) % 97) - 48).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,
@@ -132,13 +158,21 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     probe_id: str = "qid",
     probe_vec: str = "qe",
+    planes: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: compare only within matching hyperplane-sketch
     buckets. With n_planes=p the corpus splits into 2^p buckets, so each
     probe scans ~1/2^p of the data — the 100 TB path. Recall is
-    tunable via p (fewer planes = bigger buckets = higher recall)."""
-    c = corpus.withColumn("bkt", _hyperplane_sketch(F.col(vec_col), dim, n_planes, seed))
-    p = probes.withColumn("bkt", _hyperplane_sketch(F.col(probe_vec), dim, n_planes, seed))
+    tunable via p (fewer planes = bigger buckets = higher recall).
+    ``planes="formula"`` switches to the oracle-reproducible sketch
+    (_formula_sketch) so an external SQL engine re-derives the same
+    buckets and therefore the same top-k."""
+    if planes == "formula":
+        c = corpus.withColumn("bkt", _formula_sketch(F.col(vec_col), dim, n_planes))
+        p = probes.withColumn("bkt", _formula_sketch(F.col(probe_vec), dim, n_planes))
+    else:
+        c = corpus.withColumn("bkt", _hyperplane_sketch(F.col(vec_col), dim, n_planes, seed))
+        p = probes.withColumn("bkt", _hyperplane_sketch(F.col(probe_vec), dim, n_planes, seed))
     pairs = (
         F.broadcast(p)
         .join(c, "bkt")

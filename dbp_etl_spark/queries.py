@@ -1040,31 +1040,164 @@ def normalized_host_rollup(spark, sf_dir):
     )
 
 
-# --- near-dup family: declared rows-only where no faithful SQL oracle
-# exists (hash functions differ between engines); each is additionally
-# pinned by python-oracle pytest cases in tests/test_operators.py -----
 
 
-@q("minhash_lsh_neardups")
+# --- generated oracle SQL for the md5-reproducible LSH family --------
+# (the hash math is cross-engine: see operators/dedup_ops.py::_h60 and
+# simhash32x2 — DuckDB re-derives the identical signatures/fingerprints
+# from the raw tables, so the FULL pipeline is value-checked)
+
+
+def _minhash_oracle_sql(num_hashes=16, bands=4, shingle_n=3, threshold=0.3):
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(CAST('0x' || substr(md5(sh || '|{i}'), 1, 15) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    bands_sql = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_lists AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - {shingle_n}, 0) + 1),
+                            i -> array_to_string(t[i:i + {shingle_n - 1}], ' ')) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_lists),
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM ex GROUP BY doc_id),
+    banded AS (
+      {bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh_lists),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sset, sb.sset))), 4) AS jaccard
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming=7):
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (th_{half} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{half}_{i}"
+        for half in ("lo", "hi")
+        for i in range(32)
+    )
+    fp = {
+        half: " + ".join(
+            f"(CASE WHEN b_{half}_{i} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+            for i in range(32)
+        )
+        for half in ("lo", "hi")
+    }
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 25, 8) AS BIGINT) AS th_lo,
+             CAST('0x' || substr(md5(tok), 17, 8) AS BIGINT) AS th_hi
+      FROM toks),
+    votes AS (
+      SELECT doc_id,
+    {votes}
+      FROM h GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             {fp["lo"]} AS sh_lo,
+             {fp["hi"]} AS sh_hi
+      FROM votes),
+    chunks AS (
+      SELECT doc_id, sh_lo, sh_hi, j AS ci,
+             CASE WHEN j < 4 THEN (sh_lo >> (j * 8)) & 255
+                  ELSE (sh_hi >> ((j - 4) * 8)) & 255 END AS cv
+      FROM fp, generate_series(0, 7) t(j)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+                  + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
+      FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv
+                                 AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle_sql(n_planes=4, k=5, dim=64, n_probes=5):
+    def dot(p):
+        return (
+            "list_sum(list_transform(list_zip(embedding, generate_series(0, "
+            f"{dim - 1})), r -> CAST(r[1] AS DOUBLE) * (((73 * r[2] + 37 * {p}) % 97) - 48)))"
+        )
+
+    bits = " || ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(n_planes)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT vec_id, embedding, {bits} AS bkt FROM embeddings),
+    pairs AS (
+      SELECT p.vec_id AS qid, c.vec_id AS cid,
+             list_sum(list_transform(list_zip(p.embedding, c.embedding),
+                                     r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cs
+      FROM sk p JOIN sk c ON p.bkt = c.bkt AND c.vec_id <> p.vec_id
+      WHERE p.vec_id < {n_probes}),
+    ranked AS (
+      SELECT qid, cid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn
+      FROM pairs)
+    SELECT qid, cid, round(cs, 3) AS cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+# --- near-dup family: fully oracle-checked via md5-reproducible
+# hashing (the xxhash64 production variants of the same operators are
+# pinned by python-oracle pytest cases in tests/test_operators.py) ----
+
+
+@q("minhash_lsh_neardups", _minhash_oracle_sql())
 def minhash_lsh_neardups(spark, sf_dir):
-    """MinHash+LSH near-dup candidates verified by exact shingle
-    jaccard (rows-only driver check; exact semantics pytest-pinned)."""
+    """MinHash+LSH near-dups, END-TO-END value-checked: md5_60-mode
+    signatures -> 4-band LSH candidate equi-join -> exact shingle
+    jaccard verify >= 0.3. The DuckDB oracle re-derives the identical
+    signatures, bands, candidates and jaccards from the raw table."""
     from dbp_etl_spark.operators.dedup_ops import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5_60")
     return ngram_jaccard_pairs(docs, cands, threshold=0.3)
 
 
-@q("simhash_fingerprints")
+@q("simhash_fingerprints", _simhash_oracle_sql())
 def simhash_fingerprints(spark, sf_dir):
-    """64-bit simhash per document (rows-only driver check)."""
-    from dbp_etl_spark.operators.dedup_ops import simhash
+    """Simhash near-dup pairs, END-TO-END value-checked: md5-derived
+    two-half 64-bit fingerprints -> pigeonhole 8-bit-chunk candidate
+    equi-join -> exact hamming <= 7. Same plan shape as the xxhash64
+    production operator (simhash_near_dups)."""
+    from dbp_etl_spark.operators.dedup_ops import simhash32x2_near_dups
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash32x2_near_dups(docs, max_hamming=7)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @q(
@@ -1133,17 +1266,20 @@ def carry_forward_fill(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk")
+@q("ann_lsh_topk", _ann_lsh_oracle_sql())
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (rows-only driver
-    check; recall vs brute force pytest-pinned)."""
+    """LSH-bucketed approximate nearest neighbors, value-checked: the
+    formula-plane sketch (closed-form +/-1..48 weights, no hash) lets
+    the DuckDB oracle re-derive the identical buckets and top-k.
+    The xxhash64-plane production variant's recall vs brute force is
+    pytest-pinned."""
     from dbp_etl_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return lsh_bucketed_topk(emb, probes, dim=64, k=5, n_planes=4)
+    return lsh_bucketed_topk(emb, probes, dim=64, k=5, n_planes=4, planes="formula")
 
 
 # =====================================================================

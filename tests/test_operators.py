@@ -167,3 +167,60 @@ def test_audio_frame_sampling_stub(spark):
     out = sample_audio_frames(media, frames_per_item=4, deterministic_fake=True).collect()
     assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
     assert len({r["frame_hash"] for r in out}) == 4
+
+
+def test_md5_mode_minhash_matches_xxhash_semantics(spark, docs):
+    """md5_60 hashing changes hash values, not semantics: exact dups
+    always collide, signatures are deterministic across partitioning."""
+    from dbp_etl_spark.operators.dedup_ops import minhash_lsh_candidates, minhash_signatures
+
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, hash_fn="md5_60").collect()}
+    s2 = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(docs.repartition(5), hash_fn="md5_60").collect()
+    }
+    assert s1 == s2
+    assert s1[0] == s1[4]
+    assert all(v >= 0 for v in s1[0]), "60-bit md5 hashes must stay positive"
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, hash_fn="md5_60").collect()}
+    assert (0, 4) in pairs
+
+
+def test_simhash32x2_matches_simhash_semantics(spark, docs):
+    """Two-half md5 simhash: identical docs -> hamming 0; near-dups
+    closer than unrelated; pigeonhole join finds hamming<8 pairs."""
+    from dbp_etl_spark.operators.dedup_ops import simhash32x2, simhash32x2_near_dups
+
+    sh = {r["doc_id"]: (r["sh_lo"], r["sh_hi"]) for r in simhash32x2(docs).collect()}
+    assert sh[0] == sh[4]
+    assert all(0 <= lo < 2**32 and 0 <= hi < 2**32 for lo, hi in sh.values())
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+    dups = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash32x2_near_dups(docs, max_hamming=7).collect()
+    }
+    assert dups[(0, 4)] == 0
+    if ham(sh[0], sh[1]) <= 7:
+        assert (0, 1) in dups  # guaranteed recall below n_chunks
+
+
+def test_formula_sketch_buckets_and_topk(spark):
+    """Formula-plane LSH: bucket of a vector is deterministic, identical
+    vectors share a bucket, and top-k within bucket ranks by cosine."""
+    import random
+
+    from dbp_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.01 for x in base]
+    rows = [(0, base), (1, near), (2, [rng.uniform(-1, 1) for _ in range(16)])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.filter("vec_id = 0").selectExpr("vec_id as qid", "embedding as qe")
+    out = lsh_bucketed_topk(corpus, probes, dim=16, k=2, n_planes=2, planes="formula").collect()
+    got = {r["cid"]: r["cos_sim"] for r in out}
+    assert 1 in got and got[1] > 0.99  # near-identical vector found first
