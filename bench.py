@@ -94,16 +94,20 @@ def run_cdc_pipeline(spark, n_events: int, num_buckets: int = 32, work_dir: str 
         )
         # materialize the change log BEFORE the timer: the bench measures
         # the engine (tail -> MERGE -> commit), not the synthetic generator
-        generate_changes(
-            spark,
-            n_events,
-            CDC_URLS,
-            n_batches=CDC_BATCHES,
-            hot_fraction_pct=20,
-            hot_urls=4,
-            seed=42,
-        ).write.parquet(f"{root}/changes")
-        events = spark.read.parquet(f"{root}/changes")
+        # hive-partitioned by batch_id so the runner's per-batch reads
+        # partition-prune to one slice instead of B full log scans
+        events = CDCRunner.stage_by_batch(
+            generate_changes(
+                spark,
+                n_events,
+                CDC_URLS,
+                n_batches=CDC_BATCHES,
+                hot_fraction_pct=20,
+                hot_urls=4,
+                seed=42,
+            ),
+            f"{root}/changes",
+        )
         t0 = time.time()
         report = CDCRunner(table, salt_buckets=32, lineage_mode="global").run(events)
         wall = time.time() - t0

@@ -73,9 +73,32 @@ class CDCRunner:
         self.drift_floor_pct = drift_floor_pct
         self.allow_urls = allow_urls
 
+    @staticmethod
+    def stage_by_batch(changes: DataFrame, path: str, batch_col: str = "batch_id") -> DataFrame:
+        """Write the change log hive-partitioned by batch id, re-read it.
+
+        ``run`` filters the log once per batch; over an unpartitioned
+        source that is B full scans (parquet row-group stats prune only
+        if the log happens to be sorted by batch id). After this staging
+        write, batch b's files live under ``batch_id=b/`` and Catalyst
+        partition-prunes each per-batch read to exactly that slice —
+        one full pass total (this write) regardless of B. At 10^10
+        events, tail sources should be produced in this layout to begin
+        with (Kafka-style offset directories); then no staging is needed.
+        """
+        changes.repartition(batch_col).write.partitionBy(batch_col).mode(
+            "overwrite"
+        ).parquet(path)
+        return changes.sparkSession.read.parquet(path)
+
     def run(self, changes: DataFrame, batch_col: str = "batch_id") -> RunReport:
         """Apply every batch of ``changes`` in batch-id order (ST1/ST6:
-        strictly ordered microbatches), skipping committed ones."""
+        strictly ordered microbatches), skipping committed ones.
+
+        Scale note: pass a ``changes`` DataFrame read from a source
+        hive-partitioned by ``batch_col`` (see ``stage_by_batch``) so
+        the per-batch filter below partition-prunes instead of
+        re-scanning the full log per batch."""
         t0 = time.time()
         # one discovery job: every batch id AND its candidate buckets
         # (collect_set drops the null bucket of malformed null-key rows,

@@ -36,9 +36,35 @@ _TYPE_MAP: dict[str, T.DataType] = {
 _WIDEN_OK: set[tuple[str, str]] = {("int", "long"), ("float", "double")}
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (for map/struct type params)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def spark_type(name: str) -> T.DataType:
     if name.startswith("array<") and name.endswith(">"):
         return T.ArrayType(spark_type(name[6:-1]))
+    if name.startswith("map<") and name.endswith(">"):
+        k, v = _split_top(name[4:-1])
+        return T.MapType(spark_type(k), spark_type(v))
+    if name.startswith("struct<") and name.endswith(">"):
+        fields = [
+            T.StructField(p.split(":", 1)[0], spark_type(p.split(":", 1)[1]), True)
+            for p in _split_top(name[7:-1])
+        ]
+        return T.StructType(fields)
     return _TYPE_MAP[name]
 
 
@@ -48,6 +74,11 @@ def type_name_of(dt: T.DataType) -> str:
             return name
     if isinstance(dt, T.ArrayType):
         return f"array<{type_name_of(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{type_name_of(dt.keyType)},{type_name_of(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{type_name_of(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
     raise ValueError(f"unsupported lake type: {dt}")
 
 

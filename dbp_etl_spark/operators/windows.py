@@ -81,10 +81,12 @@ def asof_join(
     applyInPandas variant because it never materializes groups.
 
     ``direction='backward'`` (default): for each left row, the latest
-    right row with right_ts <= left_ts.
+    right row with right_ts <= left_ts. ``'forward'``: the earliest
+    right row with right_ts >= left_ts (same one-shuffle plan, frame
+    flipped to [current, unbounded following] with first(ignorenulls)).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError(f"unsupported as-of direction {direction!r}")
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -101,18 +103,67 @@ def asof_join(
         ).alias("_l"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
-    # build rows sort before probe rows at equal ts => "<=" semantics
-    w = Window.partitionBy("_k").orderBy("_ts", "_is_probe")
     carried = r_tag.unionByName(l_tag)
+    if direction == "backward":
+        # build rows sort before probe rows at equal ts => "<=" semantics
+        w = Window.partitionBy("_k").orderBy("_ts", "_is_probe")
+        frame = w.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # probe rows sort before build rows at equal ts => ">=" semantics
+        w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_is_probe").desc())
+        frame = w.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     for c in right_cols:
-        carried = carried.withColumn(
-            f"_r_{c}",
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
+        carried = carried.withColumn(f"_r_{c}", pick(F.col(f"_r_{c}")).over(frame))
     out = carried.filter(F.col("_is_probe") == 1)
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_r_{c}").alias(c) for c in right_cols],
     )
+
+
+def assign_global_sequence(
+    df: DataFrame,
+    order_by: list,
+    coarse_key: "Column",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Globally-ordered 1-based sequence WITHOUT a single-partition sort.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` funnels every row
+    through one task — a scale-killer at 10^10 rows. This is the
+    per-range zipWithIndex decomposition instead:
+
+    1. rows are grouped by ``coarse_key`` (a caller-supplied expression
+       aligned with the order: every row of bucket k sorts before every
+       row of bucket k+1 — e.g. month(ts) when ordering by ts);
+    2. a per-bucket window ranks locally (sort parallelism = #buckets);
+    3. bucket row-counts (a bounded collect, one per bucket) become
+       cumulative offsets; seq = offset[bucket] + local rank.
+
+    Deterministic and recompute-safe — bucket membership derives from
+    the data, not from physical partition ids, so no persist() is
+    needed between the two passes.
+
+    Reference analog: the same TOC sequencing as the window form
+    (/root/reference/load/UpdateDBPBooksTable.py:179-214).
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    d = df.withColumn("_ck", coarse_key)
+    w = Window.partitionBy("_ck").orderBy(*order)
+    d = d.withColumn("_lrn", F.row_number().over(w))
+    counts = {
+        r["_ck"]: r["n"]
+        for r in df.groupBy(coarse_key.alias("_ck")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for ck in sorted(counts):
+        offsets[ck] = acc
+        acc += counts[ck]
+    mapping = F.create_map(
+        *[x for ck, off in offsets.items() for x in (F.lit(ck), F.lit(off))]
+    )
+    return d.withColumn(
+        seq_col, (mapping[F.col("_ck")] + F.col("_lrn")).cast("long")
+    ).drop("_ck", "_lrn")

@@ -671,12 +671,37 @@ def status_priority_cube(spark, sf_dir):
 def global_sequence_assignment(spark, sf_dir):
     """W6 — positional sequence numbering (reference TOC book
     sequencing: /root/reference/load/UpdateDBPBooksTable.py:179-214).
-    NOTE scale: a global row_number single-partitions the sort; at
-    100 TB use zipWithIndex-per-range or a keyed sequence instead —
-    here it is the semantic being tested, over a filtered slice."""
+    NOTE scale: a global row_number single-partitions the sort — kept
+    here as the semantic baseline over a filtered slice; the scale-safe
+    plan is global_sequence_scalable (assign_global_sequence: per-range
+    ranks + cumulative offsets), oracle-checked to match this one."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-01 00:00:00")
     w = Window.orderBy("o_orderdate", "o_orderkey")
     return orders.select("o_orderkey", F.row_number().over(w).cast("long").alias("seq"))
+
+
+@q(
+    "global_sequence_scalable",
+    """
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+    """,
+)
+def global_sequence_scalable(spark, sf_dir):
+    """W6 scale-safe form: identical output to
+    global_sequence_assignment (same oracle), but computed by
+    assign_global_sequence — per-month local ranks + cumulative
+    offsets, so the sort runs at #months parallelism instead of a
+    single-partition global window."""
+    from dbp_etl_spark.operators.windows import assign_global_sequence
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-01 00:00:00")
+    out = assign_global_sequence(
+        orders,
+        ["o_orderdate", "o_orderkey"],
+        coarse_key=F.date_format(F.col("o_orderdate"), "yyyy-MM"),
+    )
+    return out.select("o_orderkey", "seq")
 
 
 @q(
@@ -1280,6 +1305,76 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     return lsh_bucketed_topk(emb, probes, dim=64, k=5, n_planes=4, planes="formula")
+
+
+@q(
+    "xml_dim_source",
+    """
+    SELECT r_name,
+           count(*) AS n_nations,
+           min(n_name || ' & sons') AS sample_note
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def xml_dim_source(spark, sf_dir):
+    """S4 — XML metadata dimension: records are serialized to XML
+    (with entity escaping) and parsed back JVM-side with from_xml,
+    then broadcast-joined to a dim — parse(build(x)) == x is what the
+    oracle value-checks, incl. &amp; unescaping (reference: LPTS XML
+    extract, /root/reference/load/LPTSExtractReader.py:15-48)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    xml = F.format_string(
+        "<record><key>%d</key><name>%s</name><region>%d</region>"
+        "<note>%s &amp; sons</note></record>",
+        F.col("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey"),
+        F.col("n_name"),
+    )
+    parsed = nation.select(
+        F.from_xml(xml, "key BIGINT, name STRING, region BIGINT, note STRING").alias("r")
+    ).select("r.*")
+    return (
+        parsed.join(F.broadcast(region), parsed.region == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("note").alias("sample_note"),
+        )
+    )
+
+
+@q(
+    "state_invariant_checks",
+    """
+    SELECT 'null_key' AS "check", CAST(count(*) AS BIGINT) AS n_violations
+    FROM events WHERE event_type <> 'purchase' AND user_id IS NULL
+    UNION ALL
+    SELECT 'dup_visible_key', CAST(count(*) AS BIGINT) FROM (
+      SELECT user_id FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'tombstone_supersedes_visible', CAST(count(*) AS BIGINT)
+    FROM events v WHERE v.event_type <> 'purchase' AND EXISTS (
+      SELECT 1 FROM events t
+      WHERE t.event_type = 'purchase' AND t.user_id = v.user_id AND t.ts >= v.ts)
+    """,
+)
+def state_invariant_checks(spark, sf_dir):
+    """Integrity-check module (lake/integrity.py — reference analog
+    CompleteCheck.py:66-117): the (check, n_violations) report shape,
+    value-checked here over a synthetic mapping of the events table
+    (visible = non-purchase events keyed by user, tombstones =
+    purchases). The LakeTable wiring incl. lineage-vs-ledger
+    reconciliation is pytest-pinned with injected violations."""
+    from dbp_etl_spark.lake.integrity import frame_checks
+
+    ev = _t(spark, sf_dir, "events")
+    visible = ev.filter(F.col("event_type") != "purchase")
+    tombs = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return frame_checks(visible, "user_id", "ts", tombstones=tombs)
 
 
 # =====================================================================

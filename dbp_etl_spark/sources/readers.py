@@ -89,3 +89,37 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
         F.lit("insert").alias("op"),
         F.col("length").alias("n_bytes"),
     )
+
+
+XML_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("region", T.LongType()),
+        T.StructField("note", T.StringType()),
+    ]
+)
+
+
+def read_xml_dim(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "record",
+    schema: T.StructType = XML_DIM_SCHEMA,
+) -> DataFrame:
+    """S4 — XML metadata dimension source (reference: the LPTS XML
+    extract, /root/reference/load/LPTSExtractReader.py:15-48).
+
+    Spark 4 bundles the XML data source natively, so parsing stays
+    JVM-side (no Python in the loop). Schema is explicit per module
+    convention — the reference's dim is a fixed contract, not a guess.
+    """
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+    )
+
+
+def parse_xml_column(df: DataFrame, xml_col: str, ddl_schema: str) -> DataFrame:
+    """Parse an XML-string column into a struct via built-in from_xml
+    (for XML payloads embedded in change events rather than files)."""
+    return df.withColumn("_parsed", F.from_xml(F.col(xml_col), ddl_schema))

@@ -9,7 +9,6 @@ from pyspark.sql import types as T
 
 from dbp_etl_spark.cdc import CDCRunner, generate_changes, merge_batch
 from dbp_etl_spark.lake import LakeTable, TableSchema
-from dbp_etl_spark.lake.table import _atomic_write
 
 PAGES = T.StructType(
     [
@@ -34,14 +33,15 @@ def test_crash_between_write_and_commit(spark, tmp_path, monkeypatch):
     snap_after_b0 = t.snapshot_id
 
     # inject a crash: the data files get written, the commit never lands
-    import dbp_etl_spark.lake.table as table_mod
+    # (manifest publish goes through fs.create_text_exclusive now)
+    real_create = t._fs.create_text_exclusive
 
     def boom(path, content):
-        if "v" in path.split("/")[-1] and path.endswith(".json"):
+        if path.split("/")[-1].startswith("v") and path.endswith(".json"):
             raise RuntimeError("simulated crash before manifest publish")
-        _atomic_write(path, content)
+        real_create(path, content)
 
-    monkeypatch.setattr(table_mod, "_atomic_write", boom)
+    monkeypatch.setattr(t._fs, "create_text_exclusive", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         merge_batch(t, b1, 1)
     monkeypatch.undo()

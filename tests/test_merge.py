@@ -351,3 +351,30 @@ def test_merge_cycle_on_uri_root(spark, tmp_path):
     )
     s = state(t)
     assert set(s) == {"u1"} and s["u1"][0] == "a2"
+
+
+def test_staged_log_partition_prunes_per_batch(spark, tmp_path):
+    """After stage_by_batch, a per-batch filter reads ONLY that batch's
+    files (Catalyst partition pruning on the hive partition column) —
+    and the runner's final state matches the unstaged run."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+
+    events = generate_changes(spark, 2000, 100, n_batches=4, seed=33)
+    staged = CDCRunner.stage_by_batch(events, str(tmp_path / "log"))
+    files = (
+        staged.filter(F.col("batch_id") == 2)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    assert files, "batch 2 slice is empty"
+    assert all("batch_id=2" in r["f"] for r in files), "read touched other batches' files"
+    # physical plan carries the partition filter (no full-log scan)
+    plan = staged.filter(F.col("batch_id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(batch_id" in plan
+
+    t_staged = mk_table(spark, tmp_path, "staged")
+    CDCRunner(t_staged).run(staged)
+    t_plain = mk_table(spark, tmp_path, "plain")
+    CDCRunner(t_plain).run(events)
+    assert t_staged.state_hash() == t_plain.state_hash()

@@ -224,3 +224,21 @@ def test_formula_sketch_buckets_and_topk(spark):
     out = lsh_bucketed_topk(corpus, probes, dim=16, k=2, n_planes=2, planes="formula").collect()
     got = {r["cid"]: r["cos_sim"] for r in out}
     assert 1 in got and got[1] > 0.99  # near-identical vector found first
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: earliest right row with right_ts >= left_ts,
+    equal-ts rows qualify; no match -> NULL."""
+    from dbp_etl_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25), ("k", 99)], "key string, t long"
+    ).select("key", F.timestamp_seconds("t").alias("lts"))
+    right = spark.createDataFrame(
+        [("k", 10, "a"), ("k", 20, "b"), ("k", 30, "c")], "key string, t long, v string"
+    ).select("key", F.timestamp_seconds("t").alias("rts"), "v")
+    out = asof_join(left, right, "key", "lts", "rts", ["v"], direction="forward")
+    got = {r["lts"].second + r["lts"].minute * 60: r["v"] for r in out.collect()}
+    assert got[10] == "a"   # equal ts qualifies
+    assert got[25] == "c"   # next at 30
+    assert got[99] is None  # nothing after

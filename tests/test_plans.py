@@ -107,3 +107,26 @@ def test_semi_anti_join_no_extra_exchange(spark):
     # small inputs broadcast => zero exchanges, or sort-merge => <=2
     assert count_exchanges(semi) <= 2
     assert count_exchanges(anti) <= 2
+
+
+def test_global_sequence_scalable_avoids_single_partition_sort(spark):
+    """assign_global_sequence's window sorts per coarse bucket: the plan
+    must carry a hash exchange on the bucket key, NOT SinglePartition."""
+    from dbp_etl_spark.operators.windows import assign_global_sequence
+
+    # coarse key must be ORDER-ALIGNED (bucket k's rows all sort before
+    # bucket k+1's): id DIV 100 is; id % 12 would interleave
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") / 100).cast("int").alias("m")
+    )
+    out = assign_global_sequence(df, ["k"], coarse_key=F.col("m"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_ck" in plan
+    # and the values still equal the naive global window
+    from pyspark.sql import Window
+
+    naive = df.select("k", F.row_number().over(Window.orderBy("k")).cast("long").alias("seq"))
+    assert sorted(map(tuple, out.select("k", "seq").collect())) == sorted(
+        map(tuple, naive.collect())
+    )

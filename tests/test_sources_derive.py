@@ -147,3 +147,21 @@ def test_deadletter_allowlist(spark, tmp_path):
     runner.run(events)
     errs = {r["url"]: r["level"] for r in runner.errors().collect()}
     assert errs == {"u-allowed": "WARN", "u-bad": "EROR"}
+
+
+def test_read_xml_dim_file(spark, tmp_path):
+    """S4: XML dimension file -> typed DataFrame via the native XML
+    source, entities unescaped, explicit schema (no inference)."""
+    from dbp_etl_spark.sources.readers import read_xml_dim
+
+    (tmp_path / "dim.xml").write_text(
+        "<records>"
+        "<record><key>1</key><name>alpha &amp; beta</name><region>0</region><note>n1</note></record>"
+        "<record><key>2</key><name>gamma</name><region>1</region><note>n2</note></record>"
+        "</records>"
+    )
+    df = read_xml_dim(spark, str(tmp_path))
+    rows = {r["key"]: r for r in df.collect()}
+    assert rows[1]["name"] == "alpha & beta"
+    assert rows[2]["region"] == 1
+    assert df.schema["key"].dataType.simpleString() == "bigint"
