@@ -91,9 +91,21 @@ class CDCRunner:
         ).parquet(path)
         return changes.sparkSession.read.parquet(path)
 
-    def run(self, changes: DataFrame, batch_col: str = "batch_id") -> RunReport:
+    def run(
+        self, changes: DataFrame, batch_col: str = "batch_id", fuse: int = 1
+    ) -> RunReport:
         """Apply every batch of ``changes`` in batch-id order (ST1/ST6:
         strictly ordered microbatches), skipping committed ones.
+
+        ``fuse=N`` groups up to N CONSECUTIVE uncommitted batches into
+        one MERGE (group commit): the cross-batch guards make applying
+        a log as 1 batch or as many byte-identical (test_batch_split_
+        invariance), so fusing preserves final state exactly while
+        paying the per-merge fixed costs (state read, join, write,
+        commit) once per group instead of once per batch. Every member
+        batch id lands in the ledger in the same atomic commit, so
+        replay/resume still no-op per batch id; resume granularity
+        becomes the group. Lineage/counts are reported per group.
 
         Scale note: pass a ``changes`` DataFrame read from a source
         hive-partitioned by ``batch_col`` (see ``stage_by_batch``) so
@@ -117,6 +129,7 @@ class CDCRunner:
         batch_ids = sorted(cand_by_batch)
         report = RunReport()
         prev_n: int | None = None
+        pending: list = []
         for b in batch_ids:
             report.n_batches += 1
             n = n_by_batch.get(b, 0)
@@ -139,23 +152,49 @@ class CDCRunner:
                     MergeResult(batch_id=b, skipped=True, snapshot_id=self.table.snapshot_id)
                 )
                 continue
-            batch = changes.filter(F.col(batch_col) == b)
-            res = merge_batch(
-                self.table,
-                batch,
-                b,
-                transform=self.transform,
-                salt_buckets=self.salt_buckets,
-                lineage=self.lineage_mode,
-                candidates=cand_by_batch.get(b),
-            )
-            self._side_outputs(res)
-            report.results.append(res)
+            pending.append(b)
+            if len(pending) >= max(1, fuse):
+                self._apply_group(changes, batch_col, pending, cand_by_batch, report)
+                pending = []
+        if pending:
+            self._apply_group(changes, batch_col, pending, cand_by_batch, report)
         report.wall_sec = time.time() - t0
         return report
 
+    def _apply_group(
+        self,
+        changes: DataFrame,
+        batch_col: str,
+        group: list,
+        cand_by_batch: dict,
+        report: RunReport,
+    ) -> None:
+        if len(group) == 1:
+            batch = changes.filter(F.col(batch_col) == group[0])
+            bid = group[0]
+        else:
+            batch = changes.filter(F.col(batch_col).isin(*group))
+            bid = list(group)
+        cand = sorted({c for b in group for c in cand_by_batch.get(b, [])})
+        res = merge_batch(
+            self.table,
+            batch,
+            bid,
+            transform=self.transform,
+            salt_buckets=self.salt_buckets,
+            lineage=self.lineage_mode,
+            candidates=cand,
+        )
+        self._side_outputs(res)
+        report.results.append(res)
+
     def _side_outputs(self, res: MergeResult) -> None:
         spark = self.table.spark
+        label = (
+            ",".join(str(b) for b in res.batch_id)
+            if isinstance(res.batch_id, (list, tuple))
+            else str(res.batch_id)
+        )
         if self.errors_path and res.deadletter is not None:
             dead = res.deadletter
             if self.allow_urls is not None:
@@ -171,7 +210,7 @@ class CDCRunner:
                 level = F.lit("EROR")
             (
                 dead.select(
-                    F.lit(str(res.batch_id)).alias("batch_id"),
+                    F.lit(label).alias("batch_id"),
                     F.col("url"),
                     level.alias("level"),
                     F.col("_dl_reason").alias("message"),
@@ -182,7 +221,7 @@ class CDCRunner:
         if self.lineage_path and res.lineage:
             rows = [
                 (
-                    str(res.batch_id),
+                    label,
                     int(line["bucket"]),
                     line["action"],
                     int(line["n"]),

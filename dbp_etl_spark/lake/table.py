@@ -159,6 +159,8 @@ class LakeTable:
         return TableSchema.from_json(self.manifest["schemas"][str(version)])
 
     def is_committed(self, batch_id) -> bool:
+        if isinstance(batch_id, (list, tuple)):
+            return all(str(b) in self.manifest["committed_batches"] for b in batch_id)
         return str(batch_id) in self.manifest["committed_batches"]
 
     def committed_batches(self) -> dict:
@@ -344,7 +346,12 @@ class LakeTable:
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["files"] = kept + new_files
         ledger = dict(self.manifest["committed_batches"])
-        ledger[str(batch_id)] = {"snapshot_id": snap_id, **(summary or {})}
+        # a list batch_id = fused group commit: every member id is
+        # recorded in the SAME atomic manifest swing, so replay of any
+        # member no-ops (resume granularity = the group)
+        ids = batch_id if isinstance(batch_id, (list, tuple)) else [batch_id]
+        for b in ids:
+            ledger[str(b)] = {"snapshot_id": snap_id, **(summary or {})}
         new_manifest["committed_batches"] = ledger
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)

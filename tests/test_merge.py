@@ -378,3 +378,27 @@ def test_staged_log_partition_prunes_per_batch(spark, tmp_path):
     t_plain = mk_table(spark, tmp_path, "plain")
     CDCRunner(t_plain).run(events)
     assert t_staged.state_hash() == t_plain.state_hash()
+
+
+def test_fused_apply_matches_per_batch(spark, tmp_path):
+    """fuse=N group commit: identical final state to per-batch apply
+    (batch-split invariance), every member id in the ledger, replay
+    no-ops, and mixed per-batch/fused resume converges."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+
+    events = generate_changes(spark, 4000, 150, n_batches=4, seed=13)
+    t1 = mk_table(spark, tmp_path, "fuse1")
+    CDCRunner(t1).run(events)
+    t2 = mk_table(spark, tmp_path, "fuse4")
+    rep = CDCRunner(t2).run(events, fuse=4)
+    assert t1.state_hash() == t2.state_hash()
+    assert all(t2.is_committed(b) for b in range(4))
+    assert len([r for r in rep.results if not r.skipped]) == 1  # one merge
+    snap = t2.snapshot_id
+    CDCRunner(t2).run(events, fuse=4)  # full replay: no-op
+    assert t2.snapshot_id == snap
+    # partial resume: batch 0 applied per-batch, rest fused
+    t3 = mk_table(spark, tmp_path, "fuse_resume")
+    CDCRunner(t3).run(events.filter(F.col("batch_id") == 0))
+    CDCRunner(t3).run(events, fuse=3)
+    assert t3.state_hash() == t1.state_hash()
