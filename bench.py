@@ -264,6 +264,9 @@ def _sweep_stale_tmpfs() -> None:
 if __name__ == "__main__":
     _sweep_stale_tmpfs()
     if "--scaling" in sys.argv:
-        print(json.dumps(bench_scaling()))
+        levels = tuple(
+            int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
+        )
+        print(json.dumps(bench_scaling(levels=levels)))
     else:
         print(json.dumps(bench_default()))

@@ -8,18 +8,27 @@ by external transcoders, /root/reference/load/AWSTranscoder.py:48-127,
 
 The Spark-side plumbing here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` operators with correct batch shapes, partition sizing.
-The codec step itself is STUBBED — the sandbox image has no
-image/audio libraries — behind ``_decode_image``/``_decode_audio``,
-which raise NotImplementedError unless ``deterministic_fake=True``
-(the test mode, which produces seeded fake features so the pipeline is
-exercisable end to end).
+The codec layer is REAL for formats decodable with stdlib + numpy:
+
+* ``image/x-portable-pixmap`` (PPM P6) — pure-numpy decode, resize,
+  feature extraction over actual pixels;
+* ``audio/wav`` (PCM WAV) — stdlib ``wave`` + numpy decode, real
+  sample windows and RMS energy.
+
+Formats that need external codecs (JPEG/PNG via PIL, MP3/AAC via
+ffmpeg — not in this sandbox) raise ``NotImplementedError`` unless
+``deterministic_fake=True`` (seeded features from the content hash, so
+the pipeline stays exercisable end to end for any mime).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -43,15 +52,76 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/wav"
 
-def _decode_image(content: bytes, deterministic_fake: bool) -> list[float]:
-    """STUB: real impl would decode via PIL/opencv (not in this image).
 
-    deterministic_fake=True produces a seeded 8-dim feature from the
-    content hash — byte-stable, so tests can assert exact values."""
+# --------------------------------------------------------------- PPM codec
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6). Test/synthesis helper."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Pure numpy/stdlib — a real
+    decoder, not a stub: header tokens (with # comments) then raw RGB."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end of line
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(content[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    arr = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def _resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[rows][:, cols]
+
+
+def _ppm_features(pixels: np.ndarray) -> list[float]:
+    """Real features over decoded pixels: per-channel mean+std (6) plus
+    2x2 quadrant gray means (4), all scaled to [0, 1]."""
+    px = pixels.astype(np.float64)
+    feats = list(px.mean(axis=(0, 1)) / 255.0) + list(px.std(axis=(0, 1)) / 255.0)
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    hh, wh = max(h // 2, 1), max(w // 2, 1)
+    for r in (slice(0, hh), slice(hh, h)):
+        for c in (slice(0, wh), slice(wh, w)):
+            q = gray[r, c]
+            feats.append(float(q.mean() / 255.0) if q.size else 0.0)
+    return [float(x) for x in feats]
+
+
+def _decode_image(content: bytes, mime: str, deterministic_fake: bool) -> list[float]:
+    """Real decode for PPM; seeded fake or NotImplementedError otherwise
+    (JPEG/PNG need PIL/opencv, absent in this sandbox)."""
+    if mime == PPM_MIME or (content or b"").startswith(b"P6"):
+        return _ppm_features(decode_ppm(content))
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv, not available in this environment"
+            f"decoding {mime!r} requires PIL/opencv, not available in this environment"
         )
     h = hashlib.md5(content or b"").digest()
     return [b / 255.0 for b in h[:8]]
@@ -72,8 +142,8 @@ def extract_image_features(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_image(c, deterministic_fake)
-                for c in pdf["content"]
+                _decode_image(c, m, deterministic_fake)
+                for c, m in zip(pdf["content"], pdf["mime"])
             ]
             yield pd.DataFrame(
                 {
@@ -87,6 +157,60 @@ def extract_image_features(
     return media.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real resize (nearest-neighbor, pure numpy) for PPM payloads:
+    1 row in -> 1 row out with re-encoded bytes and updated dims.
+    Same IMAGE_SCHEMA out, so resize stages compose/chain."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                out.append(encode_ppm(_resize_nearest(decode_ppm(c), out_w, out_h)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "mime": [PPM_MIME] * len(pdf),
+                    "width": [out_w] * len(pdf),
+                    "height": [out_h] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(op, schema=IMAGE_SCHEMA)
+
+
+# --------------------------------------------------------------- WAV codec
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes. Test/synthesis helper."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float64 mono samples in [-1, 1], sample rate).
+    stdlib ``wave`` + numpy — a real decoder, not a stub."""
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n, width, rate, ch = w.getnframes(), w.getsampwidth(), w.getframerate(), w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"sample width {width} unsupported")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
 AUDIO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -95,23 +219,40 @@ AUDIO_FRAME_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _is_wav(content: bytes) -> bool:
+    return (content or b"")[:4] == b"RIFF"
+
 
 def sample_audio_frames(
     media: DataFrame, frames_per_item: int = 4, deterministic_fake: bool = False
 ) -> DataFrame:
     """Frame sampling: 1 input row -> N output rows (flat-map shape via
-    mapInPandas). The codec is stubbed; the fake slices the byte payload
-    into N deterministic windows and hashes them."""
+    mapInPandas). WAV payloads are REALLY decoded (stdlib wave) and the
+    hash windows cover actual PCM sample bytes; other formats use the
+    deterministic byte-window fake (or raise without it)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_hash = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "audio decoding requires ffmpeg/librosa, not available here"
-                    )
                 data = bytes(content or b"")
+                if _is_wav(data):
+                    samples, _ = decode_wav(data)
+                    data = samples.astype("<f8").tobytes()
+                elif not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-WAV audio decoding requires ffmpeg/librosa, not available here"
+                    )
                 step = max(len(data) // frames_per_item, 1)
                 for i in range(frames_per_item):
                     chunk = data[i * step : (i + 1) * step]
@@ -123,3 +264,25 @@ def sample_audio_frames(
             )
 
     return media.mapInPandas(op, schema=AUDIO_FRAME_SCHEMA)
+
+
+def audio_frame_energy(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
+    """Real per-window RMS energy over decoded WAV samples: the audio
+    analog of quality scoring (silence/clipping detection upstream of a
+    training pipeline)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "frame_idx": [], "rms": [], "n_samples": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _ = decode_wav(bytes(content))
+                step = max(len(samples) // frames_per_item, 1)
+                for i in range(frames_per_item):
+                    win = samples[i * step : (i + 1) * step]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["rms"].append(float(np.sqrt((win**2).mean())) if win.size else 0.0)
+                    rows["n_samples"].append(int(win.size))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=AUDIO_ENERGY_SCHEMA)

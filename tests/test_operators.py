@@ -242,3 +242,68 @@ def test_asof_join_forward(spark):
     assert got[10] == "a"   # equal ts qualifies
     assert got[25] == "c"   # next at 30
     assert got[99] is None  # nothing after
+
+
+def test_ppm_decode_resize_features_real(spark):
+    """Multimodal image path with a REAL codec (pure-numpy PPM): decode
+    -> resize -> feature extraction, end-to-end through mapInPandas."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        extract_image_features,
+        resize_images,
+    )
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :3] = [255, 0, 0]   # left half red
+    px[:, 3:] = [0, 0, 255]   # right half blue
+    content = encode_ppm(px)
+    assert (decode_ppm(content) == px).all()  # codec roundtrip
+
+    media = spark.createDataFrame(
+        [(1, bytearray(content), "image/x-portable-pixmap", 6, 4)],
+        "media_id long, content binary, mime string, width int, height int",
+    )
+    small = resize_images(media, out_w=2, out_h=2).collect()[0]
+    spx = decode_ppm(bytes(small["content"]))
+    assert spx.shape == (2, 2, 3)
+    assert (spx[:, 0] == [255, 0, 0]).all() and (spx[:, 1] == [0, 0, 255]).all()
+
+    feat = extract_image_features(media).collect()[0]["feature"]
+    assert len(feat) == 10
+    assert abs(feat[0] - 0.5) < 1e-6  # mean red = half the image
+    assert abs(feat[1] - 0.0) < 1e-6  # no green anywhere
+    # quadrant gray means: left quadrants brighter == right (symmetric)
+    assert abs(feat[6] - feat[8]) < 1e-6
+
+
+def test_wav_decode_and_energy_real(spark):
+    """Multimodal audio path with a REAL codec (stdlib wave): decode ->
+    windowed RMS energy; silent half vs loud half separate cleanly."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.multimodal import (
+        audio_frame_energy,
+        decode_wav,
+        encode_wav,
+        sample_audio_frames,
+    )
+
+    loud = (np.sin(np.linspace(0, 200 * np.pi, 8000)) * 20000).astype(np.int16)
+    silent = np.zeros(8000, dtype=np.int16)
+    content = encode_wav(np.concatenate([silent, loud]))
+    samples, rate = decode_wav(content)
+    assert rate == 16000 and len(samples) == 16000
+
+    media = spark.createDataFrame(
+        [(7, bytearray(content))], "media_id long, content binary"
+    )
+    rows = {r["frame_idx"]: r for r in audio_frame_energy(media, frames_per_item=2).collect()}
+    assert rows[0]["rms"] < 1e-9          # silent first half
+    assert rows[1]["rms"] > 0.3           # loud second half
+    assert rows[0]["n_samples"] == 8000
+    # frame sampling goes through the real decode path for WAV (no fake flag)
+    frames = sample_audio_frames(media, frames_per_item=4).collect()
+    assert len(frames) == 4 and len({f["frame_hash"] for f in frames}) >= 2
