@@ -131,6 +131,37 @@ def detect_lang_udf(text: pd.Series) -> pd.Series:
     return text.map(detect_lang_py, na_action="ignore")
 
 
+def detect_lang_expr(text_col):
+    """JVM-expression twin of detect_lang_py — same stopword vote, same
+    tie-break (first max in sorted language order), same <5% 'und'
+    floor — but built from array/filter expressions so it runs inside
+    whole-stage codegen (no Python) AND is mirrorable in plain SQL for
+    the driver's oracle (query doc_lang_id). Parity with the UDF is
+    pytest-pinned."""
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(r"[a-zA-ZÀ-ɏ]+"), 0)
+    n = F.size(toks)
+    def _score(sw):
+        # single-arg lambda: a 2-arg lambda would make Spark bind the
+        # second parameter as the element INDEX
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    scores = {
+        lang: _score(F.array(*[F.lit(w) for w in sorted(_STOPWORDS[lang])]))
+        for lang in sorted(_STOPWORDS)
+    }
+    order = sorted(_STOPWORDS)  # tie-break: earliest code wins
+    best = F.greatest(*scores.values())
+    pick = None
+    for i, lang in enumerate(order):
+        cond = scores[lang] == best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    return (
+        F.when(text_col.isNull(), F.lit(None).cast("string"))
+        .when((n == 0) | (best * 20 < n), F.lit("und"))
+        .otherwise(pick)
+    )
+
+
 @F.pandas_udf(
     T.StructType(
         [T.StructField("text", T.StringType()), T.StructField("lang", T.StringType())]

@@ -1377,6 +1377,46 @@ def state_invariant_checks(spark, sf_dir):
     return frame_checks(visible, "user_id", "ts", tombstones=tombs)
 
 
+def _lang_id_oracle_sql():
+    from dbp_etl_spark.functions.extract import _STOPWORDS
+
+    score_cols = []
+    for lang in sorted(_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
+        )
+    scores = ",\n        ".join(score_cols)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-ZÀ-ɏ]+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n,
+        {scores}
+      FROM t)
+    SELECT doc_id,
+      CASE WHEN n = 0 OR greatest(s_de, s_en, s_es, s_fr) * 20 < n THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS lang_id
+    FROM s
+    """
+
+
+@q("doc_lang_id", _lang_id_oracle_sql())
+def doc_lang_id(spark, sf_dir):
+    """U7 / text analysis — stopword-vote language id as a pure JVM
+    expression (detect_lang_expr), value-checked against a SQL mirror
+    of the identical vote; parity with the pandas-UDF classifier the
+    CDC transform uses is pytest-pinned."""
+    from dbp_etl_spark.functions.extract import detect_lang_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_lang_expr(F.col("text")).alias("lang_id"))
+
+
 # =====================================================================
 # Scalar function gauntlet (F1-F13)
 # =====================================================================

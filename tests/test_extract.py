@@ -92,3 +92,26 @@ def test_determinism_across_batch_shapes():
     s1 = pd.Series([h] * 100).map(extract_text_py)
     s2 = pd.Series([h]).map(extract_text_py)
     assert set(s1) == set(s2)
+
+
+def test_detect_lang_expr_matches_udf(spark):
+    """The JVM-expression language id must agree with the pandas-UDF
+    classifier (same votes, tie-break, und floor) on edge cases."""
+    from pyspark.sql import functions as F
+
+    from dbp_etl_spark.functions.extract import detect_lang_expr, detect_lang_py
+
+    texts = [
+        "the quick brown fox is on the hill and it was there",
+        "der hund und die katze sind in dem haus mit der maus",
+        "le chat et le chien sont dans la maison avec les enfants",
+        "el perro y el gato en la casa con los niños para su madre",
+        "zzz qqq xxx www",      # no stopwords -> und
+        "",                     # no tokens -> und
+        "the der le el",        # 4-way tie at 25% each -> first code wins
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["l"] for r in df.select(detect_lang_expr(F.col("text")).alias("l")).collect()]
+    want = [detect_lang_py(t) for t in texts]
+    assert got == want
