@@ -137,6 +137,17 @@ def bench_default() -> dict:
     extra = {"spark.local.dir": f"{tmpfs}/spark-local"} if tmpfs else {}
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus, extra_conf=extra)
 
+    # warm the session (codegen, parquet reader init) OUTSIDE the
+    # per-query timers so the first query's time is the query, not JVM
+    # warmup (r1 recorded cdc_latest_state at 6.9s of which ~5s was this)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark.range(10000).select(
+        F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+    ).count()
+
     t_all = time.time()
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -6,7 +6,7 @@ Usage (the north-rule invocation shape):
     spark-submit --master <cluster> --py-files /tmp/dbp_etl_spark.zip \
         scripts/submit_cdc_job.py \
         --table /data/pages --events /data/changes [--create] \
-        [--salt-buckets 32] [--lineage global] \
+        [--salt-buckets 32] [--lineage global] [--fuse N] \
         [--synthetic N --urls M --batches K]
 
 Tails the change-event parquet at --events (or generates a
@@ -37,6 +37,12 @@ def main() -> int:
     p.add_argument("--urls", type=int, default=100000)
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--fuse",
+        type=int,
+        default=1,
+        help="group up to N consecutive uncommitted batches per MERGE (group commit)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -90,7 +96,7 @@ def main() -> int:
         lineage_mode=args.lineage,
     )
     t0 = time.time()
-    report = runner.run(changes)
+    report = runner.run(changes, fuse=args.fuse)
     wall = time.time() - t0
     print(
         json.dumps(
