@@ -74,7 +74,12 @@ class CDCRunner:
         self.allow_urls = allow_urls
 
     @staticmethod
-    def stage_by_batch(changes: DataFrame, path: str, batch_col: str = "batch_id") -> DataFrame:
+    def stage_by_batch(
+        changes: DataFrame,
+        path: str,
+        batch_col: str = "batch_id",
+        files_per_batch: int | None = None,
+    ) -> DataFrame:
         """Write the change log hive-partitioned by batch id, re-read it.
 
         ``run`` filters the log once per batch; over an unpartitioned
@@ -85,11 +90,28 @@ class CDCRunner:
         one full pass total (this write) regardless of B. At 10^10
         events, tail sources should be produced in this layout to begin
         with (Kafka-style offset directories); then no staging is needed.
+
+        Each batch is spread over ``files_per_batch`` files (default:
+        the session's core count) via a salt in the repartition key:
+        clustering by batch_id ALONE would funnel a whole batch through
+        one task and one file whose few giant row groups then serialize
+        every downstream scan of that batch — measured as a 4-task merge
+        map stage where 1 task did 100% of the work.
         """
-        changes.repartition(batch_col).write.partitionBy(batch_col).mode(
-            "overwrite"
-        ).parquet(path)
-        return changes.sparkSession.read.parquet(path)
+        spark = changes.sparkSession
+        if files_per_batch is None:
+            files_per_batch = max(spark.sparkContext.defaultParallelism, 8)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in changes.columns]),
+            F.lit(files_per_batch),
+        )
+        (
+            changes.repartition(F.col(batch_col), salt)
+            .write.partitionBy(batch_col)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return spark.read.parquet(path)
 
     def run(
         self, changes: DataFrame, batch_col: str = "batch_id", fuse: int = 1
