@@ -88,3 +88,67 @@ def running_user_totals_stream(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def windowed_event_counts_stream(
+    spark,
+    source_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    The canonical late-data pattern (SURVEY ST2's windowed side):
+    ``withWatermark`` bounds how long window state is kept; events
+    older than (max event time seen - watermark) are dropped instead of
+    growing state forever — the streaming analog of the MERGE path's
+    late-event guard. Append output mode: a window emits exactly once,
+    when the watermark passes its end (exactly-once per window for
+    downstream sinks).
+
+    Source schema: (user_id long, ts timestamp, value double) parquet.
+    Sink: parquet at ``output_path`` (checkpoint-recoverable, unlike
+    the memory sink) with columns window_start, window_end, n_events,
+    total_value. Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -126,3 +126,49 @@ def test_checkpoint_recreate_not_nooped(spark, tmp_path):
     keys2 = [k for k in t.committed_batches() if k.startswith("stream-")]
     assert len(keys2) > len(keys1), "second stream was silently no-oped"
     assert t.state_hash() != h_before, "second stream's data never landed"
+
+
+def test_watermarked_window_drops_late_events(spark, tmp_path):
+    """ST2 windowed side: append-mode tumbling windows emit once the
+    watermark passes; an event arriving behind the watermark is
+    dropped (bounded state), on-time events aggregate normally.
+
+    Two sequential availableNow runs over one checkpoint: run 1 ingests
+    the on-time events and advances event time; run 2 sees only the
+    late file, with run 1's watermark restored from the checkpoint."""
+    from dbp_etl_spark.streaming import windowed_event_counts_stream
+
+    src = str(tmp_path / "wm_src")
+    ck = str(tmp_path / "wm_ck")
+    base = 1_699_999_800  # multiple of 600s: tumbling windows align to epoch
+
+    def batchfile(rows, mode="append"):
+        spark.createDataFrame(rows, "user_id long, t long, value double").select(
+            "user_id", F.timestamp_seconds("t").alias("ts"), "value"
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    batchfile(
+        [
+            (1, base + 60, 1.0),
+            (2, base + 120, 2.0),          # window [base, base+600)
+            (1, base + 700, 3.0),          # window [base+600, base+1200)
+            (1, base + 10_000, 0.5),       # advances max event time
+        ],
+        mode="overwrite",
+    )
+    out = str(tmp_path / "wm_out")
+    q = windowed_event_counts_stream(spark, src, ck, out)
+    q.awaitTermination(120)
+
+    # late event for the first window, far behind the restored
+    # watermark (base+10000 - 1800) -> must be dropped
+    batchfile([(3, base + 61, 100.0)])
+    q2 = windowed_event_counts_stream(spark, src, ck, out)
+    q2.awaitTermination(120)
+
+    emitted = {
+        r["window_start"].timestamp(): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert emitted[float(base)] == (2, 3.0), "late event leaked into the closed window"
+    assert emitted[float(base + 600)] == (1, 3.0)
