@@ -189,3 +189,138 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .select(probe_id, "cid", F.round("cos_sim", 3).alias("cos_sim"))
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations for an IVF coarse quantizer.
+
+    Init: the k lowest-id vectors (deterministic, no RNG). Each
+    iteration: assign every vector to its nearest centroid (broadcast
+    join — centroids are tiny), then average per cell with
+    element-wise aggregation. All JVM-side; one shuffle per iteration
+    (the groupBy). At 100 TB you'd train on a sample — the assignment
+    plan below is the same either way.
+
+    Returns (centroid_id, centroid: array<double>).
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+        .withColumn("centroid_id", F.col("centroid_id") - 1)
+    )
+    for _ in range(iterations):
+        assigned = _assign_nearest(corpus, cents, vec_col)
+        # element-wise mean per cell: explode position, avg, re-collect
+        cents = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("v"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pv"), lambda s: s["v"]).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def _assign_nearest(
+    corpus: DataFrame, cents: DataFrame, vec_col: str
+) -> DataFrame:
+    """Tag every corpus row with the centroid_id of its nearest (by
+    squared L2) centroid — broadcast join + min_by, no shuffle of the
+    corpus."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .groupBy(*corpus.columns)
+        .agg(F.min_by("centroid_id", F.struct(F.col("_d2"), F.col("centroid_id"))).alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    train_iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "qid",
+    probe_vec: str = "qe",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus rows are inverted-listed by
+    nearest coarse centroid; each probe searches only its ``nprobe``
+    nearest cells — the scan shrinks ~nprobe/n_cells, the standard IVF
+    tradeoff. ``train_iterations=0`` keeps the quantizer at its
+    deterministic init (lowest-id vectors), which makes the WHOLE
+    search mirrorable in plain SQL for the driver's oracle; production
+    would train with a few Lloyd iterations (kmeans_centroids,
+    pytest-pinned) — the search plan is identical either way.
+    """
+    cents = kmeans_centroids(
+        corpus, dim, k=n_cells, iterations=train_iterations, id_col=id_col, vec_col=vec_col
+    )
+    listed = _assign_nearest(corpus, cents, vec_col)
+
+    # per probe: its nprobe nearest centroids
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(probe_vec),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy(probe_id).orderBy(F.col("_d2"), F.col("centroid_id"))
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(probe_id, probe_vec, "centroid_id")
+    )
+
+    pairs = (
+        F.broadcast(probe_cells)
+        .join(listed, "centroid_id")
+        .filter(F.col(id_col) != F.col(probe_id))
+        .select(
+            probe_id,
+            F.col(id_col).alias("cid"),
+            cosine(F.col(probe_vec), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id, "cid", F.round("cos_sim", 3).alias("cos_sim"))
+    )

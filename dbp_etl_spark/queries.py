@@ -1417,6 +1417,64 @@ def doc_lang_id(spark, sf_dir):
     return docs.select("doc_id", detect_lang_expr(F.col("text")).alias("lang_id"))
 
 
+def _ann_ivf_oracle_sql(n_cells=8, nprobe=2, k=5, n_probes=5):
+    d2 = (
+        "list_sum(list_transform(list_zip({v}, c.centroid), "
+        "r -> (CAST(r[1] AS DOUBLE) - r[2]) * (CAST(r[1] AS DOUBLE) - r[2])))"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2.format(v="e.embedding")}, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    probe_cells AS (
+      SELECT qid, qe, centroid_id FROM (
+        SELECT p.vec_id AS qid, p.embedding AS qe, c.centroid_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2.format(v="p.embedding")}, c.centroid_id) AS rn
+        FROM embeddings p CROSS JOIN cents c
+        WHERE p.vec_id < {n_probes})
+      WHERE rn <= {nprobe}),
+    pairs AS (
+      SELECT pc.qid, a.vec_id AS cid,
+             list_sum(list_transform(list_zip(pc.qe, a.embedding),
+                                     r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(pc.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cs
+      FROM probe_cells pc JOIN assigned a ON pc.centroid_id = a.centroid_id
+      WHERE a.vec_id <> pc.qid),
+    ranked AS (
+      SELECT qid, cid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn
+      FROM pairs)
+    SELECT qid, cid, round(cs, 3) AS cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@q("ann_ivf_topk", _ann_ivf_oracle_sql())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate nearest neighbors: corpus inverted-listed
+    by nearest coarse centroid, probes search their nprobe=2 nearest
+    of 8 cells. Deterministic quantizer init (lowest-id vectors) makes
+    the whole search value-checkable; trained (Lloyd) centroids are
+    pytest-pinned separately (kmeans_centroids)."""
+    from dbp_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(emb, probes, dim=64, k=5, n_cells=8, nprobe=2, train_iterations=0)
+
+
 # =====================================================================
 # Scalar function gauntlet (F1-F13)
 # =====================================================================

@@ -307,3 +307,38 @@ def test_wav_decode_and_energy_real(spark):
     # frame sampling goes through the real decode path for WAV (no fake flag)
     frames = sample_audio_frames(media, frames_per_item=4).collect()
     assert len(frames) == 4 and len({f["frame_hash"] for f in frames}) >= 2
+
+
+def test_ivf_topk_trained_recall(spark):
+    """IVF with trained centroids: deterministic across partitionings,
+    recall vs brute force reasonable at nprobe=2/8 cells."""
+    import random
+
+    from dbp_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding as qe")
+
+    c1 = {r["centroid_id"]: r["centroid"] for r in kmeans_centroids(corpus, 8, k=4, iterations=2).collect()}
+    c2 = {
+        r["centroid_id"]: r["centroid"]
+        for r in kmeans_centroids(corpus.repartition(7), 8, k=4, iterations=2).collect()
+    }
+    assert c1 == c2, "kmeans must be deterministic across partitionings"
+
+    exact = brute_force_topk(corpus, probes, k=3)
+    approx = ivf_topk(corpus, probes, dim=8, k=3, n_cells=4, nprobe=2, train_iterations=2)
+    exact_set = {(r["qid"], r["cid"]) for r in exact.collect()}
+    approx_set = {(r["qid"], r["cid"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert all(len([1 for q, _ in approx_set if q == p]) == 3 for p in (0, 1, 2))
