@@ -1475,6 +1475,70 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, probes, dim=64, k=5, n_cells=8, nprobe=2, train_iterations=0)
 
 
+def _doc_filter_oracle_sql(min_tokens=10):
+    from dbp_etl_spark.functions.extract import _STOPWORDS
+
+    score_cols = []
+    for lang in sorted(_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
+        )
+    scores = ",\n        ".join(score_cols)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn,
+             regexp_extract_all(lower(text), '[a-zA-ZÀ-ɏ]+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, dup_rn, len(toks) AS n,
+        {scores}
+      FROM base),
+    lang AS (
+      SELECT doc_id, dup_rn, n,
+        CASE WHEN n = 0 OR greatest(s_de, s_en, s_es, s_fr) * 20 < n THEN 'und'
+             ELSE 'known' END AS lang_class
+      FROM s)
+    SELECT doc_id,
+           CASE WHEN dup_rn > 1 THEN 'exact_dup'
+                WHEN n < {min_tokens} THEN 'too_short'
+                WHEN lang_class = 'und' THEN 'lang_und'
+           END AS drop_reason,
+           CAST(dup_rn = 1 AND n >= {min_tokens} AND lang_class <> 'und' AS BOOLEAN) AS keep
+    FROM lang
+    """
+
+
+@q("doc_filter_pipeline", _doc_filter_oracle_sql())
+def doc_filter_pipeline(spark, sf_dir):
+    """Composed training-data filter chain — the keep/drop decision a
+    corpus pipeline applies before tokenization: exact-dup keeper
+    (min doc_id per content hash), minimum length, language known.
+    One pass: a content-hash window + pure expressions; each doc gets
+    (keep, drop_reason) with first-failing-reason semantics."""
+    from dbp_etl_spark.functions.extract import detect_lang_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-zA-ZÀ-ɏ]+"), 0)
+    d = (
+        docs.withColumn("dup_rn", F.row_number().over(w))
+        .withColumn("n", F.size(toks))
+        .withColumn("lang_id", detect_lang_expr(F.col("text")))
+    )
+    reason = (
+        F.when(F.col("dup_rn") > 1, "exact_dup")
+        .when(F.col("n") < 10, "too_short")
+        .when(F.col("lang_id") == "und", "lang_und")
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 # =====================================================================
 # Scalar function gauntlet (F1-F13)
 # =====================================================================
