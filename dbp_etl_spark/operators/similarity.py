@@ -243,23 +243,35 @@ def _assign_nearest(
     corpus: DataFrame, cents: DataFrame, vec_col: str
 ) -> DataFrame:
     """Tag every corpus row with the centroid_id of its nearest (by
-    squared L2) centroid — broadcast join + min_by, no shuffle of the
-    corpus."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centroid"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    squared L2) centroid. The centroid table is tiny and bounded (k
+    rows), so it is collected and inlined as literals: assignment
+    becomes a pure map-side projection — ZERO shuffle of the corpus,
+    which is what keeps IVF assignment viable over 100 TB. (A
+    broadcast-join + per-row-group-by alternative re-shuffles the
+    whole corpus including vectors — measurably the wrong plan.)
+
+    Tie-break: smallest centroid_id (array_min over (d2, id) structs
+    orders lexicographically)."""
+    rows = cents.orderBy("centroid_id").collect()  # bounded: k centroids
+
+    def d2(centroid: list) -> "Column":
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.lit(centroid),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    candidates = F.array(
+        *[
+            F.struct(d2(list(r["centroid"])).alias("d"), F.lit(int(r["centroid_id"])).alias("c"))
+            for r in rows
+        ]
     )
-    return (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("_d2", d2)
-        .groupBy(*corpus.columns)
-        .agg(F.min_by("centroid_id", F.struct(F.col("_d2"), F.col("centroid_id"))).alias("centroid_id"))
-    )
+    return corpus.withColumn("centroid_id", F.array_min(candidates)["c"])
 
 
 def ivf_topk(

@@ -130,3 +130,18 @@ def test_global_sequence_scalable_avoids_single_partition_sort(spark):
     assert sorted(map(tuple, out.select("k", "seq").collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """IVF cell assignment must not shuffle the corpus: centroids are
+    inlined as literals, so the plan has ZERO exchanges."""
+    from dbp_etl_spark.operators.similarity import _assign_nearest, kmeans_centroids
+
+    corpus = spark.range(100).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), i -> cast(pmod(id * i, 7) as float)) as embedding",
+    )
+    cents = kmeans_centroids(corpus, 8, k=4, iterations=0)
+    assigned = _assign_nearest(corpus, cents, "embedding")
+    assert count_exchanges(assigned) == 0
+    assert assigned.count() == 100
