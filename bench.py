@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "scalar_gauntlet",
     "doc_token_stats",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "doc_filter_pipeline",
 ]
 
 # 2 batches of 500k events: production-representative batch size while
