@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 _RN = "_dedup_rn"
 _SALT = "_dedup_salt"
+_HASH = "_dedup_h"
 
 
 def dedup_latest(
@@ -39,25 +40,29 @@ def dedup_latest(
     variant; both phases use the same total order, so salted == unsalted.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    order_by = list(order_by) + [
-        F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).asc()
-    ]
+    # ONE full-row hash serves both roles: the salt (h mod buckets) and
+    # the total-order tiebreak (h itself). The salt being a function of
+    # the tiebreak keeps the two-phase result identical to the unsalted
+    # window for any event shape (rows tied on the caller's order AND
+    # on h are byte-identical up to hash collision).
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    df = df.withColumn(_HASH, row_hash)
+    order_by = list(order_by) + [F.col(_HASH).asc()]
     if salt_buckets and salt_buckets > 1:
-        # salt from a hash of all columns: deterministic, spreads a hot
-        # key's events across salt_buckets reducers in phase 1
-        salted = df.withColumn(
-            _SALT,
-            F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]), F.lit(salt_buckets)),
-        )
+        # salt spreads a hot key's events across salt_buckets reducers
+        salted = df.withColumn(_SALT, F.pmod(F.col(_HASH), F.lit(salt_buckets)))
         w1 = Window.partitionBy(*keys, _SALT).orderBy(*order_by)
-        phase1 = (
+        df = (
             salted.withColumn(_RN, F.row_number().over(w1))
             .filter(F.col(_RN) == 1)
             .drop(_RN, _SALT)
         )
-        df = phase1
     w2 = Window.partitionBy(*keys).orderBy(*order_by)
-    return df.withColumn(_RN, F.row_number().over(w2)).filter(F.col(_RN) == 1).drop(_RN)
+    return (
+        df.withColumn(_RN, F.row_number().over(w2))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN, _HASH)
+    )
 
 
 def cdc_order(ts_col: str = "warc_ts", op_col: str = "op", payload_col: str = "html") -> list[Column]:
