@@ -65,17 +65,31 @@ def dedup_latest(
     )
 
 
-def cdc_order(ts_col: str = "warc_ts", op_col: str = "op", payload_col: str = "html") -> list[Column]:
+def cdc_order(
+    ts_col: str = "warc_ts",
+    op_col: str = "op",
+    payload_col: str = "html",
+    batch_col: str | None = None,
+) -> list[Column]:
     """Total order for CDC events of one url: latest warc_ts first; ties
     broken by delete-beats-write (a tombstone issued at the same instant
-    as a write wins) then payload hash. This order is chosen to be
-    *batch-split invariant*: applying a log as one batch or as many
-    batches yields the same final state, because the cross-batch merge
-    guards (late-event suppression, tombstone precedence, payload-hash
-    tiebreak in merge.py) realize exactly the same total order."""
+    as a write wins) then payload hash, then EARLIEST batch. This order
+    is chosen to be *batch-split invariant*: applying a log as one
+    batch or as many batches yields the same final state, because the
+    cross-batch merge guards (late-event suppression, tombstone
+    precedence, payload-hash tiebreak, equal-everything keeps the
+    already-applied row — merge.py) realize exactly the same total
+    order. The ``batch_col`` tiebreak is what aligns the fused
+    (multi-batch) dedup with the per-batch path: events fully tying on
+    (ts, op, payload) resolve to the earliest batch's row, exactly as
+    per-batch apply would (the later batch's equal event no-ops against
+    the applied state)."""
     is_delete = F.when(F.col(op_col) == "delete", 1).otherwise(0)
-    return [
+    order = [
         F.col(ts_col).desc(),
         is_delete.desc(),
         F.md5(F.col(payload_col)).desc_nulls_last(),
     ]
+    if batch_col is not None:
+        order.append(F.col(batch_col).asc_nulls_last())
+    return order

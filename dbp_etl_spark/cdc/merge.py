@@ -151,7 +151,12 @@ def merge_batch(
     # --- dedup: one event per url, latest warc_ts wins (salted).
     # Left lazy: it materializes exactly once, inside the (persisted)
     # merge join below.
-    src = dedup_latest(valid, key, cdc_order(), salt_buckets=salt_buckets)
+    # batch_id tiebreak keeps fused (multi-batch) dedup byte-identical
+    # to per-batch apply for events tying on (ts, op, payload)
+    batch_tiebreak = "batch_id" if "batch_id" in valid.columns else None
+    src = dedup_latest(
+        valid, key, cdc_order(batch_col=batch_tiebreak), salt_buckets=salt_buckets
+    )
 
     # --- candidate buckets from the RAW batch keys (file pruning):
     # a map-side-combined distinct over <= num_buckets values — far

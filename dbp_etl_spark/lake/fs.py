@@ -11,9 +11,11 @@ state lives in object storage, /root/reference/load/S3Utility.py:62-91,
 Two implementations behind one duck-typed surface:
 
 * ``LocalFS`` — plain POSIX for plain paths. Pointer publish is
-  ``os.replace`` (atomic); manifest creation is ``open(path, "x")``
-  (O_EXCL), so two racing writers of the same snapshot id cannot both
-  succeed — the second gets ``FileExistsError``.
+  ``os.replace`` (atomic); manifest creation is tmp-write+fsync then
+  ``os.link`` (atomic, complete-or-absent, exclusive), so two racing
+  writers of the same snapshot id cannot both succeed — the second
+  gets ``FileExistsError`` — and a crash mid-write leaves no partial
+  manifest.
 * ``HadoopFS`` — routes through ``spark._jvm``'s
   ``org.apache.hadoop.fs.FileSystem``, so the root may be ``hdfs://``,
   ``s3a://``, ``gs://``, ``abfs://``, or ``file:``. Exclusive create
@@ -64,11 +66,20 @@ class LocalFS(Filesystem):
         os.replace(tmp, path)
 
     def create_text_exclusive(self, path: str, content: str) -> None:
-        """O_EXCL create: raises FileExistsError if path exists."""
-        with open(path, "x") as f:
+        """Atomic complete-or-absent exclusive create: the content is
+        fully written+fsynced to a tmp name, then hard-linked into
+        place. link() fails if the path exists (exclusivity) and the
+        visible file is never partial (a crash mid-write leaves only
+        the tmp). Raises FileExistsError if path exists."""
+        tmp = f"{path}.new.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             f.write(content)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
 
     def list_names(self, path: str) -> list[str]:
         return sorted(os.listdir(path))
@@ -114,27 +125,48 @@ class HadoopFS(Filesystem):
     def write_text(self, path: str, content: str) -> None:
         """Write to a tmp name, then rename over the destination.
 
-        Atomic on HDFS (rename is a metadata op); on object stores the
-        rename is copy+delete, so the pointer swap is best-effort —
-        single-writer discipline applies there.
+        Uses FileContext's overwrite-rename, which is a single atomic
+        metadata op on HDFS (readers see old or new, never absent). If
+        FileContext is unavailable for the scheme, falls back to
+        delete+rename — NOT atomic, so on such stores the pointer swap
+        is best-effort and single-writer discipline applies.
         """
         tmp = self._p(f"{path}.tmp.{uuid.uuid4().hex}")
         self._write_stream(tmp, content, overwrite=True)
         dst = self._p(path)
-        if self._fs.exists(dst):
-            self._fs.delete(dst, False)
-        if not self._fs.rename(tmp, dst):
-            raise IOError(f"rename {tmp} -> {dst} failed")
+        try:
+            jvm = self._jvm
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri())
+            overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            arr = jvm.java.lang.reflect.Array.newInstance(overwrite.getClass(), 1)
+            arr[0] = overwrite
+            fc.rename(tmp, dst, arr)
+        except Exception:
+            # scheme without FileContext support: non-atomic fallback
+            if self._fs.exists(dst):
+                self._fs.delete(dst, False)
+            if not self._fs.rename(tmp, dst):
+                raise IOError(f"rename {tmp} -> {dst} failed")
 
     def create_text_exclusive(self, path: str, content: str) -> None:
+        """Write fully to a tmp name, then no-overwrite rename into
+        place: atomic complete-or-absent on HDFS (rename to an existing
+        destination fails), check-then-act on S3A."""
         from py4j.protocol import Py4JJavaError
 
+        dst = self._p(path)
+        tmp = self._p(f"{path}.new.{uuid.uuid4().hex}")
+        self._write_stream(tmp, content, overwrite=True)
         try:
-            self._write_stream(self._p(path), content, overwrite=False)
-        except Py4JJavaError as e:  # FileAlreadyExistsException and kin
+            ok = self._fs.rename(tmp, dst)
+        except Py4JJavaError as e:
             if "xists" in str(e):
+                self._fs.delete(tmp, False)
                 raise FileExistsError(path) from e
             raise
+        if not ok:
+            self._fs.delete(tmp, False)
+            raise FileExistsError(path)
 
     def list_names(self, path: str) -> list[str]:
         statuses = self._fs.listStatus(self._p(path))

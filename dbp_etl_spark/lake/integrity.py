@@ -78,12 +78,30 @@ def state_checks(table, lineage: DataFrame | None = None) -> DataFrame:
 
     if lineage is not None:
         ledger = table.committed_batches()
-        exp_rows = [
-            (str(b), a, int(n))
-            for b, ent in ledger.items()
-            for a, n in (ent.get("counts") or {}).items()
-            if a in MUTATING_ACTIONS
-        ]
+        # fused group commits record the GROUP's counts under every
+        # member id (same snapshot_id); the lineage side-output keys the
+        # group by its joined label ("1,2,3"). Reconstruct that label by
+        # grouping ledger entries per snapshot so fused runs reconcile
+        # instead of producing guaranteed false mismatches.
+        by_snap: dict = {}
+        for b, ent in ledger.items():
+            by_snap.setdefault(ent.get("snapshot_id"), []).append((b, ent))
+
+        def _order(bid: str):
+            try:
+                return (0, int(bid), bid)
+            except ValueError:
+                return (1, 0, bid)
+
+        exp_rows = []
+        for members in by_snap.values():
+            label = ",".join(sorted((b for b, _ in members), key=_order))
+            counts = members[0][1].get("counts") or {}
+            exp_rows.extend(
+                (label, a, int(n))
+                for a, n in counts.items()
+                if a in MUTATING_ACTIONS
+            )
         spark = table.spark
         exp = spark.createDataFrame(
             exp_rows, "batch_id string, action string, expected long"

@@ -5,9 +5,11 @@ reference's transactional apply unit (one SQL transaction per fileset,
 /root/reference/load/SQLBatchExec.py:168-213) and run ledger
 (/root/reference/load/RunStatus.py:28-48), generalized to a lake table:
 
-* **Atomic snapshot commit** — a manifest JSON is written, then a
-  single ``os.replace`` swings the VERSION pointer. Readers see either
-  the old or the new snapshot, never a torn state.
+* **Atomic snapshot commit** — the exclusive, complete-or-absent
+  create of the manifest ``v{N}.json`` is the commit point (WAL
+  style); the VERSION pointer then swings atomically. Readers see
+  either the old or the new snapshot, never a torn state, and a crash
+  between manifest and pointer is rolled forward by ``load()``.
 * **Idempotent batch ledger** — every commit carries a ``batch_id``;
   re-applying an already-committed batch is a no-op (the reference's
   rerun-produces-empty-diff property, made structural).
@@ -28,10 +30,10 @@ Layout under ``root/``::
 Concurrency: single writer per table (the reference applies batches
 serially, /root/reference/load/DBPLoadController.py:118-141; SURVEY
 ST6). Commits are guarded by a compare-and-swap: the snapshot manifest
-``v{N}.json`` is created with exclusive-create semantics (O_EXCL local,
-``FileSystem.create(overwrite=False)`` on Hadoop FS), so of two racing
-writers holding the same parent snapshot exactly one wins — the loser
-gets CommitConflict. On S3A exclusive create is check-then-act, so
+``v{N}.json`` is created with atomic exclusive-create semantics
+(tmp+hardlink locally, tmp+no-overwrite-rename on Hadoop FS), so of
+two racing writers holding the same parent snapshot exactly one wins —
+the loser gets CommitConflict. On S3A rename is not atomic, so
 single-writer discipline still applies there.
 
 Storage: all metadata IO goes through ``lake/fs.py`` — the root may be
@@ -125,7 +127,15 @@ class LakeTable:
     def load(cls, spark: SparkSession, root: str) -> "LakeTable":
         fs = fs_for(root, spark)
         snap = int(fs.read_text(os.path.join(root, _META, "VERSION")).strip())
-        manifest = json.loads(fs.read_text(os.path.join(root, _META, f"v{snap}.json")))
+        # roll forward: a manifest whose pointer write was interrupted
+        # is still committed (the exclusive manifest create is the
+        # commit point; manifests are atomically complete-or-absent)
+        rolled = snap
+        while fs.exists(os.path.join(root, _META, f"v{rolled + 1}.json")):
+            rolled += 1
+        if rolled != snap:
+            fs.write_text(os.path.join(root, _META, "VERSION"), str(rolled))
+        manifest = json.loads(fs.read_text(os.path.join(root, _META, f"v{rolled}.json")))
         return cls(spark, root, manifest, fs=fs)
 
     @classmethod
@@ -282,13 +292,16 @@ class LakeTable:
         return entries
 
     def _commit(self, new_manifest: dict) -> "LakeTable":
-        """Compare-and-swap the VERSION pointer to the new snapshot.
+        """Commit via exclusive manifest create (the WAL-style commit
+        point), then swing the VERSION pointer.
 
-        Two guards: (1) the snapshot check below catches a writer whose
-        handle is stale; (2) the manifest itself is created with
-        exclusive-create semantics, so two writers that BOTH pass (1)
-        concurrently still cannot both publish v{N}.json — the second
-        create fails and surfaces as CommitConflict (no lost update).
+        Guards: (1) the snapshot check below fast-fails a stale handle;
+        (2) the exclusive create of v{N}.json is the actual arbiter —
+        two writers that both pass (1) cannot both publish; the loser
+        gets CommitConflict (no lost update). A complete manifest IS a
+        committed snapshot: its data files are written and its ledger
+        entry rides inside it, so a crash before the pointer write
+        loses nothing — load() rolls the pointer forward.
         """
         meta = os.path.join(self.root, _META)
         head = int(self._fs.read_text(os.path.join(meta, "VERSION")).strip())
@@ -302,8 +315,12 @@ class LakeTable:
                 os.path.join(meta, f"v{snap_id}.json"), json.dumps(new_manifest, indent=1)
             )
         except FileExistsError:
+            # v{N}.json already exists: another writer (completed, or a
+            # crashed attempt whose pointer write never landed — load()
+            # rolls such commits forward) won this snapshot id. The
+            # exclusive create IS the commit point, so this handle lost.
             raise CommitConflict(
-                f"snapshot {snap_id} already published by a concurrent writer"
+                f"snapshot {snap_id} already published (reload to adopt it)"
             ) from None
         self._fs.write_text(os.path.join(meta, "VERSION"), str(snap_id))
         self.manifest = new_manifest

@@ -275,7 +275,11 @@ def audio_frame_energy(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list] = {"media_id": [], "frame_idx": [], "rms": [], "n_samples": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                samples, _ = decode_wav(bytes(content))
+                # empty/NULL payload -> windows of zero energy, no crash
+                if content is None or len(content) == 0:
+                    samples = np.zeros(0)
+                else:
+                    samples, _ = decode_wav(bytes(content))
                 step = max(len(samples) // frames_per_item, 1)
                 for i in range(frames_per_item):
                     win = samples[i * step : (i + 1) * step]

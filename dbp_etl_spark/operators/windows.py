@@ -157,13 +157,22 @@ def assign_global_sequence(
         r["_ck"]: r["n"]
         for r in df.groupBy(coarse_key.alias("_ck")).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # a NULL coarse key is one bucket; it sorts FIRST to mirror Spark's
+    # nulls-first default in the naive ORDER BY form
     offsets, acc = {}, 0
-    for ck in sorted(counts):
+    for ck in sorted(counts, key=lambda x: (x is not None, x)):
         offsets[ck] = acc
         acc += counts[ck]
-    mapping = F.create_map(
-        *[x for ck, off in offsets.items() for x in (F.lit(ck), F.lit(off))]
-    )
+    null_off = offsets.pop(None, None)
+    if offsets:
+        mapping = F.create_map(
+            *[x for ck, off in offsets.items() for x in (F.lit(ck), F.lit(off))]
+        )
+        off_expr = mapping[F.col("_ck")]
+    else:
+        off_expr = F.lit(None).cast("long")
+    if null_off is not None:
+        off_expr = F.when(F.col("_ck").isNull(), F.lit(null_off)).otherwise(off_expr)
     return d.withColumn(
-        seq_col, (mapping[F.col("_ck")] + F.col("_lrn")).cast("long")
+        seq_col, (off_expr + F.col("_lrn")).cast("long")
     ).drop("_ck", "_lrn")

@@ -1377,7 +1377,10 @@ def state_invariant_checks(spark, sf_dir):
     return frame_checks(visible, "user_id", "ts", tombstones=tombs)
 
 
-def _lang_id_oracle_sql():
+def _stopword_scores_sql() -> str:
+    """Shared SQL fragment: per-language stopword hit counts over a
+    `toks` list column — the single mirror of detect_lang's vote used
+    by every lang-dependent oracle (no drift between them)."""
     from dbp_etl_spark.functions.extract import _STOPWORDS
 
     score_cols = []
@@ -1386,7 +1389,11 @@ def _lang_id_oracle_sql():
         score_cols.append(
             f"len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
         )
-    scores = ",\n        ".join(score_cols)
+    return ",\n        ".join(score_cols)
+
+
+def _lang_id_oracle_sql():
+    scores = _stopword_scores_sql()
     return f"""
     WITH t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-ZÀ-ɏ]+') AS toks
@@ -1476,15 +1483,7 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def _doc_filter_oracle_sql(min_tokens=10):
-    from dbp_etl_spark.functions.extract import _STOPWORDS
-
-    score_cols = []
-    for lang in sorted(_STOPWORDS):
-        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
-        score_cols.append(
-            f"len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
-        )
-    scores = ",\n        ".join(score_cols)
+    scores = _stopword_scores_sql()
     return f"""
     WITH base AS (
       SELECT doc_id, text,

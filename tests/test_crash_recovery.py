@@ -85,3 +85,37 @@ def test_torn_version_pointer_impossible(spark, tmp_path):
                 m = json.load(f)
             assert m["snapshot_id"] == i
     assert head == t.snapshot_id
+
+
+def test_crash_between_manifest_and_pointer_recovers(spark, tmp_path, monkeypatch):
+    """A crash AFTER v{N}.json is created but BEFORE the VERSION pointer
+    swings must not brick the table: the manifest create IS the commit
+    point, so load() rolls the pointer forward and the batch is simply
+    committed — a retry no-ops (exactly-once preserved)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t2"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    events = generate_changes(spark, 400, 40, n_batches=1, seed=3)
+    real_write = t._fs.write_text
+
+    def boom(path, content):
+        if path.endswith("VERSION"):
+            raise RuntimeError("simulated crash before pointer write")
+        real_write(path, content)
+
+    monkeypatch.setattr(t._fs, "write_text", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_batch(t, events, 0)
+    monkeypatch.undo()
+
+    # v1.json exists; load() rolls the pointer forward: committed
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.snapshot_id == 1
+    assert t2.is_committed(0)
+    # retry no-ops (ledger), state matches a clean run
+    assert merge_batch(t2, events, 0).skipped
+    t_clean = LakeTable.create(
+        spark, str(tmp_path / "clean2"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    merge_batch(t_clean, events, 0)
+    assert t2.state_hash() == t_clean.state_hash()

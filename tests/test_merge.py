@@ -402,3 +402,43 @@ def test_fused_apply_matches_per_batch(spark, tmp_path):
     CDCRunner(t3).run(events.filter(F.col("batch_id") == 0))
     CDCRunner(t3).run(events, fuse=3)
     assert t3.state_hash() == t1.state_hash()
+
+
+def test_fused_equal_ts_extra_column_tie_matches_per_batch(spark, tmp_path):
+    """Events tying on (url, ts, op, html) but differing in an EXTRA
+    payload column across batches: per-batch apply keeps the earliest
+    batch's row (later equal event no-ops); fused dedup must pick the
+    same winner via the batch-id tiebreak in cdc_order."""
+    rows = [
+        ("u1", 100, b"<p>same</p>", "insert", "author_a", 0),
+        ("u1", 100, b"<p>same</p>", "insert", "author_b", 1),
+        ("u2", 100, b"<p>x</p>", "insert", "author_c", 0),
+    ]
+    ev2 = spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string, author string, batch_id long"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "author", "batch_id")
+
+    from dbp_etl_spark.cdc import CDCRunner
+
+    t_seq = mk_table(spark, tmp_path, "seq")
+    CDCRunner(t_seq).run(ev2)
+    t_fused = mk_table(spark, tmp_path, "fusedtie")
+    CDCRunner(t_fused).run(ev2, fuse=2)
+    assert t_seq.state_hash() == t_fused.state_hash()
+    a = {r["url"]: r["author"] for r in t_fused.read().collect()}
+    assert a["u1"] == "author_a"  # earliest batch won the full tie
+
+
+def test_fused_lineage_reconciles_with_ledger(spark, tmp_path):
+    """state_checks' ledger reconciliation must hold for fused runs:
+    group counts keyed by the joined batch label."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+    from dbp_etl_spark.lake.integrity import state_checks
+
+    events = generate_changes(spark, 1200, 60, n_batches=3, seed=8)
+    t = mk_table(spark, tmp_path, "fusedlin")
+    runner = CDCRunner(t, lineage_path=str(tmp_path / "flin"), lineage_mode="per_bucket")
+    runner.run(events, fuse=3)
+    rep = {r["check"]: r["n_violations"] for r in state_checks(t, runner.lineage()).collect()}
+    assert rep["lineage_ledger_mismatch"] == 0
+    assert rep["dup_visible_key"] == 0

@@ -342,3 +342,31 @@ def test_ivf_topk_trained_recall(spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     assert all(len([1 for q, _ in approx_set if q == p]) == 3 for p in (0, 1, 2))
+
+
+def test_assign_global_sequence_null_coarse_key(spark):
+    """NULL coarse-key rows form one bucket sorting FIRST (mirrors the
+    naive window's nulls-first default) instead of crashing."""
+    from pyspark.sql import Window
+
+    from dbp_etl_spark.operators.windows import assign_global_sequence
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("b1", 3), ("b2", 4)], "ck string, k long"
+    )
+    out = assign_global_sequence(df, ["ck", "k"], coarse_key=F.col("ck"))
+    naive = df.select(
+        "k", F.row_number().over(Window.orderBy("ck", "k")).cast("long").alias("seq")
+    )
+    assert sorted(map(tuple, out.select("k", "seq").collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_audio_energy_null_payload(spark):
+    """A NULL audio payload yields zero-energy windows, not a crash."""
+    from dbp_etl_spark.operators.multimodal import audio_frame_energy
+
+    media = spark.createDataFrame([(9, None)], "media_id long, content binary")
+    rows = audio_frame_energy(media, frames_per_item=2).collect()
+    assert len(rows) == 2 and all(r["rms"] == 0.0 and r["n_samples"] == 0 for r in rows)
