@@ -288,7 +288,17 @@ def merge_batch(
         # into the partitioned parquet write with NO post-UDF exchange.
         # (A shuffle placed after an Arrow UDF oversubscribes the box —
         # python workers + shuffle writers — and measurably anti-scales.)
-        n_part = max(len(dirty), 1)
+        # partition count: clustering by _bucket is required (the write
+        # is partitionBy(_bucket); multiple buckets per partition still
+        # write correctly — split by directory). One partition per
+        # dirty bucket is right while buckets ~ a few x cores (wave
+        # slack balances skewed buckets — measured faster than exactly
+        # #cores partitions), but at the 4096-bucket design point on a
+        # small cluster it would over-fragment the Arrow UDF stage into
+        # thousands of tiny python tasks, so cap at 4x parallelism.
+        n_part = max(
+            1, min(len(dirty), 4 * table.spark.sparkContext.defaultParallelism)
+        )
 
         carried = in_dirty.filter(F.col("_action").isin("keep", "late", "noop")).select(
             F.col(key),
