@@ -127,6 +127,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
@@ -134,8 +135,12 @@ def embedding_neardup_pairs(
     bucket — near-identical vectors almost surely do for small
     n_planes), then exact cosine verification. Self-join is bucketed:
     no cross product. Recall/cost tradeoff via n_planes, as in
-    lsh_bucketed_topk."""
-    c = corpus.withColumn("bkt", _hyperplane_sketch(F.col(vec_col), dim, n_planes, seed))
+    lsh_bucketed_topk. ``planes="formula"`` uses the
+    oracle-reproducible sketch."""
+    if planes == "formula":
+        c = corpus.withColumn("bkt", _formula_sketch(F.col(vec_col), dim, n_planes))
+    else:
+        c = corpus.withColumn("bkt", _hyperplane_sketch(F.col(vec_col), dim, n_planes, seed))
     a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bkt")
     b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bkt")
     return (

@@ -1225,10 +1225,22 @@ def simhash_fingerprints(spark, sf_dir):
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
-@q(
-    "embedding_neardup",
-    """
-    WITH pairs AS (
+def _embedding_neardup_oracle_sql(n_planes=4, dim=64, threshold=0.4):
+    def dot(p, v):
+        return (
+            f"list_sum(list_transform(list_zip({v}, generate_series(0, "
+            f"{dim - 1})), r -> CAST(r[1] AS DOUBLE) * (((73 * r[2] + 37 * {p}) % 97) - 48)))"
+        )
+
+    def bits(v):
+        return " || ".join(
+            f"(CASE WHEN {dot(p, v)} >= 0 THEN '1' ELSE '0' END)" for p in range(n_planes)
+        )
+
+    return f"""
+    WITH sk AS (
+      SELECT vec_id, embedding, {bits("embedding")} AS bkt FROM embeddings),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(
                list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1236,28 +1248,22 @@ def simhash_fingerprints(spark, sf_dir):
                / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                4) AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.label = b.label)
-    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
-    """,
-)
+      FROM sk a JOIN sk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+    SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+@q("embedding_neardup", _embedding_neardup_oracle_sql())
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs. For the oracle comparison the
-    candidate set is label-blocked (deterministic); the production
-    operator (embedding_neardup_pairs) uses the hyperplane-LSH
-    blocking instead — same verify math."""
-    from dbp_etl_spark.operators.similarity import cosine
+    """Embedding-cosine near-dup pairs via the PRODUCTION shape:
+    hyperplane-sketch bucketed self-join (no cross product) + exact
+    cosine verify. Formula planes make the buckets — and therefore the
+    full candidates->verify pipeline — re-derivable by the oracle."""
+    from dbp_etl_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= 0.4)
+    return embedding_neardup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=4, planes="formula"
     )
 
 
