@@ -165,3 +165,59 @@ def test_read_xml_dim_file(spark, tmp_path):
     assert rows[1]["name"] == "alpha & beta"
     assert rows[2]["region"] == 1
     assert df.schema["key"].dataType.simpleString() == "bigint"
+
+
+def test_xml_and_json_dim_readers_agree(spark, tmp_path):
+    """Differential reader test (reference analog: stage-B XML vs
+    stage-C DB readers compared field by field,
+    /root/reference/load/TestLanguageReaderStage.py:7-40): the same
+    dimension serialized as XML and as JSON lines must load
+    identically through the two readers."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.sources.readers import read_xml_dim
+
+    records = [
+        {"key": 1, "name": "alpha & beta", "region": 0, "note": "n1"},
+        {"key": 2, "name": "gamma", "region": 1, "note": None},
+        {"key": 3, "name": "delta <tag>", "region": 0, "note": "n3"},
+    ]
+
+    def esc(v):
+        return (
+            str(v).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    xml_parts = ["<records>"]
+    for r in records:
+        fields = "".join(
+            f"<{k}>{esc(v)}</{k}>" for k, v in r.items() if v is not None
+        )
+        xml_parts.append(f"<record>{fields}</record>")
+    xml_parts.append("</records>")
+    xml_dir = tmp_path / "xml"
+    xml_dir.mkdir()
+    (xml_dir / "dim.xml").write_text("".join(xml_parts))
+
+    json_dir = tmp_path / "jsonl"
+    json_dir.mkdir()
+    (json_dir / "dim.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in records)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("region", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    from_xml = read_xml_dim(spark, str(xml_dir), schema=schema)
+    from_json = spark.read.schema(schema).json(str(json_dir))
+    rows_xml = sorted(map(tuple, from_xml.collect()))
+    rows_json = sorted(map(tuple, from_json.collect()))
+    assert rows_xml == rows_json
+    assert rows_xml[0][1] == "alpha & beta" and rows_xml[2][1] == "delta <tag>"
