@@ -1544,6 +1544,34 @@ def doc_filter_pipeline(spark, sf_dir):
     )
 
 
+@q(
+    "doc_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 3) AS bpe_per_word
+    FROM documents
+    """,
+)
+def doc_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenizer count: the GPT-2-ish split into
+    optionally-space-prefixed letter runs / digit runs / punctuation
+    runs — the cheap token-budget estimator a training pipeline applies
+    before real BPE. Pure regexp, whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+    n_ws = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 3).alias("bpe_per_word"),
+    )
+
+
 # =====================================================================
 # Scalar function gauntlet (F1-F13)
 # =====================================================================
