@@ -104,6 +104,7 @@ def merge_batch(
     salt_buckets: int = 16,
     lineage: str = "per_bucket",
     candidates: list[int] | None = None,
+    batch_col: str = "batch_id",
 ) -> MergeResult:
     """Apply one change batch to the table: exactly-once, atomic.
 
@@ -127,6 +128,13 @@ def merge_batch(
     if table.is_committed(batch_id):
         return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=table.snapshot_id)
 
+    summary_base: dict = {}
+    if isinstance(batch_id, (list, tuple)):
+        # the exact label the runner uses for the group's lineage rows:
+        # recorded in every member's ledger entry so reconciliation
+        # (lake/integrity.py) can join the two artifacts precisely
+        summary_base["fused_group"] = ",".join(str(b) for b in batch_id)
+
     debug = os.environ.get("MERGE_DEBUG_TIMING")
     _t = time.time()
 
@@ -140,8 +148,10 @@ def merge_batch(
     key = table.key
     valid, dead = split_deadletter(batch)
 
-    # --- schema evolution driven by the batch: extra payload columns ---
-    extra_cols = [c for c in valid.columns if c not in CORE_COLS]
+    # --- schema evolution driven by the batch: extra payload columns
+    # (the batch-grouping column, whatever its name, is transport
+    # metadata — never part of table state) ---
+    extra_cols = [c for c in valid.columns if c not in CORE_COLS and c != batch_col]
     schema_names = table.schema.names()
     for c in extra_cols:
         if c not in schema_names:
@@ -151,9 +161,9 @@ def merge_batch(
     # --- dedup: one event per url, latest warc_ts wins (salted).
     # Left lazy: it materializes exactly once, inside the (persisted)
     # merge join below.
-    # batch_id tiebreak keeps fused (multi-batch) dedup byte-identical
+    # batch-order tiebreak keeps fused (multi-batch) dedup byte-identical
     # to per-batch apply for events tying on (ts, op, payload)
-    batch_tiebreak = "batch_id" if "batch_id" in valid.columns else None
+    batch_tiebreak = batch_col if batch_col in valid.columns else None
     src = dedup_latest(
         valid, key, cdc_order(batch_col=batch_tiebreak), salt_buckets=salt_buckets
     )
@@ -171,7 +181,9 @@ def merge_batch(
     _mark("candidates")
     if not cand:
         empty = table.read().limit(0)
-        table.overwrite_buckets(empty, [], batch_id, summary={"empty_batch": True})
+        table.overwrite_buckets(
+            empty, [], batch_id, summary={**summary_base, "empty_batch": True}
+        )
         return MergeResult(
             batch_id=batch_id,
             counts={},
@@ -263,6 +275,7 @@ def merge_batch(
             dirty = list(cand)  # single-pass mode rewrites all candidates
 
         summary = {
+            **summary_base,
             "counts": counts,
             "max_warc_ts": max_ts.isoformat() if max_ts else None,
             "dirty_buckets": dirty,

@@ -206,6 +206,7 @@ class CDCRunner:
             salt_buckets=self.salt_buckets,
             lineage=self.lineage_mode,
             candidates=cand,
+            batch_col=batch_col,
         )
         self._side_outputs(res)
         report.results.append(res)

@@ -97,7 +97,8 @@ class HadoopFS(Filesystem):
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
         self._Path = self._jvm.org.apache.hadoop.fs.Path
-        self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(root).getFileSystem(self._conf)
 
     def _p(self, path: str):
         return self._Path(path)
@@ -134,39 +135,43 @@ class HadoopFS(Filesystem):
         tmp = self._p(f"{path}.tmp.{uuid.uuid4().hex}")
         self._write_stream(tmp, content, overwrite=True)
         dst = self._p(path)
+        jvm = self._jvm
         try:
-            jvm = self._jvm
-            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri())
-            overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-            arr = jvm.java.lang.reflect.Array.newInstance(overwrite.getClass(), 1)
-            arr[0] = overwrite
-            fc.rename(tmp, dst, arr)
-        except Exception:
+            # session Hadoop conf so logical URIs (HDFS HA nameservices)
+            # resolve the same way the data plane resolves them
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), self._conf
+            )
+        except Exception as e:
+            if "UnsupportedFileSystem" not in str(e):
+                raise
             # scheme without FileContext support: non-atomic fallback
+            # (documented: pointer swap is best-effort there)
             if self._fs.exists(dst):
                 self._fs.delete(dst, False)
             if not self._fs.rename(tmp, dst):
-                raise IOError(f"rename {tmp} -> {dst} failed")
+                raise IOError(f"rename {tmp} -> {dst} failed") from None
+            return
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        arr = jvm.java.lang.reflect.Array.newInstance(overwrite.getClass(), 1)
+        arr[0] = overwrite
+        fc.rename(tmp, dst, arr)
 
     def create_text_exclusive(self, path: str, content: str) -> None:
-        """Write fully to a tmp name, then no-overwrite rename into
-        place: atomic complete-or-absent on HDFS (rename to an existing
-        destination fails), check-then-act on S3A."""
+        """Exclusive create via ``FileSystem.create(overwrite=False)``:
+        the create call is the atomic existence arbiter on HDFS (it
+        raises if the path exists on EVERY scheme — unlike rename,
+        which POSIX-clobbers on file:). A crash mid-write can leave a
+        torn (partial) file; LakeTable tolerates torn manifests by
+        validating JSON before trusting them."""
         from py4j.protocol import Py4JJavaError
 
-        dst = self._p(path)
-        tmp = self._p(f"{path}.new.{uuid.uuid4().hex}")
-        self._write_stream(tmp, content, overwrite=True)
         try:
-            ok = self._fs.rename(tmp, dst)
-        except Py4JJavaError as e:
+            self._write_stream(self._p(path), content, overwrite=False)
+        except Py4JJavaError as e:  # FileAlreadyExistsException and kin
             if "xists" in str(e):
-                self._fs.delete(tmp, False)
                 raise FileExistsError(path) from e
             raise
-        if not ok:
-            self._fs.delete(tmp, False)
-            raise FileExistsError(path)
 
     def list_names(self, path: str) -> list[str]:
         statuses = self._fs.listStatus(self._p(path))

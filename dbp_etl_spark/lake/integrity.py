@@ -79,24 +79,19 @@ def state_checks(table, lineage: DataFrame | None = None) -> DataFrame:
     if lineage is not None:
         ledger = table.committed_batches()
         # fused group commits record the GROUP's counts under every
-        # member id (same snapshot_id); the lineage side-output keys the
-        # group by its joined label ("1,2,3"). Reconstruct that label by
-        # grouping ledger entries per snapshot so fused runs reconcile
-        # instead of producing guaranteed false mismatches.
-        by_snap: dict = {}
-        for b, ent in ledger.items():
-            by_snap.setdefault(ent.get("snapshot_id"), []).append((b, ent))
-
-        def _order(bid: str):
-            try:
-                return (0, int(bid), bid)
-            except ValueError:
-                return (1, 0, bid)
-
+        # member id plus the EXACT label the runner used for the
+        # group's lineage rows ("fused_group", written by merge_batch) —
+        # key the expected side by that label so the two independently
+        # written artifacts join precisely. De-dup members via the
+        # label itself (all members carry identical entries).
+        seen_labels: set = set()
         exp_rows = []
-        for members in by_snap.values():
-            label = ",".join(sorted((b for b, _ in members), key=_order))
-            counts = members[0][1].get("counts") or {}
+        for b, ent in ledger.items():
+            label = ent.get("fused_group") or str(b)
+            if label in seen_labels:
+                continue
+            seen_labels.add(label)
+            counts = ent.get("counts") or {}
             exp_rows.extend(
                 (label, a, int(n))
                 for a, n in counts.items()

@@ -123,19 +123,34 @@ class LakeTable:
         fs.write_text(os.path.join(root, _META, "VERSION"), "0")
         return cls(spark, root, manifest, fs=fs)
 
+    @staticmethod
+    def _head(fs, root: str) -> tuple[int, dict]:
+        """Rolled-forward head snapshot id + its parsed manifest.
+
+        A manifest whose pointer write was interrupted is still
+        committed (the exclusive manifest create is the commit point),
+        so roll past the pointer while the next manifest exists AND
+        parses — a torn file from a crash mid-create is not a commit.
+        Pure reads: nothing is written, so read-only callers and
+        read-only storage work; the pointer is repaired by the next
+        successful commit."""
+        snap = int(fs.read_text(os.path.join(root, _META, "VERSION")).strip())
+        manifest = json.loads(fs.read_text(os.path.join(root, _META, f"v{snap}.json")))
+        while True:
+            nxt = os.path.join(root, _META, f"v{snap + 1}.json")
+            if not fs.exists(nxt):
+                break
+            try:
+                manifest = json.loads(fs.read_text(nxt))
+            except (ValueError, OSError):
+                break  # torn manifest: not committed
+            snap += 1
+        return snap, manifest
+
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LakeTable":
         fs = fs_for(root, spark)
-        snap = int(fs.read_text(os.path.join(root, _META, "VERSION")).strip())
-        # roll forward: a manifest whose pointer write was interrupted
-        # is still committed (the exclusive manifest create is the
-        # commit point; manifests are atomically complete-or-absent)
-        rolled = snap
-        while fs.exists(os.path.join(root, _META, f"v{rolled + 1}.json")):
-            rolled += 1
-        if rolled != snap:
-            fs.write_text(os.path.join(root, _META, "VERSION"), str(rolled))
-        manifest = json.loads(fs.read_text(os.path.join(root, _META, f"v{rolled}.json")))
+        _, manifest = cls._head(fs, root)
         return cls(spark, root, manifest, fs=fs)
 
     @classmethod
@@ -304,24 +319,30 @@ class LakeTable:
         loses nothing — load() rolls the pointer forward.
         """
         meta = os.path.join(self.root, _META)
-        head = int(self._fs.read_text(os.path.join(meta, "VERSION")).strip())
+        head, _ = LakeTable._head(self._fs, self.root)
         if head != self.manifest["snapshot_id"]:
             raise CommitConflict(
                 f"table advanced to snapshot {head} (we hold {self.manifest['snapshot_id']})"
             )
         snap_id = new_manifest["snapshot_id"]
+        payload = json.dumps(new_manifest, indent=1)
+        target = os.path.join(meta, f"v{snap_id}.json")
         try:
-            self._fs.create_text_exclusive(
-                os.path.join(meta, f"v{snap_id}.json"), json.dumps(new_manifest, indent=1)
-            )
+            self._fs.create_text_exclusive(target, payload)
         except FileExistsError:
-            # v{N}.json already exists: another writer (completed, or a
-            # crashed attempt whose pointer write never landed — load()
-            # rolls such commits forward) won this snapshot id. The
-            # exclusive create IS the commit point, so this handle lost.
-            raise CommitConflict(
-                f"snapshot {snap_id} already published (reload to adopt it)"
-            ) from None
+            # v{N}.json already exists despite the head check. Either a
+            # completed concurrent writer won (its manifest parses ->
+            # CommitConflict, reload to adopt it), or a crashed attempt
+            # left a TORN file mid-create (unparsable -> not a commit:
+            # replace it atomically and proceed; a live mid-create
+            # writer is excluded by the single-writer discipline).
+            try:
+                json.loads(self._fs.read_text(target))
+                raise CommitConflict(
+                    f"snapshot {snap_id} already published (reload to adopt it)"
+                ) from None
+            except (ValueError, OSError):
+                self._fs.write_text(target, payload)
         self._fs.write_text(os.path.join(meta, "VERSION"), str(snap_id))
         self.manifest = new_manifest
         return self
