@@ -119,3 +119,37 @@ def test_crash_between_manifest_and_pointer_recovers(spark, tmp_path, monkeypatc
     )
     merge_batch(t_clean, events, 0)
     assert t2.state_hash() == t_clean.state_hash()
+
+
+def test_torn_manifest_is_not_a_commit(spark, tmp_path):
+    """A crash mid-manifest-create can leave a partial (unparsable)
+    v{N}.json on stores without atomic create. Roll-forward must stop
+    at it (it is NOT a commit) and a retrying writer must replace it
+    and commit successfully."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "torn"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    events = generate_changes(spark, 300, 30, n_batches=1, seed=7)
+    merge_batch(t, events.filter(F.col("batch_id") == 0), 0)
+    assert t.snapshot_id == 1
+
+    # simulate a torn create of the NEXT snapshot's manifest
+    import os
+
+    torn = os.path.join(t.root, "_meta", "v2.json")
+    with open(torn, "w") as f:
+        f.write('{"snapshot_id": 2, "files": [')  # truncated JSON
+
+    # readers: roll-forward stops at the torn file
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.snapshot_id == 1
+    assert t2.read().count() == t.read().count()
+
+    # writer: retry replaces the torn manifest and commits
+    more = generate_changes(spark, 300, 30, n_batches=1, seed=9)
+    merge_batch(t2, more, "b2")
+    assert t2.snapshot_id == 2
+    assert t2.is_committed("b2")
+    t3 = LakeTable.load(spark, t.root)
+    assert t3.snapshot_id == 2
+    assert t3.state_hash() == t2.state_hash()
