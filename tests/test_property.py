@@ -112,9 +112,14 @@ def test_cdc_split_invariance_fuzzed(spark, tmp_path):
         tk = LakeTable.create(
             spark, str(tmp_path / f"k{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
         )
+        tf = LakeTable.create(
+            spark, str(tmp_path / f"f{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
         CDCRunner(t1, salt_buckets=4).run(one)
         CDCRunner(tk, salt_buckets=0).run(df)  # also vary salting
+        CDCRunner(tf, salt_buckets=4).run(df, fuse=2)  # fused pairs
         assert t1.state_hash() == tk.state_hash(), f"case {idx}: split divergence"
+        assert t1.state_hash() == tf.state_hash(), f"case {idx}: fused divergence"
         # replay both -> unchanged
         h = tk.state_hash()
         CDCRunner(tk).run(df)
