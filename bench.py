@@ -49,10 +49,18 @@ CDC_BATCHES = int(os.environ.get("BENCH_CDC_BATCHES", "2"))
 
 def _warmup(spark) -> None:
     """Exclude one-time costs (codegen, python worker spin-up, parquet
-    committer init) from the steady-state throughput measurement."""
-    from pyspark.sql import functions as F
+    committer init, merge-plan JIT) from the steady-state throughput
+    measurement: exercise the Arrow UDF, a shuffle, AND a miniature
+    end-to-end merge so the first measured run is not the cold one."""
+    import shutil as _shutil
+    import tempfile as _tempfile
 
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
     from dbp_etl_spark.functions.extract import extract_and_lang_udf
+    from dbp_etl_spark.lake import LakeTable, TableSchema
 
     (
         spark.range(10000)
@@ -67,6 +75,25 @@ def _warmup(spark) -> None:
         .count()
     )
     spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count().count()
+    wroot = _tempfile.mkdtemp(prefix="warm_merge_")
+    try:
+        wschema = TableSchema.from_struct(
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("warc_ts", T.TimestampType()),
+                    T.StructField("html", T.BinaryType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("lang", T.StringType()),
+                ]
+            )
+        )
+        wt = LakeTable.create(spark, f"{wroot}/t", wschema, key="url", num_buckets=4)
+        CDCRunner(wt, salt_buckets=4, lineage_mode="global").run(
+            generate_changes(spark, 4000, 400, n_batches=2, seed=1)
+        )
+    finally:
+        _shutil.rmtree(wroot, ignore_errors=True)
 
 
 def run_cdc_pipeline(
