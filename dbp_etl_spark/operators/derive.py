@@ -68,3 +68,40 @@ def normalize_url(col: Column) -> Column:
     )
     c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")
     return F.regexp_replace(c, r"/$", "")
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+):
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization unit for training pipelines (1 doc ->
+    ceil((n-overlap)/(chunk-overlap)) rows). Pure JVM array ops:
+    split -> transform over chunk starts -> posexplode; no Python, no
+    shuffle (map-only until the caller aggregates).
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_tokens)),
+    )
+    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_chunk_tokens"),
+    )

@@ -1572,6 +1572,83 @@ def doc_bpe_token_count(spark, sf_dir):
     )
 
 
+@q(
+    "doc_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(greatest(ceil((len(toks) - 8) / 56.0), 1) AS BIGINT) - 1),
+               i -> array_to_string(toks[i * 56 + 1 : i * 56 + 64], ' ')) AS chunks
+      FROM t)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(chunks) - 1)) AS BIGINT) AS chunk_idx,
+           unnest(chunks) AS chunk_text,
+           CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Training-data chunking: overlapping 64-token windows (8-token
+    overlap) per document — map-only JVM array ops, 1 doc -> N chunk
+    rows (operators/derive.py:chunk_documents)."""
+    from dbp_etl_spark.operators.derive import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
+@q(
+    "session_window_agg",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Spark's BUILT-IN session_window (gap-based dynamic windows) —
+    the native sibling of the hand-rolled sessionize operator, with the
+    same 1h-gap semantics value-checked against the lag+cumsum SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            # string-rendered fields, NOT unix micros: a cast from the
+            # parquet NTZ timestamp preserves clock fields in any
+            # session timezone, while epoch values would shift
+            F.date_format(
+                F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # =====================================================================
 # Scalar function gauntlet (F1-F13)
 # =====================================================================

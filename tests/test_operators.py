@@ -370,3 +370,31 @@ def test_audio_energy_null_payload(spark):
     media = spark.createDataFrame([(9, None)], "media_id long, content binary")
     rows = audio_frame_energy(media, frames_per_item=2).collect()
     assert len(rows) == 2 and all(r["rms"] == 0.0 and r["n_samples"] == 0 for r in rows)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: every token appears in >=1 chunk, adjacent
+    chunks overlap by exactly `overlap`, short docs yield 1 chunk."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(26))), (1, "a b c")],
+        "doc_id long, text string",
+    )
+    from dbp_etl_spark.operators.derive import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=5, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+    )
+    d0 = [t for d, _, t in rows if d == 0]
+    assert len(d0) == 7  # ceil((26-1)/4)
+    # full coverage, no empty chunks
+    covered = set()
+    for c in d0:
+        toks = c.split(" ")
+        assert 1 <= len(toks) <= 5 and all(toks)
+        covered.update(toks)
+    assert covered == {f"t{i}" for i in range(26)}
+    # exact overlap between consecutive chunks
+    assert d0[0].split(" ")[-1] == d0[1].split(" ")[0]
+    d1 = [t for d, _, t in rows if d == 1]
+    assert d1 == ["a b c"]  # short doc -> single chunk
