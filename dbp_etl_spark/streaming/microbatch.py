@@ -101,3 +101,41 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def deduped_changes_stream(
+    spark: SparkSession,
+    changes_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming exact-duplicate suppression with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it — the streaming sibling of the batch
+    ``dedup_latest`` (which sees the whole microbatch at once). Use it
+    upstream of ``run_stream`` when the tail source redelivers events
+    (at-least-once transports): redelivered (url, warc_ts) pairs inside
+    the watermark are dropped before they ever reach the MERGE.
+
+    Sink: parquet at ``output_path`` (checkpoint-recoverable).
+    """
+    reader = spark.readStream.schema(CHANGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deduped = (
+        reader.parquet(changes_path)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

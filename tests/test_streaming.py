@@ -172,3 +172,32 @@ def test_watermarked_window_drops_late_events(spark, tmp_path):
     }
     assert emitted[float(base)] == (2, 3.0), "late event leaked into the closed window"
     assert emitted[float(base + 600)] == (1, 3.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an event redelivered in a later
+    microbatch (inside the watermark) is suppressed; distinct events
+    pass through."""
+    from dbp_etl_spark.streaming.microbatch import deduped_changes_stream
+
+    src = str(tmp_path / "dd_src")
+
+    def f(rows, mode="append"):
+        spark.createDataFrame(
+            rows, "url string, t long, html binary, op string, batch_id long"
+        ).select(
+            "url", F.timestamp_seconds("t").alias("warc_ts"), "html", "op", "batch_id"
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    f([("u1", 100, b"<p>a</p>", "insert", 0)], mode="overwrite")
+    f([("u1", 100, b"<p>a</p>", "insert", 0),  # exact redelivery
+       ("u2", 200, b"<p>b</p>", "insert", 1)])
+
+    out = str(tmp_path / "dd_out")
+    q = deduped_changes_stream(
+        spark, src, str(tmp_path / "dd_ck"), out, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert {r["url"] for r in rows} == {"u1", "u2"}
