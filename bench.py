@@ -52,9 +52,6 @@ def _warmup(spark) -> None:
     committer init, merge-plan JIT) from the steady-state throughput
     measurement: exercise the Arrow UDF, a shuffle, AND a miniature
     end-to-end merge so the first measured run is not the cold one."""
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -75,7 +72,7 @@ def _warmup(spark) -> None:
         .count()
     )
     spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count().count()
-    wroot = _tempfile.mkdtemp(prefix="warm_merge_")
+    wroot = tempfile.mkdtemp(prefix="warm_merge_")
     try:
         wschema = TableSchema.from_struct(
             T.StructType(
@@ -93,7 +90,7 @@ def _warmup(spark) -> None:
             generate_changes(spark, 4000, 400, n_batches=2, seed=1)
         )
     finally:
-        _shutil.rmtree(wroot, ignore_errors=True)
+        shutil.rmtree(wroot, ignore_errors=True)
 
 
 def run_cdc_pipeline(

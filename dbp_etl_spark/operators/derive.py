@@ -85,8 +85,6 @@ def chunk_documents(
 
     Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
     """
-    from pyspark.sql import functions as F
-
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
@@ -98,10 +96,18 @@ def chunk_documents(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_tokens)),
     )
-    out = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_toks"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    # token count by arithmetic, not a second split over the chunk text
+    n_tokens = F.least(
+        F.lit(chunk_tokens), F.col("_n_toks") - F.col("chunk_idx") * step
+    )
     return out.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk_text",
-        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_chunk_tokens"),
+        n_tokens.cast("long").alias("n_chunk_tokens"),
     )

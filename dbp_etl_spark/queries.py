@@ -1604,17 +1604,17 @@ def doc_chunks(spark, sf_dir):
     "session_window_agg",
     """
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events),
     marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000
                   THEN 1 ELSE 0 END AS new_s
       FROM o),
     sess AS (
       SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,

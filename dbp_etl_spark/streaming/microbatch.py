@@ -47,6 +47,20 @@ def _stream_identity(spark, checkpoint_path: str) -> str:
             pass  # concurrent creator won; read theirs
     return fs.read_text(marker).strip()
 
+def _changes_reader(spark: SparkSession, max_files_per_trigger: int | None):
+    """Shared streaming reader scaffold for the change-event schema."""
+    reader = spark.readStream.schema(CHANGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger <= 0:
+            raise ValueError("max_files_per_trigger must be positive")
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader
+
+
+def _maybe_available_now(writer, available_now: bool):
+    return writer.trigger(availableNow=True) if available_now else writer
+
+
 CHANGES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -74,10 +88,7 @@ def run_stream(
     and stops (the test/replay mode); False runs continuously.
     Returns the StreamingQuery (already started).
     """
-    reader = spark.readStream.schema(CHANGES_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(changes_path)
+    stream = _changes_reader(spark, max_files_per_trigger).parquet(changes_path)
     stream_id = _stream_identity(spark, checkpoint_path)
 
     def apply_batch(df, epoch_id: int):
@@ -98,9 +109,7 @@ def run_stream(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _maybe_available_now(writer, available_now).start()
 
 
 def deduped_changes_stream(
@@ -117,18 +126,23 @@ def deduped_changes_stream(
     until the watermark passes it — the streaming sibling of the batch
     ``dedup_latest`` (which sees the whole microbatch at once). Use it
     upstream of ``run_stream`` when the tail source redelivers events
-    (at-least-once transports): redelivered (url, warc_ts) pairs inside
-    the watermark are dropped before they ever reach the MERGE.
+    (at-least-once transports): only byte-identical redeliveries are
+    suppressed — the dedup key includes op and the payload hash, so two
+    DISTINCT events colliding on (url, warc_ts) (e.g. a write and a
+    tombstone at the same instant — resolved deterministically by
+    cdc_order in the MERGE) both pass through.
 
     Sink: parquet at ``output_path`` (checkpoint-recoverable).
     """
-    reader = spark.readStream.schema(CHANGES_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    from pyspark.sql import functions as F
+
     deduped = (
-        reader.parquet(changes_path)
+        _changes_reader(spark, max_files_per_trigger)
+        .parquet(changes_path)
+        .withColumn("_ph", F.coalesce(F.md5("html"), F.lit("")))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+        .dropDuplicatesWithinWatermark(["url", "warc_ts", "op", "_ph"])
+        .drop("_ph")
     )
     writer = (
         deduped.writeStream.format("parquet")
@@ -136,6 +150,4 @@ def deduped_changes_stream(
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _maybe_available_now(writer, available_now).start()
