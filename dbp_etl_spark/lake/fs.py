@@ -43,6 +43,9 @@ class Filesystem:
     def write_text(self, path: str, content: str) -> None: ...
     def create_text_exclusive(self, path: str, content: str) -> None: ...
     def list_names(self, path: str) -> list[str]: ...
+    def delete(self, path: str, recursive: bool = False) -> bool: ...
+    def is_dir(self, path: str) -> bool: ...
+    def mtime(self, path: str) -> float: ...
 
 
 class LocalFS(Filesystem):
@@ -83,6 +86,29 @@ class LocalFS(Filesystem):
 
     def list_names(self, path: str) -> list[str]:
         return sorted(os.listdir(path))
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        """Delete a file or directory; missing path is a no-op (returns
+        False) so cleanup passes are idempotent across crash/retry."""
+        try:
+            if os.path.isdir(path):
+                if recursive:
+                    import shutil
+
+                    shutil.rmtree(path)
+                else:
+                    os.rmdir(path)  # only if empty — caller's contract
+            else:
+                os.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
 
 class HadoopFS(Filesystem):
@@ -168,14 +194,41 @@ class HadoopFS(Filesystem):
 
         try:
             self._write_stream(self._p(path), content, overwrite=False)
-        except Py4JJavaError as e:  # FileAlreadyExistsException and kin
-            if "xists" in str(e):
+        except Py4JJavaError as e:
+            # Classify by the JAVA EXCEPTION CLASS, not a message
+            # substring — an unrelated IO failure whose message happens
+            # to contain "exists" must surface as the real error, not be
+            # misread as a CAS loss (which would make _commit replace
+            # the manifest it failed to read).
+            cls = ""
+            je = getattr(e, "java_exception", None)
+            if je is not None:
+                try:
+                    cls = je.getClass().getName()
+                except Exception:
+                    cls = ""
+            if cls.endswith("FileAlreadyExistsException") or (
+                # HDFS RPC wraps the server-side class in RemoteException;
+                # the wrapped class name rides in the message
+                cls.endswith("RemoteException")
+                and "FileAlreadyExistsException" in str(e)
+            ):
                 raise FileExistsError(path) from e
             raise
 
     def list_names(self, path: str) -> list[str]:
         statuses = self._fs.listStatus(self._p(path))
         return sorted(s.getPath().getName() for s in statuses)
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        return bool(self._fs.delete(self._p(path), recursive))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)) and bool(self._fs.getFileStatus(p).isDirectory())
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
 
 
 def is_uri(root: str) -> bool:

@@ -46,6 +46,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -56,6 +58,14 @@ from dbp_etl_spark.lake.schema import TableSchema
 
 _META = "_meta"
 _DATA = "data"
+
+# batch ids with a trailing integer have a usable order for ledger
+# pruning: "42" -> ("", 42), "stream-ab12-7" -> ("stream-ab12-", 7)
+_ORDERED_ID = re.compile(r"^(.*?)(\d+)$")
+
+
+class SnapshotExpired(RuntimeError):
+    """Time-travel target was removed by expire_snapshots."""
 
 
 class CommitConflict(RuntimeError):
@@ -175,6 +185,11 @@ class LakeTable:
         return self.manifest["snapshot_id"]
 
     @property
+    def min_retained_snapshot(self) -> int:
+        """Oldest snapshot id still readable (advanced by expire_snapshots)."""
+        return self.manifest.get("min_retained_snapshot", 0)
+
+    @property
     def schema(self) -> TableSchema:
         return TableSchema.from_json(
             self.manifest["schemas"][str(self.manifest["schema_version"])]
@@ -185,8 +200,30 @@ class LakeTable:
 
     def is_committed(self, batch_id) -> bool:
         if isinstance(batch_id, (list, tuple)):
-            return all(str(b) in self.manifest["committed_batches"] for b in batch_id)
-        return str(batch_id) in self.manifest["committed_batches"]
+            return all(self._id_committed(str(b)) for b in batch_id)
+        return self._id_committed(str(batch_id))
+
+    def _id_committed(self, sid: str) -> bool:
+        """Ledger membership, falling back to the pruned-history watermark.
+
+        ``expire_snapshots`` drops ledger entries older than the retained
+        history, folding ordered batch ids (any id with a trailing
+        integer — plain ints, ``stream-{id}-{epoch}``, …) into a
+        per-prefix high-watermark. An id at-or-below its prefix's
+        watermark is committed-by-definition: the tail contract (ST6)
+        applies batches in id order, so everything below the pruning
+        horizon was applied before anything above it. Ids with no
+        trailing integer are never pruned (no order to reason with)."""
+        if sid in self.manifest["committed_batches"]:
+            return True
+        wm = self.manifest.get("ledger_watermarks")
+        if not wm:
+            return False
+        m = _ORDERED_ID.match(sid)
+        if m is None:
+            return False
+        prefix, num = m.group(1), int(m.group(2))
+        return prefix in wm and num <= wm[prefix]
 
     def committed_batches(self) -> dict:
         return dict(self.manifest["committed_batches"])
@@ -212,6 +249,12 @@ class LakeTable:
         """
         manifest = self.manifest
         if snapshot_id is not None and snapshot_id != manifest["snapshot_id"]:
+            if snapshot_id < self.min_retained_snapshot:
+                raise SnapshotExpired(
+                    f"snapshot {snapshot_id} was expired (min retained: "
+                    f"{self.min_retained_snapshot}); raise keep_last on "
+                    "expire_snapshots to retain more history"
+                )
             manifest = json.loads(
                 self._fs.read_text(os.path.join(self.root, _META, f"v{snapshot_id}.json"))
             )
@@ -477,6 +520,178 @@ class LakeTable:
             kept, dirty, batch_id, summary={"vacuum_older_than": str(older_than_ts)}
         )
 
+    # ------------------------------------------------- retention / metadata GC
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg-style snapshot expiry: bound metadata and storage to the
+        retained history window.
+
+        Keeps the newest ``keep_last`` pre-existing snapshots (plus the
+        expiry commit itself); everything older is expired:
+
+        1. A metadata-only COMMIT (atomic, CAS-guarded like any other)
+           records the new ``min_retained_snapshot`` and prunes the
+           batch ledger: entries whose commit snapshot falls below the
+           horizon are folded into per-prefix ``ledger_watermarks``
+           (see ``_id_committed`` — replay of a pruned ordered batch id
+           still no-ops). Unordered ids are kept verbatim. This is what
+           makes commit cost O(retained window), not O(history): the
+           manifest no longer accretes one ledger entry per batch
+           forever (the round-2 scale liability).
+        2. Data files referenced ONLY by expired manifests are deleted,
+           then the expired ``v{K}.json`` manifests themselves. Delete
+           order makes a crash harmless: files first (expired manifests
+           still enumerate them, so a retry re-deletes; delete of a
+           missing path is a no-op), manifests last. Anything missed
+           is picked up by ``remove_orphan_files``.
+
+        Time travel below the horizon raises ``SnapshotExpired``.
+        Returns stats: expired manifest ids, deleted file count.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.snapshot_id
+        min_retained = max(self.min_retained_snapshot, head - keep_last + 1)
+        prev_min = self.min_retained_snapshot
+        meta = os.path.join(self.root, _META)
+
+        ledger: dict = {}
+        wm = dict(self.manifest.get("ledger_watermarks") or {})
+        pruned = 0
+        for k, v in self.manifest["committed_batches"].items():
+            if v["snapshot_id"] >= min_retained:
+                ledger[k] = v
+                continue
+            m = _ORDERED_ID.match(k)
+            if m is None:
+                ledger[k] = v  # unordered id: membership must stay exact
+                continue
+            prefix, num = m.group(1), int(m.group(2))
+            wm[prefix] = max(wm.get(prefix, num), num)
+            pruned += 1
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = head + 1
+        new_manifest["parent_id"] = head
+        new_manifest["committed_batches"] = ledger
+        new_manifest["ledger_watermarks"] = wm
+        new_manifest["min_retained_snapshot"] = min_retained
+        new_manifest["summary"] = {
+            "expire_snapshots": {
+                "keep_last": keep_last,
+                "min_retained": min_retained,
+                "ledger_pruned": pruned,
+            }
+        }
+        self._commit(new_manifest)
+
+        # physical cleanup (idempotent; a crash anywhere re-runs cleanly)
+        live: set[str] = set()
+        for i in range(min_retained, head + 2):
+            p = os.path.join(meta, f"v{i}.json")
+            if self._fs.exists(p):
+                m = json.loads(self._fs.read_text(p))
+                live.update(f["path"] for f in m["files"])
+        expired_ids: list[int] = []
+        dead: set[str] = set()
+        for i in range(prev_min, min_retained):
+            p = os.path.join(meta, f"v{i}.json")
+            if not self._fs.exists(p):
+                continue
+            expired_ids.append(i)
+            m = json.loads(self._fs.read_text(p))
+            dead.update(f["path"] for f in m["files"])
+        dead -= live
+        for rel in sorted(dead):
+            self._fs.delete(os.path.join(self.root, rel))
+        self._sweep_empty_data_dirs()
+        for i in expired_ids:
+            self._fs.delete(os.path.join(meta, f"v{i}.json"))
+        return {
+            "min_retained_snapshot": min_retained,
+            "expired_manifests": expired_ids,
+            "deleted_files": len(dead),
+            "ledger_pruned": pruned,
+        }
+
+    def remove_orphan_files(self, grace_sec: float = 86400.0) -> dict:
+        """Delete data files not referenced by any retained manifest.
+
+        Crash debris collector: ``_write_data`` isolates each write
+        attempt in its own ``snap-{N}-{rand}`` directory precisely so a
+        failed attempt's files can never be adopted by a retry — this
+        sweeps them. ``grace_sec`` protects IN-FLIGHT writes (a
+        concurrent commit's files exist before its manifest does): only
+        files older than the grace window are candidates — the same
+        contract as Iceberg's remove_orphan_files(olderThan).
+        """
+        live: set[str] = set()
+        meta = os.path.join(self.root, _META)
+        head, _ = LakeTable._head(self._fs, self.root)
+        for i in range(self.min_retained_snapshot, head + 1):
+            p = os.path.join(meta, f"v{i}.json")
+            if self._fs.exists(p):
+                m = json.loads(self._fs.read_text(p))
+                live.update(f["path"] for f in m["files"])
+        cutoff = time.time() - grace_sec
+        data_root = os.path.join(self.root, _DATA)
+        removed = 0
+        for snap_dir in self._fs.list_names(data_root):
+            sd = os.path.join(data_root, snap_dir)
+            if not self._fs.is_dir(sd):
+                continue
+            for bucket_dir in self._fs.list_names(sd):
+                bd = os.path.join(sd, bucket_dir)
+                if not self._fs.is_dir(bd):
+                    # stray top-level file (_SUCCESS markers etc.)
+                    if self._fs.mtime(bd) < cutoff:
+                        removed += int(self._fs.delete(bd))
+                    continue
+                names = self._fs.list_names(bd)
+                has_live = any(
+                    os.path.join(_DATA, snap_dir, bucket_dir, n) in live for n in names
+                )
+                for fn in names:
+                    rel = os.path.join(_DATA, snap_dir, bucket_dir, fn)
+                    full = os.path.join(self.root, rel)
+                    if rel in live:
+                        continue
+                    if has_live and fn.startswith(("_", ".")):
+                        continue  # crc/marker sidecars of live files
+                    if self._fs.mtime(full) < cutoff:
+                        removed += int(self._fs.delete(full))
+        self._sweep_empty_data_dirs()
+        return {"removed_files": removed}
+
+    def _sweep_empty_data_dirs(self) -> None:
+        """Remove data subdirectories left empty by file GC (bottom-up).
+
+        A dir whose data files are all gone holds nothing worth keeping:
+        writer side files (``_SUCCESS`` markers, local ``.crc``
+        checksums — never manifest-referenced) don't keep it alive."""
+        data_root = os.path.join(self.root, _DATA)
+
+        def _drop_if_hidden_only(d: str) -> bool:
+            names = self._fs.list_names(d)
+            if any(
+                self._fs.is_dir(os.path.join(d, n)) or not n.startswith(("_", "."))
+                for n in names
+            ):
+                return False
+            for n in names:
+                self._fs.delete(os.path.join(d, n))
+            self._fs.delete(d)
+            return True
+
+        for snap_dir in self._fs.list_names(data_root):
+            sd = os.path.join(data_root, snap_dir)
+            if not self._fs.is_dir(sd):
+                continue
+            for bucket_dir in self._fs.list_names(sd):
+                bd = os.path.join(sd, bucket_dir)
+                if self._fs.is_dir(bd):
+                    _drop_if_hidden_only(bd)
+            _drop_if_hidden_only(sd)
+
     # ------------------------------------------------------------ diagnostics
 
     def state_hash(self) -> str:
@@ -503,7 +718,7 @@ class LakeTable:
     def history(self) -> list[dict]:
         out = []
         meta = os.path.join(self.root, _META)
-        for i in range(self.snapshot_id + 1):
+        for i in range(self.min_retained_snapshot, self.snapshot_id + 1):
             p = os.path.join(meta, f"v{i}.json")
             if self._fs.exists(p):
                 m = json.loads(self._fs.read_text(p))
