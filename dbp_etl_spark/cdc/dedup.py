@@ -45,7 +45,16 @@ def dedup_latest(
     # the tiebreak keeps the two-phase result identical to the unsalted
     # window for any event shape (rows tied on the caller's order AND
     # on h are byte-identical up to hash collision).
-    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    # Null-position sensitivity: xxhash64 SKIPS null inputs, so hashing
+    # bare casts would give (NULL,'x') and ('x',NULL) the same hash —
+    # no deterministic winner between such rows. Each column therefore
+    # contributes TWO parts: an is-null flag and the coalesced value,
+    # so a null and any literal value (including '') hash differently.
+    parts: list[Column] = []
+    for c in df.columns:
+        parts.append(F.col(c).isNull().cast("int"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+    row_hash = F.xxhash64(*parts)
     df = df.withColumn(_HASH, row_hash)
     order_by = list(order_by) + [F.col(_HASH).asc()]
     if salt_buckets and salt_buckets > 1:

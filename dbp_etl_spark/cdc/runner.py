@@ -111,7 +111,14 @@ class CDCRunner:
             .mode("overwrite")
             .parquet(path)
         )
-        return spark.read.parquet(path)
+        # Read back under the ORIGINAL schema: without it, batch_col is
+        # a hive partition column whose type is re-inferred from the
+        # directory names — numeric-looking STRING ids ('0001', '07')
+        # would silently coerce to ints, changing ledger keys between
+        # staged and unstaged runs (and merging distinct ids). With an
+        # explicit schema the partition value parses as the declared
+        # type, so ids round-trip exactly.
+        return spark.read.schema(changes.schema).parquet(path)
 
     def run(
         self, changes: DataFrame, batch_col: str = "batch_id", fuse: int = 1

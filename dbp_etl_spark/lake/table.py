@@ -84,6 +84,10 @@ class LakeTable:
         self.root = root
         self.manifest = manifest
         self._fs = fs or fs_for(root, spark)
+        # optional LockService (lake/lock.py): serializes the commit
+        # critical section for stores whose exclusive create is
+        # check-then-act (S3A-style). None = rely on the fs CAS.
+        self.lock = None
 
     # ------------------------------------------------------------- lifecycle
 
@@ -360,7 +364,21 @@ class LakeTable:
         committed snapshot: its data files are written and its ledger
         entry rides inside it, so a crash before the pointer write
         loses nothing — load() rolls the pointer forward.
+
+        When ``self.lock`` is set, the whole section additionally runs
+        under that lease — required on stores whose exclusive create is
+        check-then-act (the head re-check inside the lease then
+        arbitrates; see lake/lock.py).
         """
+        if self.lock is not None:
+            token = self.lock.acquire("commit")
+            try:
+                return self._commit_unlocked(new_manifest)
+            finally:
+                self.lock.release("commit", token)
+        return self._commit_unlocked(new_manifest)
+
+    def _commit_unlocked(self, new_manifest: dict) -> "LakeTable":
         meta = os.path.join(self.root, _META)
         head, _ = LakeTable._head(self._fs, self.root)
         if head != self.manifest["snapshot_id"]:

@@ -36,6 +36,14 @@ def _stream_identity(spark, checkpoint_path: str) -> str:
     new microbatches. Namespacing the key with an id that lives and
     dies with the checkpoint makes the ledger correct across checkpoint
     recreation and multi-stream fan-in.
+
+    Upgrade note (pre-identity checkpoints): a table+checkpoint created
+    when the ledger key was bare ``stream-{epoch}`` gets a fresh stream
+    id on first run under this scheme, so an epoch redelivered across
+    the upgrade (crash-window only) no longer matches its old ledger
+    entry and is re-applied ONCE. This is safe — the MERGE action
+    ladder no-ops identical events (same ts/op/payload ties keep the
+    applied row) — the only trace is a spurious snapshot/ledger entry.
     """
     fs = fs_for(checkpoint_path, spark)
     fs.mkdirs(checkpoint_path)
@@ -81,28 +89,61 @@ def run_stream(
     salt_buckets: int = 16,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    errors_path: str | None = None,
+    lineage_path: str | None = None,
+    allow_urls=None,
 ):
     """Tail ``changes_path`` (parquet change events) into ``table``.
 
     ``available_now=True`` drains everything currently in the source
     and stops (the test/replay mode); False runs continuously.
     Returns the StreamingQuery (already started).
+
+    Parity with the batch CDCRunner: each microbatch's candidate
+    buckets are precomputed from its keys (one tiny aggregation job)
+    so the MERGE state read is file-pruned to the touched buckets, and
+    dead-letter / per-bucket lineage side-outputs are written through
+    the same code path (``errors_path`` / ``lineage_path`` /
+    ``allow_urls`` behave exactly as on CDCRunner).
     """
+    from dbp_etl_spark.cdc.runner import CDCRunner
+
     stream = _changes_reader(spark, max_files_per_trigger).parquet(changes_path)
     stream_id = _stream_identity(spark, checkpoint_path)
+    side = CDCRunner(
+        table,
+        errors_path=errors_path,
+        lineage_path=lineage_path,
+        transform=transform,
+        salt_buckets=salt_buckets,
+        allow_urls=allow_urls,
+    )
 
     def apply_batch(df, epoch_id: int):
         # ledger key: (checkpoint identity, streaming epoch). If the
         # stream restarts from an old checkpoint and redelivers an
         # epoch, the ledger no-ops it; a NEW checkpoint gets a new
         # identity, so its epoch 0 is not mistaken for an old one.
-        merge_batch(
+        bid = f"stream-{stream_id}-{epoch_id}"
+        if table.is_committed(bid):
+            return
+        # candidate buckets from the microbatch keys: bounded distinct
+        # (<= num_buckets values), map-side combined — lets the state
+        # read prune to touched files exactly like the batch runner
+        cand = sorted(
+            r["b"]
+            for r in df.select(table.bucket_expr("url").alias("b")).distinct().collect()
+            if r["b"] is not None
+        )
+        res = merge_batch(
             table,
             df,
-            batch_id=f"stream-{stream_id}-{epoch_id}",
+            batch_id=bid,
             transform=transform,
             salt_buckets=salt_buckets,
+            candidates=cand,
         )
+        side._side_outputs(res)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -62,3 +62,47 @@ def test_generator_deterministic_and_skewed(spark):
     # skew exists: top url has far more events than the median
     counts = e1.groupBy("url").count().orderBy(F.desc("count")).collect()
     assert counts[0]["count"] > 10 * counts[len(counts) // 2]["count"]
+
+
+def test_tiebreak_null_position_sensitive(spark):
+    """Rows differing ONLY in which extra columns are NULL must still
+    have a deterministic total-order winner: xxhash64 skips null
+    inputs, so a naive full-row hash gives (NULL,'x') and ('x',NULL)
+    identical hashes — salted vs unsalted could then diverge."""
+    rows = [
+        ("u1", 100, b"a", "update", None, "x"),
+        ("u1", 100, b"a", "update", "x", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string, c1 string, c2 string"
+    ).select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "c1", "c2"
+    )
+    winners = set()
+    for salt in (0, 2, 4, 16):
+        out = dedup_latest(df, "url", cdc_order(), salt_buckets=salt).collect()
+        assert len(out) == 1
+        winners.add((out[0]["c1"], out[0]["c2"]))
+    # one and the same winner at every parallelism/salting level
+    assert len(winners) == 1
+
+
+def test_stage_by_batch_preserves_string_batch_ids(spark, tmp_path):
+    """Hive partition-type inference must not coerce numeric-looking
+    STRING batch ids ('0001', '07') to ints on the staged re-read —
+    that would change ledger keys between staged and unstaged runs."""
+    from dbp_etl_spark.cdc.runner import CDCRunner
+
+    rows = [("u1", 100, b"a", "insert", "0001"), ("u2", 200, b"b", "insert", "07")]
+    df = spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string, batch_id string"
+    ).select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "batch_id"
+    )
+    staged = CDCRunner.stage_by_batch(df, str(tmp_path / "log"))
+    assert staged.schema["batch_id"].dataType.simpleString() == "string"
+    assert sorted(r["batch_id"] for r in staged.select("batch_id").collect()) == [
+        "0001",
+        "07",
+    ]
+    assert staged.columns == df.columns

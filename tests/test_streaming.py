@@ -201,3 +201,55 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 2
     assert {r["url"] for r in rows} == {"u1", "u2"}
+
+
+def test_stream_side_outputs_parity_with_runner(spark, tmp_path):
+    """run_stream writes the same dead-letter / lineage artifacts as the
+    batch CDCRunner (round-2 gap: only the batch runner had them)."""
+    events = generate_changes(spark, 500, 40, n_batches=1, seed=7)
+    bad = spark.createDataFrame(
+        [
+            (None, None, "boom"),  # null url -> dead letter
+            ("https://bad.example/x", "frobnicate", "zap"),  # bad op
+        ],
+        "url string, op string, txt string",
+    ).select(
+        "url",
+        F.timestamp_seconds(F.lit(1700000100)).alias("warc_ts"),
+        F.encode("txt", "utf-8").alias("html"),
+        "op",
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    src = str(tmp_path / "changes")
+    events.unionByName(bad).coalesce(1).write.parquet(src)
+
+    t = mk_table(spark, tmp_path, "pages")
+    errors_path = str(tmp_path / "errors")
+    lineage_path = str(tmp_path / "lineage")
+    q = run_stream(
+        spark,
+        src,
+        t,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        errors_path=errors_path,
+        lineage_path=lineage_path,
+    )
+    q.awaitTermination(120)
+
+    errors = spark.read.parquet(errors_path)
+    assert errors.count() == 2
+    reasons = {r["message"] for r in errors.collect()}
+    assert reasons == {"null_url", "bad_op"}
+    assert all(r["batch_id"].startswith("stream-") for r in errors.collect())
+
+    lineage = spark.read.parquet(lineage_path)
+    assert lineage.count() > 0
+    acts = {r["action"] for r in lineage.collect()}
+    assert "insert" in acts
+    # per-bucket partition ids are real bucket ids of this table
+    assert all(0 <= r["partition_id"] < t.num_buckets for r in lineage.collect())
+
+    # and the applied state matches the batch runner over the same log
+    t_batch = mk_table(spark, tmp_path, "batch")
+    CDCRunner(t_batch).run(events.unionByName(bad))
+    assert t.refresh().state_hash() == t_batch.state_hash()
