@@ -75,6 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
+    "text_to_embedding_ann",
     "json_props_extract",
     "doc_token_stats",
     "doc_fingerprint",

@@ -12,11 +12,14 @@ The codec layer is REAL for formats decodable with stdlib + numpy:
 
 * ``image/x-portable-pixmap`` (PPM P6) — pure-numpy decode, resize,
   feature extraction over actual pixels;
+* ``image/png`` — pure stdlib-``zlib``+numpy decoder (8-bit gray/RGB/
+  RGBA, all five scanline filters, non-interlaced — the overwhelmingly
+  common PNG shape), real pixels end to end;
 * ``audio/wav`` (PCM WAV) — stdlib ``wave`` + numpy decode, real
   sample windows and RMS energy.
 
-Formats that need external codecs (JPEG/PNG via PIL, MP3/AAC via
-ffmpeg — not in this sandbox) raise ``NotImplementedError`` unless
+Formats that need external codecs (JPEG via PIL, MP3/AAC via ffmpeg —
+not in this sandbox) raise ``NotImplementedError`` unless
 ``deterministic_fake=True`` (seeded features from the content hash, so
 the pipeline stays exercisable end to end for any mime).
 """
@@ -25,7 +28,9 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -115,15 +120,21 @@ def _ppm_features(pixels: np.ndarray) -> list[float]:
 
 
 def _decode_image(content: bytes, mime: str, deterministic_fake: bool) -> list[float]:
-    """Real decode for PPM; seeded fake or NotImplementedError otherwise
-    (JPEG/PNG need PIL/opencv, absent in this sandbox)."""
-    if mime == PPM_MIME or (content or b"").startswith(b"P6"):
+    """Real decode for PPM and PNG; seeded fake or NotImplementedError
+    otherwise (JPEG needs PIL/opencv, absent in this sandbox)."""
+    data = content or b""
+    if mime == PPM_MIME or data.startswith(b"P6"):
         return _ppm_features(decode_ppm(content))
+    if mime == PNG_MIME or data.startswith(PNG_MAGIC):
+        px = decode_png(content)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        return _ppm_features(px[..., :3])  # alpha dropped for features
     if not deterministic_fake:
         raise NotImplementedError(
             f"decoding {mime!r} requires PIL/opencv, not available in this environment"
         )
-    h = hashlib.md5(content or b"").digest()
+    h = hashlib.md5(data).digest()
     return [b / 255.0 for b in h[:8]]
 
 
@@ -158,26 +169,157 @@ def extract_image_features(
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Real resize (nearest-neighbor, pure numpy) for PPM payloads:
-    1 row in -> 1 row out with re-encoded bytes and updated dims.
-    Same IMAGE_SCHEMA out, so resize stages compose/chain."""
+    """Real resize (nearest-neighbor, pure numpy) for PPM and PNG
+    payloads: 1 row in -> 1 row out with re-encoded bytes (same format
+    as the input) and updated dims. Same IMAGE_SCHEMA out, so resize
+    stages compose/chain."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            out, mimes = [], []
             for c in pdf["content"]:
-                out.append(encode_ppm(_resize_nearest(decode_ppm(c), out_w, out_h)))
+                data = bytes(c or b"")
+                if data.startswith(PNG_MAGIC):
+                    out.append(encode_png(_resize_nearest(decode_png(data), out_w, out_h)))
+                    mimes.append(PNG_MIME)
+                else:
+                    out.append(encode_ppm(_resize_nearest(decode_ppm(data), out_w, out_h)))
+                    mimes.append(PPM_MIME)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "content": out,
-                    "mime": [PPM_MIME] * len(pdf),
+                    "mime": mimes,
                     "width": [out_w] * len(pdf),
                     "height": [out_h] * len(pdf),
                 }
             )
 
     return media.mapInPandas(op, schema=IMAGE_SCHEMA)
+
+
+# --------------------------------------------------------------- PNG codec
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+PNG_MIME = "image/png"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w[, 3|4]) uint8 -> PNG bytes. Test/synthesis helper; the same
+    ``filter_type`` (0-4) is applied to every scanline so the decoder's
+    unfilter paths are all exercisable."""
+    px = np.atleast_3d(pixels).astype(np.uint8)
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    raw = bytearray()
+    for r in range(h):
+        row = px[r]
+        left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), np.uint8), prev[:-1]])
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:
+            out = row - left
+        elif filter_type == 2:
+            out = row - prev
+        elif filter_type == 3:
+            out = row - ((left.astype(np.int32) + prev.astype(np.int32)) // 2).astype(np.uint8)
+        elif filter_type == 4:
+            out = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw += out.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8. Pure stdlib zlib + numpy — a
+    REAL decoder: chunk walk, inflate, per-scanline unfilter (None/Sub/
+    Up/Average/Paeth). Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 6 (RGBA), non-interlaced — the standard web PNG shape;
+    anything else raises NotImplementedError loudly."""
+    if not content.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    i = len(PNG_MAGIC)
+    idat = bytearray()
+    w = h = ch = None
+    while i + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[i : i + 4])
+        tag = content[i + 4 : i + 8]
+        body = content[i + 8 : i + 8 + length]
+        i += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} unsupported "
+                    "(8-bit gray/RGB/RGBA non-interlaced only)"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).reshape(w, ch).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up (vectorizable)
+            row += prev
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-serial
+            for x in range(w):
+                left = row[x - 1] if x else np.zeros(ch, np.uint8)
+                up = prev[x]
+                upleft = prev[x - 1] if x else np.zeros(ch, np.uint8)
+                if ftype == 1:
+                    row[x] += left
+                elif ftype == 3:
+                    row[x] += ((left.astype(np.int32) + up.astype(np.int32)) // 2).astype(
+                        np.uint8
+                    )
+                else:
+                    row[x] += _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype}")
+        out[r] = row
+        prev = row
+    return out
 
 
 # --------------------------------------------------------------- WAV codec

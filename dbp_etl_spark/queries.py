@@ -1891,3 +1891,84 @@ def ann_cosine_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "cos_sim")
     )
+
+
+@q(
+    "text_to_embedding_ann",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok || '|0'), 1, 15) AS BIGINT) % 16 AS b,
+             SUM(CASE WHEN CAST('0x' || substr(md5(tok || '|1'), 1, 15) AS BIGINT) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) AS v
+      FROM toks GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT d.doc_id, i.i, COALESCE(c.v, 0.0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(16)) AS i) i
+      LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = i.i
+    ),
+    vecs AS (
+      SELECT doc_id, list(v ORDER BY i) AS vec, sqrt(sum(v * v)) AS nrm
+      FROM dense GROUP BY doc_id
+    ),
+    normed AS (
+      SELECT doc_id,
+             CASE WHEN nrm > 0 THEN list_transform(vec, x -> x / nrm) ELSE vec END AS vec
+      FROM vecs
+    ),
+    q AS (SELECT doc_id AS qid, vec AS qv FROM normed WHERE doc_id < 5),
+    pairs AS (
+      SELECT q.qid, c.doc_id AS cid,
+             round(list_sum(list_transform(list_zip(q.qv, c.vec), p -> p[1] * p[2])), 3)
+               AS cos_sim
+      FROM q CROSS JOIN normed c WHERE c.doc_id <> q.qid)
+    SELECT qid, cid, cos_sim FROM (
+      SELECT qid, cid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
+)
+def text_to_embedding_ann(spark, sf_dir):
+    """Raw text -> feature-hashed embedding -> cosine top-5, end to end.
+
+    The embed stage (functions/embed.py hash_embedding, md5_60 oracle
+    mode) is pure map-side JVM fold — zero shuffles; the search stage is
+    the brute-force broadcast baseline (swap in LSH/IVF at scale). Cell
+    values stay exact integer counts until one final L2 normalize, so
+    Spark and the SQL oracle agree bitwise before the round(3)."""
+    from dbp_etl_spark.functions.embed import hash_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = docs.select(
+        "doc_id", hash_embedding(F.col("text"), dim=16, hash_fn="md5_60").alias("vec")
+    )
+    q_side = vecs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        F.broadcast(q_side)
+        .crossJoin(vecs)
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("doc_id").alias("cid"),
+            F.round(dot(F.col("qv"), F.col("vec")), 3).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "cos_sim")
+    )

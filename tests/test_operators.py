@@ -142,8 +142,10 @@ def test_asof_join_backward(spark):
 
 
 def test_image_features_stub_plumbing(spark):
+    # mimes with no in-repo codec (PNG/PPM now decode for real — see
+    # test_png_features_and_resize_real)
     media = spark.createDataFrame(
-        [(1, b"imagebytes1", "image/png", 10, 10), (2, b"imagebytes2", "image/jpeg", 20, 20)],
+        [(1, b"imagebytes1", "image/gif", 10, 10), (2, b"imagebytes2", "image/jpeg", 20, 20)],
         "media_id long, content binary, mime string, width int, height int",
     )
     out = extract_image_features(media, deterministic_fake=True).collect()
@@ -398,3 +400,77 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert d0[0].split(" ")[-1] == d0[1].split(" ")[0]
     d1 = [t for d, _, t in rows if d == 1]
     assert d1 == ["a b c"]  # short doc -> single chunk
+
+
+def test_png_codec_roundtrip_all_filters(spark):
+    """Pure-python PNG decode inverts every scanline filter (None/Sub/
+    Up/Average/Paeth) for gray, RGB and RGBA — real pixels, no PIL."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(42)
+    for ch in (1, 3, 4):
+        px = rng.randint(0, 256, size=(13, 17, ch), dtype=np.uint8)
+        for filt in range(5):
+            out = decode_png(encode_png(px, filter_type=filt))
+            assert out.shape == (13, 17, ch), (ch, filt)
+            assert np.array_equal(out, px), (ch, filt)
+
+
+def test_png_features_and_resize_real(spark):
+    """PNG flows through the Arrow-batched image operators with REAL
+    decode (no deterministic_fake): features over actual pixels, resize
+    re-encodes PNG bytes."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        decode_png,
+        encode_png,
+        extract_image_features,
+        resize_images,
+    )
+
+    solid = np.zeros((8, 8, 3), np.uint8)
+    solid[:, :, 0] = 200  # red-ish: mean R = 200/255
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))[..., None].repeat(3, 2)
+    rows = [
+        (1, bytearray(encode_png(solid, filter_type=4)), "image/png", 8, 8),
+        (2, bytearray(encode_png(grad, filter_type=2)), "image/png", 16, 16),
+    ]
+    media = spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+    feats = {r["media_id"]: r["feature"] for r in extract_image_features(media).collect()}
+    assert abs(feats[1][0] - 200 / 255) < 1e-6  # mean R channel, real pixels
+    assert abs(feats[1][1] - 0.0) < 1e-6  # mean G
+    assert feats[1][3] < 1e-6  # solid image: zero channel std
+    assert feats[2][3] > 0.01  # gradient image: real variance seen
+    resized = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    assert resized[1]["mime"] == "image/png"
+    px = decode_png(bytes(resized[2]["content"]))
+    assert px.shape == (4, 4, 3)
+
+
+def test_png_unsupported_shape_raises(spark):
+    from dbp_etl_spark.operators.multimodal import decode_png, encode_png
+    import numpy as np
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    # corrupt IHDR to 16-bit depth: must refuse loudly, not garbage out
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    ihdr_at = good.index(b"IHDR") - 4
+    body = bytearray(good[ihdr_at + 8 : ihdr_at + 8 + 13])
+    body[8] = 16  # bit depth
+    tag_body = b"IHDR" + bytes(body)
+    patched = (
+        good[:ihdr_at]
+        + struct.pack(">I", 13)
+        + tag_body
+        + struct.pack(">I", zlib.crc32(tag_body) & 0xFFFFFFFF)
+        + good[ihdr_at + 8 + 13 + 4 :]
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(bytes(patched))
