@@ -63,6 +63,8 @@ class CDCRunner:
         lineage_mode: str = "per_bucket",
         drift_floor_pct: float | None = None,
         allow_urls: DataFrame | None = None,
+        expire_every: int | None = None,
+        expire_keep_last: int = 8,
     ):
         self.table = table
         self.errors_path = errors_path
@@ -72,6 +74,14 @@ class CDCRunner:
         self.lineage_mode = lineage_mode
         self.drift_floor_pct = drift_floor_pct
         self.allow_urls = allow_urls
+        # ``expire_every=N``: run snapshot expiry + ledger pruning after
+        # every N applied groups — keeps commit cost O(retained window)
+        # on long tails (10^4-10^5 batches at the design point) instead
+        # of O(history). keep_last must cover the deepest time travel /
+        # fused-resume window the deployment needs.
+        self.expire_every = expire_every
+        self.expire_keep_last = expire_keep_last
+        self._applied_since_expiry = 0
 
     @staticmethod
     def stage_by_batch(
@@ -217,6 +227,11 @@ class CDCRunner:
         )
         self._side_outputs(res)
         report.results.append(res)
+        if self.expire_every is not None and not res.skipped:
+            self._applied_since_expiry += 1
+            if self._applied_since_expiry >= self.expire_every:
+                self.table.expire_snapshots(keep_last=self.expire_keep_last)
+                self._applied_since_expiry = 0
 
     def _side_outputs(self, res: MergeResult) -> None:
         spark = self.table.spark

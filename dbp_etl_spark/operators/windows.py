@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def sessionize(
@@ -128,6 +129,7 @@ def assign_global_sequence(
     order_by: list,
     coarse_key: "Column",
     seq_col: str = "seq",
+    map_inline_max: int = 10_000,
 ) -> DataFrame:
     """Globally-ordered 1-based sequence WITHOUT a single-partition sort.
 
@@ -164,7 +166,28 @@ def assign_global_sequence(
         offsets[ck] = acc
         acc += counts[ck]
     null_off = offsets.pop(None, None)
-    if offsets:
+    drop_cols = ["_ck", "_lrn"]
+    if len(offsets) > map_inline_max:
+        # plan-size guard: inlining tens of thousands of create_map
+        # literals bloats the logical plan (slow analysis, big task
+        # binaries). Past the threshold, ship the offsets as a tiny
+        # broadcast-joined table instead — same result, O(1) plan size.
+        ck_field = next(f for f in d.schema.fields if f.name == "_ck")
+        off_df = df.sparkSession.createDataFrame(
+            list(offsets.items()),
+            T.StructType(
+                [
+                    T.StructField("_ck_join", ck_field.dataType),
+                    T.StructField("_off", T.LongType()),
+                ]
+            ),
+        )
+        d = d.join(
+            F.broadcast(off_df), F.col("_ck") == F.col("_ck_join"), "left"
+        ).drop("_ck_join")
+        off_expr = F.col("_off")
+        drop_cols.append("_off")
+    elif offsets:
         mapping = F.create_map(
             *[x for ck, off in offsets.items() for x in (F.lit(ck), F.lit(off))]
         )
@@ -175,4 +198,4 @@ def assign_global_sequence(
         off_expr = F.when(F.col("_ck").isNull(), F.lit(null_off)).otherwise(off_expr)
     return d.withColumn(
         seq_col, (off_expr + F.col("_lrn")).cast("long")
-    ).drop("_ck", "_lrn")
+    ).drop(*drop_cols)

@@ -474,3 +474,20 @@ def test_png_unsupported_shape_raises(spark):
     )
     with _pytest.raises(NotImplementedError):
         decode_png(bytes(patched))
+
+
+def test_assign_global_sequence_join_fallback_matches_map(spark):
+    """Above the create_map inline threshold the offsets ship as a
+    broadcast join; result must be identical to the inline-map path."""
+    from dbp_etl_spark.operators.windows import assign_global_sequence
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 37).alias("g"), (F.col("id") * 7 % 101).alias("v")
+    )
+    inline = assign_global_sequence(df, [F.col("id")], F.col("g"))
+    joined = assign_global_sequence(df, [F.col("id")], F.col("g"), map_inline_max=1)
+    a = sorted((r["id"], r["seq"]) for r in inline.collect())
+    b = sorted((r["id"], r["seq"]) for r in joined.collect())
+    assert a == b
+    # sequence is a permutation of 1..N
+    assert sorted(s for _, s in a) == list(range(1, 501))

@@ -168,3 +168,49 @@ def test_commit_cost_stays_o_retained(spark, table):
     assert max(sizes) <= 2 * min(sizes)
     # and the data all still reads (append-only: 24 batches x 2 rows)
     assert t.read().count() == 48
+
+
+def test_runner_inline_expiry_preserves_state(spark, tmp_path):
+    """CDCRunner(expire_every=N) interleaves retention with the tail:
+    final state identical to a run without expiry, metadata bounded,
+    and replaying the whole log afterwards is a full no-op (pruned
+    batch ids resolve through the ledger watermark)."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+
+    events = generate_changes(spark, 1200, 80, n_batches=6, seed=3)
+
+    def fresh(name):
+        return LakeTable.create(
+            spark,
+            str(tmp_path / name),
+            TableSchema.from_struct(
+                T.StructType(
+                    [
+                        T.StructField("url", T.StringType()),
+                        T.StructField("warc_ts", T.TimestampType()),
+                        T.StructField("html", T.BinaryType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("lang", T.StringType()),
+                    ]
+                )
+            ),
+            key="url",
+            num_buckets=4,
+        )
+
+    t_plain = fresh("plain")
+    CDCRunner(t_plain).run(events)
+    t_exp = fresh("expired")
+    runner = CDCRunner(t_exp, expire_every=2, expire_keep_last=2)
+    runner.run(events)
+    assert t_exp.state_hash() == t_plain.state_hash()
+    assert len(_meta_files(t_exp.root)) < len(_meta_files(t_plain.root))
+    assert len(t_exp.manifest["committed_batches"]) <= 4
+
+    # full-log replay: every batch (incl. pruned ids) no-ops
+    before = t_exp.snapshot_id
+    rep = CDCRunner(t_exp.refresh()).run(events)
+    assert rep.n_skipped == 6
+    assert t_exp.refresh().snapshot_id == before
