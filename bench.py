@@ -94,7 +94,12 @@ def _warmup(spark) -> None:
 
 
 def run_cdc_pipeline(
-    spark, n_events: int, num_buckets: int = 32, work_dir: str | None = None, fuse: int = 1
+    spark,
+    n_events: int,
+    num_buckets: int = 32,
+    work_dir: str | None = None,
+    fuse: int = 1,
+    transform=None,
 ) -> dict:
     """The flagship job: generate -> dedup(salted) -> MERGE -> commit,
     n batches, exactly-once. Returns throughput + state hash."""
@@ -137,9 +142,10 @@ def run_cdc_pipeline(
             f"{root}/changes",
         )
         t0 = time.time()
-        report = CDCRunner(table, salt_buckets=32, lineage_mode="global").run(
-            events, fuse=fuse
-        )
+        runner_kwargs = {} if transform is None else {"transform": transform}
+        report = CDCRunner(
+            table, salt_buckets=32, lineage_mode="global", **runner_kwargs
+        ).run(events, fuse=fuse)
         wall = time.time() - t0
         state = table.state_hash()
         return {
