@@ -76,6 +76,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remainder keeps definition order.
 _CHECK_FIRST = [
     "text_to_embedding_ann",
+    "value_percentiles",
+    "sales_cube",
     "json_props_extract",
     "doc_token_stats",
     "doc_fingerprint",

@@ -126,11 +126,25 @@ class TableSchema:
 
     # --- evolution ops (each returns a NEW TableSchema) ---
 
-    def add_column(self, name: str, type_name: str) -> "TableSchema":
+    def add_column(self, name: str, type_name: str, col_id: int | None = None) -> "TableSchema":
+        """``col_id`` lets the table layer assign ids from its
+        last-assigned-id counter; after a drop_column, max_id()+1 could
+        REUSE the dropped column's id and resurrect its old data at
+        read time — the counter never goes backwards (Iceberg rule)."""
         if name in self.names():
             raise ValueError(f"column {name!r} already exists")
         spark_type(type_name)  # validate
-        return TableSchema(self.columns + [ColumnSpec(self.max_id() + 1, name, type_name)])
+        return TableSchema(
+            self.columns + [ColumnSpec(col_id or self.max_id() + 1, name, type_name)]
+        )
+
+    def drop_column(self, name: str) -> "TableSchema":
+        """Metadata-only drop: old data files keep the column's bytes,
+        but no current col id maps to them, so reads never project it.
+        Re-adding the same NAME must use a fresh id (see add_column)."""
+        if name not in self.names():
+            raise ValueError(f"no column {name!r}")
+        return TableSchema([c for c in self.columns if c.name != name])
 
     def rename_column(self, old: str, new: str) -> "TableSchema":
         if old not in self.names():

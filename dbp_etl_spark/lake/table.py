@@ -473,6 +473,20 @@ class LakeTable:
 
     # ------------------------------------------------------ schema evolution
 
+    @property
+    def last_column_id(self) -> int:
+        """Highest column id ever assigned (never reused — the Iceberg
+        rule that makes drop-then-re-add safe). Falls back to the max
+        id across all schema versions for manifests predating the
+        explicit counter."""
+        if "last_column_id" in self.manifest:
+            return self.manifest["last_column_id"]
+        return max(
+            c["id"]
+            for sch in self.manifest["schemas"].values()
+            for c in (sch if isinstance(sch, list) else json.loads(sch))
+        )
+
     def _evolve(self, new_schema: TableSchema, op: str) -> "LakeTable":
         new_ver = self.manifest["schema_version"] + 1
         new_manifest = dict(self.manifest)
@@ -482,11 +496,24 @@ class LakeTable:
         schemas = dict(self.manifest["schemas"])
         schemas[str(new_ver)] = new_schema.to_json()
         new_manifest["schemas"] = schemas
+        new_manifest["last_column_id"] = max(self.last_column_id, new_schema.max_id())
         new_manifest["summary"] = {"schema_op": op}
         return self._commit(new_manifest)
 
     def add_column(self, name: str, type_name: str) -> "LakeTable":
-        return self._evolve(self.schema.add_column(name, type_name), f"add:{name}:{type_name}")
+        return self._evolve(
+            self.schema.add_column(name, type_name, col_id=self.last_column_id + 1),
+            f"add:{name}:{type_name}",
+        )
+
+    def drop_column(self, name: str) -> "LakeTable":
+        """Metadata-only column drop (no rewrite). The key, event-time
+        and tombstone columns are structural and cannot be dropped.
+        Re-adding the same name later creates a NEW column (fresh id):
+        pre-drop values stay invisible — Iceberg drop semantics."""
+        if name in (self.key, "warc_ts", "_deleted"):
+            raise ValueError(f"cannot drop structural column {name!r}")
+        return self._evolve(self.schema.drop_column(name), f"drop:{name}")
 
     def rename_column(self, old: str, new: str) -> "LakeTable":
         return self._evolve(self.schema.rename_column(old, new), f"rename:{old}->{new}")

@@ -1972,3 +1972,55 @@ def text_to_embedding_ann(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "cos_sim")
     )
+
+
+@q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (JVM-side F.percentile,
+    not the approximate sketch) — both engines use the standard
+    linear-interpolation definition, so values agree bitwise before the
+    round(4). At 100 TB swap in percentile_approx (t-digest) and drop
+    the oracle to rows-only; the exact form is the correctness anchor."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "sales_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+)
+def sales_cube(spark, sf_dir):
+    """CUBE grouping sets: all 4 subtotal combinations over two dims in
+    one pass (Catalyst expands to a union of grouped aggregations)."""
+    o = _t(spark, sf_dir, "orders").withColumn("yr_num", F.year("o_orderdate"))
+    return (
+        o.cube("o_orderstatus", "yr_num")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("yr_num").cast("string"), F.lit("ALL")).alias("yr"),
+            "total",
+            "n",
+        )
+    )

@@ -296,3 +296,38 @@ def test_state_checks_clean_and_injected_violations(spark, tmp_path):
     # and the ledger reconciliation flags the unexplained batch
     rep3 = {r["check"]: r["n_violations"] for r in state_checks(t, runner.lineage()).collect()}
     assert rep3["lineage_ledger_mismatch"] == 0  # corrupt batch had no counts -> not compared
+
+
+def test_drop_column_and_readd_does_not_resurrect(spark, table):
+    """Iceberg drop semantics: metadata-only drop, and a re-added column
+    with the same NAME is a NEW column (fresh id) — pre-drop values
+    must stay invisible, not leak back from the old data files."""
+    t = table.append(mk_rows(spark, 6, tag="v1"), batch_id="seed")
+    assert all(r["lang"] == "en" for r in t.read().collect())
+
+    t = t.drop_column("lang")
+    assert "lang" not in t.read().columns
+    assert t.read().count() == 6  # data intact, column gone
+
+    t = t.add_column("lang", "string")
+    rows = t.read().collect()
+    assert all(r["lang"] is None for r in rows)  # NOT resurrected
+    # the re-added column has a fresh id, never the dropped one
+    ids = [c.col_id for c in t.schema.columns if c.name == "lang"]
+    assert ids[0] == t.last_column_id
+
+    # new writes populate the new column normally
+    t = t.append(mk_rows(spark, 2, tag="v2"), batch_id="after")
+    got = {r["text"]: r["lang"] for r in t.read().collect()}
+    assert got["0v2"] == "en" and got["0v1"] is None
+
+    # reload from disk agrees (counter persisted in the manifest)
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.last_column_id == t.last_column_id
+    assert all(r["lang"] is None for r in t2.read().filter("text like '%v1'").collect())
+
+
+def test_drop_structural_column_refused(spark, table):
+    for col in ("url", "warc_ts", "_deleted"):
+        with pytest.raises(ValueError, match="structural"):
+            table.drop_column(col)

@@ -124,3 +124,35 @@ def test_cdc_split_invariance_fuzzed(spark, tmp_path):
         h = tk.state_hash()
         CDCRunner(tk).run(df)
         assert tk.state_hash() == h, f"case {idx}: replay not idempotent"
+
+
+def test_retention_invariance_fuzzed(spark, tmp_path):
+    """Retention is invisible to semantics, fuzzed: for randomized logs,
+    a run with aggressive inline expiry (expire_every=1, keep_last=1)
+    produces the same final state as a plain run, and replaying the
+    full log against the expired table (all ledger entries now behind
+    the watermark) is still a complete no-op."""
+    for idx, (events, bounds) in enumerate(_mk_events()[:4]):
+        rows = []
+        for pos, (url, ts, payload, op) in enumerate(events):
+            b = sum(1 for x in bounds if x <= pos)
+            rows.append((url, ts, payload, op, b))
+        df = spark.createDataFrame(
+            rows, "url string, ts long, html binary, op string, batch_id long"
+        ).select(
+            "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "batch_id"
+        )
+        tp = LakeTable.create(
+            spark, str(tmp_path / f"p{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
+        te = LakeTable.create(
+            spark, str(tmp_path / f"e{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
+        CDCRunner(tp, salt_buckets=4).run(df)
+        CDCRunner(te, salt_buckets=4, expire_every=1, expire_keep_last=1).run(df)
+        te = te.refresh()
+        assert tp.state_hash() == te.state_hash(), f"case {idx}: expiry changed state"
+        h = te.state_hash()
+        rep = CDCRunner(te).run(df)
+        assert rep.n_skipped == rep.n_batches, f"case {idx}: pruned replay re-applied"
+        assert te.refresh().state_hash() == h, f"case {idx}: replay mutated state"
