@@ -78,6 +78,9 @@ _CHECK_FIRST = [
     "text_to_embedding_ann",
     "value_percentiles",
     "sales_cube",
+    "stratified_sample_docs",
+    "doc_tfidf_top_terms",
+    "contamination_ngram_overlap",
     "json_props_extract",
     "doc_token_stats",
     "doc_fingerprint",

@@ -2024,3 +2024,146 @@ def sales_cube(spark, sf_dir):
             "n",
         )
     )
+
+
+@q(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling: k docs per stratum (lang),
+    selected by hash order — the training-data curation primitive for
+    balanced subset extraction. Hash order (md5 of the id) gives a
+    stable pseudo-random sample that is reproducible across engines,
+    partitionings and runs — unlike rand()-based sampling. One window
+    shuffle; at 100 TB this is the same plan, keyed by the stratum."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+@q(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * (n.n + 1.0) / (df.df + 1.0), 4) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+      WHERE tf.doc_id < 40)
+    SELECT doc_id, tok, score FROM (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      FROM scored) WHERE rk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 terms by tf×idf. Uses the RATIO idf variant
+    (N+1)/(df+1) instead of log-idf so every intermediate stays an
+    exact-integer-derived double — bitwise identical across engines
+    (log differs in the last ulp between libm implementations, which
+    can flip rank ties). Shape: map-side tokenize → two shuffles
+    (tf groupBy, df groupBy) → broadcast-sized df join → window. The
+    df table is vocabulary-sized; at 100 TB it broadcast-joins or
+    bucket-joins by token — never a cross product."""
+    docs = _t(spark, sf_dir, "documents")
+    from dbp_etl_spark.functions.embed import tokenize
+
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.count()  # bounded: one scalar
+    scored = (
+        tf.filter(F.col("doc_id") < 40)
+        .join(df_, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * (F.lit(n) + 1.0) / (F.col("df") + 1.0), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score")
+    )
+
+
+@q(
+    "contamination_ngram_overlap",
+    """
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+                                   i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+      FROM tokd WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT c.doc_id, c.g, b.bench_id
+      FROM corpus c JOIN bench b USING (g))
+    SELECT doc_id,
+           count(DISTINCT g) AS n_shared_5grams,
+           count(DISTINCT bench_id) AS n_bench_docs_hit
+    FROM hits GROUP BY doc_id
+    """,
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination detection: which corpus docs share any
+    5-gram with a held-out benchmark set (here: every 50th doc). The
+    industry-standard n-gram-overlap decontamination check (GPT-3
+    appendix C / The Pile), expressed as an EQUI-JOIN on the gram —
+    never an all-pairs comparison. At 100 TB: grams of the (small)
+    benchmark side broadcast; the corpus side streams map-side into
+    the join; the distinct-count agg shuffles once by doc."""
+    docs = _t(spark, sf_dir, "documents")
+    from dbp_etl_spark.functions.embed import tokenize
+
+    tokd = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    grams = tokd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 5)),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 50 != 0).select("doc_id", "g").distinct()
+    hits = corpus.join(F.broadcast(bench), "g")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("g").alias("n_shared_5grams"),
+        F.count_distinct("bench_id").alias("n_bench_docs_hit"),
+    )
