@@ -592,6 +592,12 @@ class LakeTable:
 
         Time travel below the horizon raises ``SnapshotExpired``.
         Returns stats: expired manifest ids, deleted file count.
+
+        Reader horizon: a reader that loaded a snapshot BEFORE expiry
+        can still be scanning files that expiry deletes. Size
+        ``keep_last`` to cover the longest concurrent read / time-travel
+        window the deployment needs (same contract as Iceberg's
+        expire_snapshots retention).
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")

@@ -92,6 +92,8 @@ def run_stream(
     errors_path: str | None = None,
     lineage_path: str | None = None,
     allow_urls=None,
+    expire_every: int | None = None,
+    expire_keep_last: int = 8,
 ):
     """Tail ``changes_path`` (parquet change events) into ``table``.
 
@@ -110,6 +112,7 @@ def run_stream(
 
     stream = _changes_reader(spark, max_files_per_trigger).parquet(changes_path)
     stream_id = _stream_identity(spark, checkpoint_path)
+    applied = [0]  # microbatches since last expiry (foreachBatch closure state)
     side = CDCRunner(
         table,
         errors_path=errors_path,
@@ -144,6 +147,14 @@ def run_stream(
             candidates=cand,
         )
         side._side_outputs(res)
+        # inline retention, same contract as CDCRunner(expire_every=N):
+        # an unbounded tail otherwise accretes one ledger entry and one
+        # snapshot per microbatch forever
+        if expire_every is not None:
+            applied[0] += 1
+            if applied[0] >= expire_every:
+                table.expire_snapshots(keep_last=expire_keep_last)
+                applied[0] = 0
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -253,3 +253,34 @@ def test_stream_side_outputs_parity_with_runner(spark, tmp_path):
     t_batch = mk_table(spark, tmp_path, "batch")
     CDCRunner(t_batch).run(events.unionByName(bad))
     assert t.refresh().state_hash() == t_batch.state_hash()
+
+
+def test_stream_inline_expiry(spark, tmp_path):
+    """Streaming tail with expire_every: state matches the plain batch
+    runner, metadata stays bounded by the retention window."""
+    import os as _os
+
+    events = generate_changes(spark, 1500, 80, n_batches=5, seed=13)
+    src = str(tmp_path / "changes")
+    events.repartition(5, "batch_id").write.parquet(src)
+
+    t = mk_table(spark, tmp_path, "stream")
+    q = run_stream(
+        spark,
+        src,
+        t,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        expire_every=2,
+        expire_keep_last=2,
+    )
+    q.awaitTermination(120)
+    t = t.refresh()
+
+    t_batch = mk_table(spark, tmp_path, "batch")
+    CDCRunner(t_batch).run(events.withColumn("batch_id", F.lit(0)))
+    assert t.state_hash() == t_batch.state_hash()
+    n_manifests = len(
+        [f for f in _os.listdir(str(tmp_path / "stream" / "_meta")) if f.startswith("v")]
+    )
+    assert n_manifests <= 6  # bounded by window, not one per microbatch
