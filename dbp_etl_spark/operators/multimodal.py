@@ -15,13 +15,16 @@ The codec layer is REAL for formats decodable with stdlib + numpy:
 * ``image/png`` — pure stdlib-``zlib``+numpy decoder (8-bit gray/RGB/
   RGBA, all five scanline filters, non-interlaced — the overwhelmingly
   common PNG shape), real pixels end to end;
+* ``image/jpeg`` — pure python/numpy BASELINE JPEG decoder+encoder
+  (operators/jpeg.py: huffman entropy decode, dequant, IDCT, 4:2:0
+  upsampling), real pixels end to end;
 * ``audio/wav`` (PCM WAV) — stdlib ``wave`` + numpy decode, real
   sample windows and RMS energy.
 
-Formats that need external codecs (JPEG via PIL, MP3/AAC via ffmpeg —
-not in this sandbox) raise ``NotImplementedError`` unless
-``deterministic_fake=True`` (seeded features from the content hash, so
-the pipeline stays exercisable end to end for any mime).
+Formats that still need external codecs (MP3/AAC via ffmpeg, webp,
+progressive JPEG — not in this sandbox) raise ``NotImplementedError``
+unless ``deterministic_fake=True`` (seeded features from the content
+hash, so the pipeline stays exercisable end to end for any mime).
 """
 
 from __future__ import annotations
@@ -119,9 +122,14 @@ def _ppm_features(pixels: np.ndarray) -> list[float]:
     return [float(x) for x in feats]
 
 
+JPEG_MAGIC = b"\xff\xd8"
+JPEG_MIME = "image/jpeg"
+
+
 def _decode_image(content: bytes, mime: str, deterministic_fake: bool) -> list[float]:
-    """Real decode for PPM and PNG; seeded fake or NotImplementedError
-    otherwise (JPEG needs PIL/opencv, absent in this sandbox)."""
+    """Real decode for PPM, PNG and baseline JPEG (all pure
+    python/numpy, operators/jpeg.py); seeded fake or
+    NotImplementedError for anything else."""
     data = content or b""
     if mime == PPM_MIME or data.startswith(b"P6"):
         return _ppm_features(decode_ppm(content))
@@ -130,9 +138,16 @@ def _decode_image(content: bytes, mime: str, deterministic_fake: bool) -> list[f
         if px.shape[2] == 1:
             px = np.repeat(px, 3, axis=2)
         return _ppm_features(px[..., :3])  # alpha dropped for features
+    if mime == JPEG_MIME or data.startswith(JPEG_MAGIC):
+        from dbp_etl_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        return _ppm_features(px)
     if not deterministic_fake:
         raise NotImplementedError(
-            f"decoding {mime!r} requires PIL/opencv, not available in this environment"
+            f"decoding {mime!r} requires external codecs, not available in this environment"
         )
     h = hashlib.md5(data).digest()
     return [b / 255.0 for b in h[:8]]
@@ -182,6 +197,14 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 if data.startswith(PNG_MAGIC):
                     out.append(encode_png(_resize_nearest(decode_png(data), out_w, out_h)))
                     mimes.append(PNG_MIME)
+                elif data.startswith(JPEG_MAGIC):
+                    from dbp_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+                    px = decode_jpeg(data)
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    out.append(encode_jpeg(_resize_nearest(px, out_w, out_h)))
+                    mimes.append(JPEG_MIME)
                 else:
                     out.append(encode_ppm(_resize_nearest(decode_ppm(data), out_w, out_h)))
                     mimes.append(PPM_MIME)

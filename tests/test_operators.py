@@ -142,10 +142,10 @@ def test_asof_join_backward(spark):
 
 
 def test_image_features_stub_plumbing(spark):
-    # mimes with no in-repo codec (PNG/PPM now decode for real — see
-    # test_png_features_and_resize_real)
+    # mimes with no in-repo codec (PPM/PNG/JPEG now decode for real —
+    # see the dedicated codec tests)
     media = spark.createDataFrame(
-        [(1, b"imagebytes1", "image/gif", 10, 10), (2, b"imagebytes2", "image/jpeg", 20, 20)],
+        [(1, b"imagebytes1", "image/gif", 10, 10), (2, b"imagebytes2", "image/webp", 20, 20)],
         "media_id long, content binary, mime string, width int, height int",
     )
     out = extract_image_features(media, deterministic_fake=True).collect()
@@ -491,3 +491,81 @@ def test_assign_global_sequence_join_fallback_matches_map(spark):
     assert a == b
     # sequence is a permutation of 1..N
     assert sorted(s for _, s in a) == list(range(1, 501))
+
+
+def test_jpeg_codec_roundtrips(spark):
+    """Pure-python baseline JPEG: encode->decode round trips within the
+    DCT rounding bound at quant=1 for grayscale, RGB 4:4:4 (including
+    non-multiple-of-8 dims) and RGB 4:2:0."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (24, 17, 1), np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quant=1))
+    assert out.shape == (24, 17, 1)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 3
+
+    c = rng.randint(0, 256, (19, 23, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(c, quant=1))
+    assert out.shape == (19, 23, 3)
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 4  # + colorspace rounding
+
+    xx, yy = np.meshgrid(np.arange(33), np.arange(25))
+    smooth = np.stack([(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(smooth, quant=1, subsample=True))
+    assert out.shape == smooth.shape
+    # chroma is 2x2-averaged: luma-dominated mean error stays small
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 4
+
+    # lossy-but-sane at a realistic quant
+    out = decode_jpeg(encode_jpeg(smooth, quant=16))
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 10
+
+
+def test_jpeg_rejects_non_baseline(spark):
+    import pytest as _pytest
+
+    from dbp_etl_spark.operators.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2 marker must refuse loudly
+    import numpy as np
+    from dbp_etl_spark.operators.jpeg import encode_jpeg
+
+    good = bytearray(encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
+    sof_at = bytes(good).find(b"\xff\xc0")
+    good[sof_at + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_flows_through_image_operators(spark):
+    """JPEG through the Arrow-batched operators with REAL decode: mean
+    features track actual pixels; resize re-encodes JPEG bytes."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dbp_etl_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        extract_image_features,
+        resize_images,
+    )
+
+    solid = np.zeros((16, 16, 3), np.uint8)
+    solid[:, :, 2] = 180  # blue-ish
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(solid, quant=1)), "image/jpeg", 16, 16)], IMAGE_SCHEMA
+    )
+    feats = extract_image_features(media).collect()[0]["feature"]
+    assert abs(feats[2] - 180 / 255) < 0.02  # mean B from real pixels
+    assert feats[0] < 0.02 and feats[1] < 0.02
+    resized = resize_images(media, 8, 8).collect()[0]
+    assert resized["mime"] == "image/jpeg"
+    px = decode_jpeg(bytes(resized["content"]))
+    assert px.shape == (8, 8, 3)
+    assert abs(int(px[..., 2].mean()) - 180) <= 6
