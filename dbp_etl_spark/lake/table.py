@@ -305,6 +305,95 @@ class LakeTable:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         return out
 
+    def read_changes(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots (Iceberg/Delta
+        CDF analog): what happened to the table from ``from_snapshot``
+        (exclusive) to ``to_snapshot`` (inclusive, default head).
+
+        Returns current-schema rows plus ``_change_type`` in
+        ``('insert', 'update_post', 'delete')`` — downstream consumers
+        (a derived table, an index, a cache) apply the feed instead of
+        re-reading the full state; this is what lets one lake table
+        FEED another CDC pipeline (changes-out, not just changes-in).
+
+        Physical shape: the two manifests are diffed for buckets whose
+        file sets changed — only THOSE buckets' rows (old + new) are
+        scanned; the row diff is one bucket-partitioned full-outer join
+        keyed like the MERGE itself. Untouched buckets contribute
+        nothing and are never read. Cost scales with the churn, not the
+        table.
+        """
+        to_snapshot = self.snapshot_id if to_snapshot is None else to_snapshot
+        if from_snapshot < self.min_retained_snapshot:
+            raise SnapshotExpired(
+                f"snapshot {from_snapshot} was expired (min retained: "
+                f"{self.min_retained_snapshot})"
+            )
+        if from_snapshot > to_snapshot:
+            raise ValueError("from_snapshot must be <= to_snapshot")
+
+        def _files_of(snap: int) -> dict[int, frozenset]:
+            if snap == self.snapshot_id:
+                m = self.manifest
+            else:
+                m = json.loads(
+                    self._fs.read_text(os.path.join(self.root, _META, f"v{snap}.json"))
+                )
+            by_bucket: dict[int, set] = {}
+            for f_ in m["files"]:
+                by_bucket.setdefault(f_["bucket"], set()).add(f_["path"])
+            return {b: frozenset(s) for b, s in by_bucket.items()}
+
+        old_files = _files_of(from_snapshot)
+        new_files = _files_of(to_snapshot)
+        dirty = sorted(
+            b
+            for b in set(old_files) | set(new_files)
+            if old_files.get(b) != new_files.get(b)
+        )
+        key = self.key
+        cols = [c for c in self.schema.names() if c != "_deleted"]
+        if not dirty:
+            empty = self.read(buckets=[])
+            return empty.withColumn("_change_type", F.lit("")).limit(0)
+
+        def _visible(snap: int) -> DataFrame:
+            df = self.read(buckets=dirty, snapshot_id=snap, include_deleted=True)
+            return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+
+        old = _visible(from_snapshot).select(
+            F.col(key),
+            F.lit(True).alias("_o_present"),
+            *[F.col(c).alias(f"_o_{c}") for c in cols if c != key],
+        )
+        new = _visible(to_snapshot).withColumn("_n_present", F.lit(True))
+        j = new.join(old, key, "full_outer")
+        row_changed = None
+        for c in cols:
+            if c == key:
+                continue
+            neq = ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+            row_changed = neq if row_changed is None else (row_changed | neq)
+        new_absent = F.col("_n_present").isNull()
+        old_absent = F.col("_o_present").isNull()
+        change = (
+            F.when(old_absent & ~new_absent, F.lit("insert"))
+            .when(~old_absent & new_absent, F.lit("delete"))
+            .when(F.coalesce(row_changed, F.lit(False)), F.lit("update_post"))
+        )
+        out_cols = [
+            F.when(F.col("_change_type") == "delete", F.col(f"_o_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+            if c != key
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(F.col(key), *out_cols, "_change_type")
+        )
+
     # ----------------------------------------------------------------- write
 
     def _write_data(

@@ -345,6 +345,153 @@ def decode_png(content: bytes) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------------------- Y4M codec
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+Y4M_MIME = "video/x-yuv4mpeg"
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25, c420: bool = False) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> YUV4MPEG2 bytes (C444 or C420jpeg).
+    Test/synthesis helper — the sandbox has no other video source."""
+    n, h, w, _ = frames.shape
+    colorspace = b"C420jpeg" if c420 else b"C444"
+    out = bytearray(Y4M_MAGIC + b"W%d H%d F%d:1 Ip A1:1 %s\n" % (w, h, fps, colorspace))
+    for f in range(n):
+        px = frames[f].astype(np.float64)
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if c420:
+            u = (u[0::2, 0::2] + u[1::2, 0::2] + u[0::2, 1::2] + u[1::2, 1::2]) / 4.0
+            v = (v[0::2, 0::2] + v[1::2, 0::2] + v[0::2, 1::2] + v[1::2, 1::2]) / 4.0
+        out += b"FRAME\n"
+        for plane in (y, u, v):
+            out += np.clip(plane.round(), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(content: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 bytes -> ((n, h, w, 3) uint8 RGB, fps). Real decoder:
+    header parse, per-FRAME planar YUV read, C444/C420 upsample,
+    YCbCr->RGB. Unsupported colorspaces raise NotImplementedError."""
+    if not content.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = content.index(b"\n")
+    params = content[len(Y4M_MAGIC) : nl].split()
+    w = h = None
+    fps = 25
+    colorspace = b"C420jpeg"  # the spec default
+    for p in params:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"F":
+            num, den = p[1:].split(b":")
+            fps = max(1, int(round(int(num) / int(den))))
+        elif p[:1] == b"C":
+            colorspace = p
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith(b"C444"):
+        usize = vsize = w * h
+        sub = 1
+    elif colorspace.startswith(b"C420"):
+        usize = vsize = (w // 2) * (h // 2)
+        sub = 2
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace!r} unsupported")
+    ysize = w * h
+    pos = nl + 1
+    frames = []
+    while pos < len(content):
+        fnl = content.index(b"\n", pos)
+        if not content[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("expected FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(content, np.uint8, ysize, pos).reshape(h, w).astype(np.float64)
+        u = (
+            np.frombuffer(content, np.uint8, usize, pos + ysize)
+            .reshape(h // sub, w // sub)
+            .astype(np.float64)
+        )
+        v = (
+            np.frombuffer(content, np.uint8, vsize, pos + ysize + usize)
+            .reshape(h // sub, w // sub)
+            .astype(np.float64)
+        )
+        pos += ysize + usize + vsize
+        if sub == 2:
+            u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+            v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+        r = y + 1.402 * (v - 128.0)
+        g = y - 0.344136 * (u - 128.0) - 0.714136 * (v - 128.0)
+        b = y + 1.772 * (u - 128.0)
+        frames.append(np.clip(np.stack([r, g, b], -1).round(), 0, 255).astype(np.uint8))
+    return np.stack(frames), fps
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("mean_rgb", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, frames_per_item: int = 4, deterministic_fake: bool = False
+) -> DataFrame:
+    """Video frame sampling: 1 row -> N evenly-spaced decoded frames
+    with real per-frame stats (hash of actual pixels, per-channel
+    means). Y4M payloads decode for REAL; compressed containers
+    (mp4/webm need ffmpeg) use the byte-window fake or raise. Same
+    flat-map mapInPandas shape as audio frame sampling — at scale the
+    decode binds a native codec behind this exact operator."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                ("media_id", "frame_idx", "n_frames", "fps", "frame_hash", "mean_rgb")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content or b"")
+                if data.startswith(Y4M_MAGIC):
+                    frames, fps = decode_y4m(data)
+                    n = len(frames)
+                    picks = [int(i * (n - 1) / max(frames_per_item - 1, 1)) for i in range(min(frames_per_item, n))]
+                    for i, fi in enumerate(dict.fromkeys(picks)):
+                        fr = frames[fi]
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(fi)
+                        rows["n_frames"].append(n)
+                        rows["fps"].append(fps)
+                        rows["frame_hash"].append(hashlib.md5(fr.tobytes()).hexdigest()[:12])
+                        rows["mean_rgb"].append([float(fr[..., c].mean()) for c in range(3)])
+                elif deterministic_fake:
+                    step = max(len(data) // frames_per_item, 1)
+                    for i in range(frames_per_item):
+                        chunk = data[i * step : (i + 1) * step]
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["n_frames"].append(frames_per_item)
+                        rows["fps"].append(0)
+                        rows["frame_hash"].append(hashlib.md5(chunk).hexdigest()[:12])
+                        rows["mean_rgb"].append([0.0, 0.0, 0.0])
+                else:
+                    raise NotImplementedError(
+                        "compressed video decoding requires ffmpeg, not available here"
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
+
+
 # --------------------------------------------------------------- WAV codec
 
 

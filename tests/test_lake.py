@@ -331,3 +331,57 @@ def test_drop_structural_column_refused(spark, table):
     for col in ("url", "warc_ts", "_deleted"):
         with pytest.raises(ValueError, match="structural"):
             table.drop_column(col)
+
+
+def test_read_changes_cdf(spark, table):
+    """Change-data-feed reader: row-level diff between snapshots —
+    inserts, updates (post-image), deletes; untouched rows absent."""
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake.table import SnapshotExpired
+
+    t = table
+    base = mk_rows(spark, 10, tag="v1").withColumn(
+        "op", F.lit("insert")
+    ).withColumn("batch_id", F.lit(0).cast("long"))
+    CDCRunner(t, salt_buckets=4).run(base)
+    t = t.refresh()
+    s0 = t.snapshot_id
+
+    # batch 1: update 2 urls (later ts), delete 1, insert 1 new
+    upd = spark.createDataFrame(
+        [
+            ("https://h.example/p0", 1800000000, b"<p>new0</p>", "update"),
+            ("https://h.example/p1", 1800000000, b"<p>new1</p>", "update"),
+            ("https://h.example/p2", 1800000000, None, "delete"),
+            ("https://h.example/pNEW", 1800000000, b"<p>fresh</p>", "insert"),
+        ],
+        "url string, ts long, html binary, op string",
+    ).select(
+        "url",
+        F.timestamp_seconds("ts").alias("warc_ts"),
+        "html",
+        "op",
+        F.lit(1).cast("long").alias("batch_id"),
+    )
+    CDCRunner(t, salt_buckets=4).run(upd)
+    t = t.refresh()
+
+    feed = {r["url"]: r["_change_type"] for r in t.read_changes(s0).collect()}
+    assert feed == {
+        "https://h.example/p0": "update_post",
+        "https://h.example/p1": "update_post",
+        "https://h.example/p2": "delete",
+        "https://h.example/pNEW": "insert",
+    }
+    # post-image carried for updates, pre-image key-only for deletes
+    rows = {r["url"]: r for r in t.read_changes(s0).collect()}
+    assert bytes(rows["https://h.example/p0"]["html"]) == b"<p>new0</p>"
+    assert rows["https://h.example/p2"]["text"] is not None  # pre-image of deleted row
+
+    # zero-churn window: empty feed, nothing scanned
+    assert t.read_changes(t.snapshot_id).count() == 0
+    # expired window raises cleanly
+    t.expire_snapshots(keep_last=1)
+    t = t.refresh()
+    with pytest.raises(SnapshotExpired):
+        t.read_changes(s0)

@@ -569,3 +569,52 @@ def test_jpeg_flows_through_image_operators(spark):
     px = decode_jpeg(bytes(resized["content"]))
     assert px.shape == (8, 8, 3)
     assert abs(int(px[..., 2].mean()) - 180) <= 6
+
+
+def test_y4m_video_codec_and_frame_sampling(spark):
+    """Real video path: Y4M round trip (C444 exact, C420 lossy-small)
+    and frame sampling over actually-decoded frames."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (6, 16, 20, 3), np.uint8)
+    dec, fps = decode_y4m(encode_y4m(frames, fps=30))
+    assert dec.shape == frames.shape and fps == 30
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 2  # colorspace rounding
+
+    # 4:2:0 on SMOOTH content (random noise is chroma-subsampling's
+    # worst case by construction): small mean error
+    xx, yy = np.meshgrid(np.arange(20), np.arange(16))
+    smooth1 = np.stack([(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], -1).astype(
+        np.uint8
+    )
+    smooth = np.stack([smooth1, 255 - smooth1], 0)
+    dec420, _ = decode_y4m(encode_y4m(smooth, c420=True))
+    assert dec420.shape == smooth.shape
+    assert np.abs(dec420.astype(int) - smooth.astype(int)).mean() < 8
+
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_y4m(frames, fps=30)))], "media_id long, content binary"
+    )
+    out = sample_video_frames(media, frames_per_item=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 5]  # evenly spaced incl. endpoints
+    assert all(r["n_frames"] == 6 and r["fps"] == 30 for r in out)
+    # per-frame means track the real pixels
+    expect = frames[0].mean(axis=(0, 1))
+    got = out[0]["mean_rgb"]
+    assert all(abs(g - e) < 2 for g, e in zip(got, expect))
+    # distinct frames -> distinct hashes
+    assert len({r["frame_hash"] for r in out}) == 3
+
+    # compressed container without fake -> loud stub
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, b"\x00\x00\x00 ftypmp42")], "media_id long, content binary")
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(bad).collect()
