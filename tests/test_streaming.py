@@ -284,3 +284,81 @@ def test_stream_inline_expiry(spark, tmp_path):
         [f for f in _os.listdir(str(tmp_path / "stream" / "_meta")) if f.startswith("v")]
     )
     assert n_manifests <= 6  # bounded by window, not one per microbatch
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: responses within the interval
+    match; a request with no response still emits under leftOuter once
+    its wait expires (bounded state either way)."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.streaming import interval_join_streams
+
+    req_schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("req_ts", T.TimestampType())]
+    )
+    resp_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("resp_ts", T.TimestampType()),
+            T.StructField("status", T.IntegerType()),
+        ]
+    )
+    base = 1700000000
+    reqs = [("u1", base), ("u2", base + 60), ("u3", base + 120)]  # u3 never answered
+    resps = [("u1", base + 30, 200), ("u2", base + 400, 304),  # u2 answers too late
+             ("zz", base + 5000, 500)]  # advances the watermark past every wait window
+    req_dir, resp_dir = str(tmp_path / "req"), str(tmp_path / "resp")
+    spark.createDataFrame(
+        [(u, t) for u, t in reqs], "url string, t long"
+    ).select("url", F.timestamp_seconds("t").alias("req_ts")).write.parquet(req_dir)
+    spark.createDataFrame(
+        [(u, t, s) for u, t, s in resps], "url string, t long, status int"
+    ).select("url", F.timestamp_seconds("t").alias("resp_ts"), "status").write.parquet(resp_dir)
+
+    left = spark.readStream.schema(req_schema).parquet(req_dir)
+    right = spark.readStream.schema(resp_schema).parquet(resp_dir)
+    joined = interval_join_streams(
+        left, right, key="url", left_ts="req_ts", right_ts="resp_ts",
+        within="2 minutes", watermark="1 minute", how="leftOuter",
+    )
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            interval_join_streams(
+                spark.readStream.schema(req_schema).parquet(req_dir),
+                spark.readStream.schema(resp_schema).parquet(resp_dir),
+                key="url", left_ts="req_ts", right_ts="resp_ts",
+                within="2 minutes", watermark="1 minute", how="leftOuter",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    del joined
+    run_once()
+    # a second pulse advances the watermark again so outer-join state
+    # for expired waits is evicted and emitted
+    # the GLOBAL watermark is min(left_wm, right_wm): BOTH streams must
+    # advance before expired outer state can emit (multipleWatermarkPolicy
+    # default) — pulse both sides, then run twice (emission lags a batch)
+    for i, t in enumerate((9000, 13000)):
+        spark.createDataFrame(
+            [(f"zz{i + 2}", base + t, 500)], "url string, t long, status int"
+        ).select(
+            "url", F.timestamp_seconds("t").alias("resp_ts"), "status"
+        ).write.mode("append").parquet(resp_dir)
+        spark.createDataFrame([(f"qq{i + 2}", base + t)], "url string, t long").select(
+            "url", F.timestamp_seconds("t").alias("req_ts")
+        ).write.mode("append").parquet(req_dir)
+        run_once()
+    rows = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows["u1"]["status"] == 200  # in-window match
+    assert "u2" in rows and rows["u2"]["status"] is None  # response too late
+    assert "u3" in rows and rows["u3"]["status"] is None  # never answered
