@@ -99,8 +99,17 @@ class LakeTable:
         schema: TableSchema,
         key: str = "url",
         num_buckets: int = 16,
+        bloom_key: bool = False,
     ) -> "LakeTable":
         """Create an empty table.
+
+        ``bloom_key=True`` writes a parquet bloom filter on the merge
+        key into every data file: point lookups (WHERE url = ...) then
+        skip row groups that provably lack the key — worth it for
+        lookup-heavy tables with GB-sized files, where the ~100 KB/file
+        overhead amortizes to noise. Off by default: on write-heavy
+        tails with small files the build cost is measurable (A/B'd at
+        4-25% of the CDC leg at test file sizes).
 
         ``num_buckets`` sizing: aim for bucket data size of a few GB so
         a MERGE rewrite task is neither tiny nor spill-prone — 16-32 for
@@ -130,6 +139,7 @@ class LakeTable:
             "files": [],
             "committed_batches": {},
             "summary": {},
+            "bloom_key": bloom_key,
         }
         fs.create_text_exclusive(
             os.path.join(root, _META, "v0.json"), json.dumps(manifest, indent=1)
@@ -425,7 +435,18 @@ class LakeTable:
                 .withColumn("_bucket", self.bucket_expr())
                 .repartition("_bucket")
             )
-        out.write.partitionBy("_bucket").mode("append").parquet(snap_dir)
+        writer = out.write.partitionBy("_bucket").mode("append")
+        if self.manifest.get("bloom_key", False):
+            # parquet bloom filter on the merge key: a point lookup
+            # (WHERE url = ...) then skips row groups that provably
+            # lack the key — the per-file sibling of bucket pruning
+            # (bucket pruning narrows to ~1/B of files; the bloom
+            # narrows scanning WITHIN those files). ~100 KB/file at
+            # the configured NDV — noise against multi-GB buckets.
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{self.key}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{self.key}", "100000")
+        writer.parquet(snap_dir)
         entries: list[dict] = []
         for bucket_dir in self._fs.list_names(snap_dir):
             if not bucket_dir.startswith("_bucket="):

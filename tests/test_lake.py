@@ -385,3 +385,34 @@ def test_read_changes_cdf(spark, table):
     t = t.refresh()
     with pytest.raises(SnapshotExpired):
         t.read_changes(s0)
+
+
+def test_key_bloom_filter_written(spark, tmp_path):
+    """Data files carry a parquet bloom filter on the merge key (point
+    lookups skip row groups within the pruned bucket's files). Pinned
+    by the size delta vs a bloom-disabled table over identical rows."""
+    import os
+
+    def total_bytes(root):
+        tot = 0
+        for dirpath, _d, files in os.walk(os.path.join(root, "data")):
+            tot += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return tot
+
+    rows = mk_rows(spark, 200, tag="b")
+    t1 = LakeTable.create(
+        spark, str(tmp_path / "bloom"), TableSchema.from_struct(PAGES), num_buckets=2,
+        bloom_key=True,
+    )
+    t1.append(rows, batch_id="x")
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "nobloom"), TableSchema.from_struct(PAGES), num_buckets=2
+    )
+    t2.append(rows, batch_id="x")
+    assert total_bytes(t1.root) > total_bytes(t2.root) + 50_000
+    # content identical regardless
+    assert t1.state_hash() == t2.state_hash()
