@@ -631,24 +631,53 @@ class LakeTable:
     def widen_column(self, name: str, new_type: str) -> "LakeTable":
         return self._evolve(self.schema.widen_column(name, new_type), f"widen:{name}:{new_type}")
 
-    def compact(self, batch_id, buckets: list[int] | None = None) -> "LakeTable":
+    def compact(
+        self,
+        batch_id,
+        buckets: list[int] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> "LakeTable":
         """Rewrite buckets so each holds a minimal number of files.
 
         Small-file GC for long-running tails (a batch's write leaves up
         to a few files per bucket; appends add more). Ledger-keyed, so
         a crashed compaction replays as a no-op. Content is unchanged —
-        state_hash before == after (tested)."""
+        state_hash before == after (tested).
+
+        ``sort_by``: additionally cluster rows within each bucket by
+        these columns (e.g. ``["warc_ts"]``). Parquet writes min/max
+        stats per row group, so a later range scan (WHERE warc_ts
+        BETWEEN ...) skips row groups wholesale — the lake's analog of
+        Delta's OPTIMIZE ... ZORDER for the single-column case.
+        ``sort_by`` also drops the n>1-files precondition: clustering
+        alone is a reason to rewrite."""
         if self.is_committed(batch_id):
             return self
         by_bucket: dict[int, int] = {}
         for f in self.manifest["files"]:
             by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        min_files = 0 if sort_by else 1
         targets = sorted(
-            b for b, n in by_bucket.items() if n > 1 and (buckets is None or b in buckets)
+            b
+            for b, n in by_bucket.items()
+            if n > min_files and (buckets is None or b in buckets)
         )
         if not targets:
             return self
         rows = self.read(buckets=targets, include_deleted=True)
+        if sort_by:
+            rows = (
+                rows.withColumn("_bucket", self.bucket_expr())
+                .repartition("_bucket")
+                .sortWithinPartitions("_bucket", *sort_by)
+            )
+            return self.overwrite_buckets(
+                rows,
+                targets,
+                batch_id,
+                pre_partitioned=True,
+                summary={"compacted_buckets": targets, "sorted_by": sort_by},
+            )
         return self.overwrite_buckets(
             rows, targets, batch_id, summary={"compacted_buckets": targets}
         )
