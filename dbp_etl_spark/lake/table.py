@@ -332,6 +332,13 @@ class LakeTable:
         keyed like the MERGE itself. Untouched buckets contribute
         nothing and are never read. Cost scales with the churn, not the
         table.
+
+        Contract: assumes key-unique visible state (the MERGE-path
+        invariant, checked by lake/integrity.py). On a bulk-append
+        table with duplicate keys the full-outer diff would pair rows
+        cross-product-style per key. A column RENAMED inside the window
+        diffs as update_post for every row (old values align by NAME;
+        the pre-image of a renamed column is not reconstructed).
         """
         to_snapshot = self.snapshot_id if to_snapshot is None else to_snapshot
         if from_snapshot < self.min_retained_snapshot:
@@ -367,9 +374,23 @@ class LakeTable:
             empty = self.read(buckets=[])
             return empty.withColumn("_change_type", F.lit("")).limit(0)
 
+        cur_struct = self.schema.to_struct()
+
         def _visible(snap: int) -> DataFrame:
             df = self.read(buckets=dirty, snapshot_id=snap, include_deleted=True)
-            return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+            # align to the CURRENT schema: a column added (or renamed)
+            # inside the window is absent from the old snapshot's frame
+            # — fill with NULL (its pre-image), cast widened types up
+            aligned = [
+                (
+                    F.col(c).cast(cur_struct[c].dataType)
+                    if c in df.columns
+                    else F.lit(None).cast(cur_struct[c].dataType)
+                ).alias(c)
+                for c in cols
+            ]
+            return df.select(*aligned)
 
         old = _visible(from_snapshot).select(
             F.col(key),

@@ -416,3 +416,23 @@ def test_key_bloom_filter_written(spark, tmp_path):
     assert total_bytes(t1.root) > total_bytes(t2.root) + 50_000
     # content identical regardless
     assert t1.state_hash() == t2.state_hash()
+
+
+def test_read_changes_across_schema_evolution(spark, table):
+    """CDF across an add_column boundary: old snapshot rows align to
+    the current schema (pre-image NULL for the added column) instead of
+    failing analysis."""
+    t = table.append(mk_rows(spark, 4, tag="v1"), batch_id="seed")
+    s0 = t.snapshot_id
+    t = t.add_column("score", "double")
+    enriched = mk_rows(spark, 2, tag="v2").withColumn("score", F.lit(0.5))
+    t = t.append(enriched, batch_id="b2")
+    feed = t.read_changes(s0)
+    assert "score" in feed.columns
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # appends of existing urls (append has no key semantics): new rows
+    # appear as inserts/updates, none crash on the missing old column
+    assert feed.count() > 0
+    assert all(r["score"] in (0.5, None) for rs in by_type.values() for r in rs)
