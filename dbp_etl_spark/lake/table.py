@@ -602,6 +602,95 @@ class LakeTable:
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)
 
+    # ----------------------------------------------------------- row-level DML
+
+    def delete_where(self, condition: Column, batch_id) -> "LakeTable":
+        """DELETE FROM table WHERE <condition> — as tombstones.
+
+        Matching visible rows become ts-guarded tombstones AT THEIR OWN
+        ``warc_ts``: the action ladder's delete-beats-write tie rule
+        then suppresses any replayed event at-or-before that instant,
+        while a genuinely newer write still resurrects the key —
+        exactly the semantics of an op='delete' change event carrying
+        the row's timestamp. Ledger-keyed (idempotent), only buckets
+        holding matches rewrite, and the change feed reports the rows
+        as ``delete``.
+
+        Reference analog: the leftover-key delete pass of
+        /root/reference/load/UpdateDBPDatabase.py-style table syncs,
+        expressed as an explicit predicate instead of set difference.
+        """
+        if self.is_committed(batch_id):
+            return self
+        matches = self.read().filter(condition)
+        dirty = sorted(
+            r["b"] for r in matches.select(self.bucket_expr().alias("b")).distinct().collect()
+        )
+        if not dirty:
+            return self
+        state = self.read(buckets=dirty, include_deleted=True)
+        # visible matching rows flip to tombstones; everything else carries
+        visible_match = (~F.coalesce(F.col("_deleted"), F.lit(False))) & condition
+        cur_struct = self.schema.to_struct()
+        key = self.key
+
+        def _col(c: str) -> Column:
+            if c in (key, "warc_ts"):  # tombstone keeps key + its own ts
+                return F.col(c)
+            if c == "_deleted":
+                return F.when(visible_match, F.lit(True)).otherwise(F.col(c)).alias(c)
+            return (
+                F.when(visible_match, F.lit(None).cast(cur_struct[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+
+        new_state = state.select(*[_col(c) for c in self.schema.names()])
+        return self.overwrite_buckets(
+            new_state, dirty, batch_id, summary={"delete_where": str(condition)}
+        )
+
+    def update_where(self, condition: Column, assignments: dict, batch_id) -> "LakeTable":
+        """UPDATE table SET col=expr WHERE <condition> (visible rows).
+
+        ``assignments`` maps column name -> Column expression (evaluated
+        against the row). Key, event-time and tombstone columns cannot
+        be assigned. Same physical shape as delete_where: bucket-pruned
+        copy-on-write of only the buckets holding matches.
+        """
+        bad = set(assignments) & {self.key, "warc_ts", "_deleted"}
+        if bad:
+            raise ValueError(f"cannot assign structural columns {sorted(bad)}")
+        unknown = set(assignments) - set(self.schema.names())
+        if unknown:
+            raise ValueError(f"unknown columns {sorted(unknown)}")
+        if self.is_committed(batch_id):
+            return self
+        matches = self.read().filter(condition)
+        dirty = sorted(
+            r["b"] for r in matches.select(self.bucket_expr().alias("b")).distinct().collect()
+        )
+        if not dirty:
+            return self
+        state = self.read(buckets=dirty, include_deleted=True)
+        visible_match = (~F.coalesce(F.col("_deleted"), F.lit(False))) & condition
+        cur_struct = self.schema.to_struct()
+        new_state = state.select(
+            *[
+                (
+                    F.when(visible_match, assignments[c].cast(cur_struct[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in self.schema.names()
+            ]
+        )
+        return self.overwrite_buckets(
+            new_state, dirty, batch_id, summary={"update_where": sorted(assignments)}
+        )
+
     # ------------------------------------------------------ schema evolution
 
     @property

@@ -436,3 +436,45 @@ def test_read_changes_across_schema_evolution(spark, table):
     # appear as inserts/updates, none crash on the missing old column
     assert feed.count() > 0
     assert all(r["score"] in (0.5, None) for rs in by_type.values() for r in rs)
+
+
+def test_delete_where_and_update_where(spark, table):
+    from dbp_etl_spark.cdc import CDCRunner
+
+    ev = mk_rows(spark, 12, tag="v1").withColumn("op", F.lit("insert")).withColumn(
+        "batch_id", F.lit(0).cast("long")
+    )
+    CDCRunner(t := table, salt_buckets=4).run(ev)
+    t = t.refresh()
+    s0 = t.snapshot_id
+
+    # UPDATE ... SET lang='de' WHERE text endswith specific rows
+    t = t.update_where(F.col("text").isin("0v1", "1v1"), {"lang": F.lit("de")}, batch_id="upd")
+    langs = {r["text"]: r["lang"] for r in t.read().collect()}
+    assert langs["0v1"] == "de" and langs["1v1"] == "de" and langs["2v1"] != "de"
+
+    # DELETE WHERE
+    pre_count = t.read().count()
+    t = t.delete_where(F.col("text") == "3v1", batch_id="del")
+    assert t.read().count() == pre_count - 1
+    assert t.read().filter("text = '3v1'").count() == 0
+    # tombstone is ts-guarded: a replayed equal-ts write stays suppressed,
+    # a newer write resurrects
+    url3 = "https://h.example/p3"
+    replay = ev.filter(F.col("url") == url3).withColumn("batch_id", F.lit(7).cast("long"))
+    CDCRunner(t, salt_buckets=4).run(replay)
+    t = t.refresh()
+    assert t.read().filter(F.col("url") == url3).count() == 0  # equal ts: delete wins
+    newer = replay.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).withColumn(
+        "batch_id", F.lit(8).cast("long")
+    )
+    CDCRunner(t, salt_buckets=4).run(newer)
+    t = t.refresh()
+    assert t.read().filter(F.col("url") == url3).count() == 1  # newer write resurrects
+
+    # idempotent by ledger; structural assignment refused; CDF sees the ops
+    assert t.delete_where(F.col("text") == "3v1", batch_id="del").snapshot_id == t.snapshot_id
+    with pytest.raises(ValueError, match="structural"):
+        t.update_where(F.lit(True), {"warc_ts": F.current_timestamp()}, batch_id="x")
+    feed = {(r["url"], r["_change_type"]) for r in t.read_changes(s0).collect()}
+    assert ("https://h.example/p0", "update_post") in feed
