@@ -602,6 +602,14 @@ class LakeTable:
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)
 
+    def create_view(self, name: str, buckets: list[int] | None = None) -> None:
+        """Register current visible state as a temp view for spark.sql.
+
+        The view captures THIS handle's snapshot (a later refresh +
+        re-register sees newer data) — the SQL-surface bridge so lake
+        tables compose with the query registry's SQL idioms."""
+        self.read(buckets=buckets).createOrReplaceTempView(name)
+
     # ----------------------------------------------------------- row-level DML
 
     def delete_where(self, condition: Column, batch_id) -> "LakeTable":

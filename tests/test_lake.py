@@ -478,3 +478,10 @@ def test_delete_where_and_update_where(spark, table):
         t.update_where(F.lit(True), {"warc_ts": F.current_timestamp()}, batch_id="x")
     feed = {(r["url"], r["_change_type"]) for r in t.read_changes(s0).collect()}
     assert ("https://h.example/p0", "update_post") in feed
+
+
+def test_create_view_sql_surface(spark, table):
+    t = table.append(mk_rows(spark, 5, tag="q"), batch_id="b")
+    t.create_view("pages_v")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT lang) AS l FROM pages_v").collect()[0]
+    assert got["n"] == 5 and got["l"] == 1
