@@ -154,13 +154,20 @@ def _encode_blocks(planes: list[np.ndarray], quants: list[np.ndarray]) -> list[l
     return out
 
 
-def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int | None = None,
+) -> bytes:
     """(h, w[, 3]) uint8 -> baseline JFIF bytes.
 
     ``quant`` scales a flat quantization table (1 = near-lossless);
     ``subsample=True`` emits 4:2:0 chroma (2x2 box average) to exercise
-    the decoder's upsampling path. Huffman tables are built per image
-    (canonical, uniform length) and written in DHT segments."""
+    the decoder's upsampling path; ``restart_interval=N`` emits DRI +
+    RSTm markers every N MCUs (with the spec's DC-prediction reset) to
+    exercise the decoder's restart path. Huffman tables are built per
+    image (canonical, uniform length) and written in DHT segments."""
     px = np.atleast_3d(pixels).astype(np.float64)
     h, w, ch = px.shape
     if ch not in (1, 3):
@@ -225,7 +232,16 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: bool = False) -> 
             for mx in range(mcu_cols)
             for ci in range(ch)
         ]
-    for ci, idx in mcu_iter:
+    blocks_per_mcu = 6 if (ch == 3 and subsample) else ch
+    for blk_i, (ci, idx) in enumerate(mcu_iter):
+        if (
+            restart_interval
+            and blk_i
+            and blk_i % (blocks_per_mcu * restart_interval) == 0
+        ):
+            # restart boundary: marker sentinel + DC prediction reset
+            ordered.append(("RST", (blk_i // (blocks_per_mcu * restart_interval) - 1) % 8, 0, []))
+            prev_dc = [0] * ch
         dc_raw, acs = scans[ci][idx]
         dc_size, dc_bits = _magnitude(dc_raw - prev_dc[ci])
         prev_dc[ci] = dc_raw
@@ -235,6 +251,8 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: bool = False) -> 
     dc_syms: list[list[int]] = [[] for _ in range(ch)]
     ac_syms: list[list[int]] = [[] for _ in range(ch)]
     for ci, dc_size, _b, acs in ordered:
+        if ci == "RST":
+            continue
         dc_syms[ci].append(dc_size)
         ac_syms[ci] += [s for s, _sz, _bv in acs]
     dc_tables = [sorted(set(dc_syms[0]))] + ([sorted(set(dc_syms[1] + dc_syms[2]))] if ch == 3 else [])
@@ -244,6 +262,10 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: bool = False) -> 
 
     bw = _BitWriter()
     for ci, dc_size, dc_bits, acs in ordered:
+        if ci == "RST":
+            bw.flush()  # byte-align (1-padded) before the marker
+            bw.out += bytes([0xFF, 0xD0 + dc_size])
+            continue
         tbl = 0 if ci == 0 else min(1, len(dc_specs) - 1)
         code, ln = dc_specs[tbl][2][dc_size]
         bw.write(code, ln)
@@ -272,6 +294,8 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: bool = False) -> 
     for cls, specs in ((0, dc_specs), (1, ac_specs)):
         for tid, (bits, vals, _) in enumerate(specs):
             out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ch])
     for i in range(ch):
         tbl = 0 if i == 0 else min(1, len(dc_specs) - 1)
@@ -300,17 +324,28 @@ class _BitReader:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # RST: byte-align and continue
-                    self.pos += 2
-                    self.acc = 0
-                    self.nbits = 0
-                    continue
-                else:  # EOI / next marker: stop feeding
+                else:
+                    # ANY real marker (RST / EOI / next segment) is a
+                    # barrier: never buffer past it — restart_sync()
+                    # consumes RSTs explicitly at interval boundaries
                     break
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+
+    def restart_sync(self) -> None:
+        """At a restart-interval boundary: discard the sub-byte 1-pad
+        (everything buffered belongs to the alignment padding — _fill
+        never crosses a marker) and consume the RSTm marker."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -366,6 +401,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     frame = None
     data_start = None
     scan_comps = None
+    dri = 0  # restart interval in MCUs (0 = none)
     while pos < len(content):
         if content[pos] != 0xFF:
             pos += 1
@@ -413,6 +449,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
@@ -440,8 +478,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     br = _BitReader(content[data_start:])
     pred = [0] * len(comps)
+    mcu_no = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and mcu_no and mcu_no % dri == 0:
+                # restart boundary (T.81 E.2.4): byte-align past the
+                # RSTm marker and reset every DC predictor
+                br.restart_sync()
+                pred = [0] * len(comps)
+            mcu_no += 1
             for ci, c in enumerate(comps):
                 sc = by_id[c["id"]]
                 dc_tab = huffs[(0, sc["dc"])]

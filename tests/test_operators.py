@@ -618,3 +618,19 @@ def test_y4m_video_codec_and_frame_sampling(spark):
     bad = spark.createDataFrame([(1, b"\x00\x00\x00 ftypmp42")], "media_id long, content binary")
     with _pytest.raises(Exception, match="ffmpeg"):
         sample_video_frames(bad).collect()
+
+
+def test_jpeg_restart_markers(spark):
+    """DRI/RSTm: the encoder emits restart markers, the decoder
+    byte-aligns and resets DC prediction at each — round trip intact."""
+    import numpy as np
+
+    from dbp_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 40, 3), np.uint8)  # 15 MCUs at 4:4:4
+    data = encode_jpeg(img, quant=1, restart_interval=4)
+    assert b"\xff\xdd" in data  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    out = decode_jpeg(data)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
