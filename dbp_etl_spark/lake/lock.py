@@ -13,13 +13,20 @@ stay on the big store.
 
 ``LockService`` is that seam. ``FileLockService`` implements it over
 any filesystem whose ``create_text_exclusive`` IS atomic (a POSIX
-scratch dir, HDFS, a DynamoDB-style table behind the same interface):
+scratch dir, HDFS, a DynamoDB-style table behind the same interface),
+as a GENERATIONAL lease:
 
-* a lock is a lease file ``{name}.lock`` holding (owner, expires_at);
-* acquire = atomic exclusive create; a crashed holder's lease is taken
-  over once expired (delete + re-create — the re-create's atomicity
-  arbitrates racing takers);
-* release deletes only a lease the caller still owns.
+* the lock's state is the highest-generation lease file
+  ``{name}.lock.{gen}`` (owner, expires_at inside);
+* acquire = atomic exclusive create of generation ``cur+1``, allowed
+  only while the current generation's lease is absent or expired.
+  Every takeover therefore races on a FRESH filename whose exclusive
+  create is the single arbiter — there is no delete-then-recreate
+  window where two takers can both win, and a stale holder's late
+  ``release`` can only ever delete its OWN generation's file (already
+  dead), never a successor's lease;
+* release deletes exactly the generation the token names, and only if
+  the file still carries the token.
 
 Wire it into a table via ``table.lock = FileLockService(dir)`` —
 ``_commit`` then serializes its head-check → manifest-create →
@@ -54,12 +61,13 @@ class LockService:
 
 
 class FileLockService(LockService):
-    """Lease-file lock over a filesystem with ATOMIC exclusive create.
+    """Generational lease-file lock over a filesystem with ATOMIC
+    exclusive create (see module docstring for the protocol).
 
     ``ttl_sec`` bounds how long a crashed holder can block others: an
-    expired lease may be taken over. Size it well above the longest
-    commit critical section (metadata-only: sub-second; the data write
-    happens OUTSIDE the lock).
+    expired lease may be superseded by the next generation. Size it
+    well above the longest commit critical section (metadata-only:
+    sub-second; the data write happens OUTSIDE the lock).
     """
 
     def __init__(self, root: str, fs: Filesystem | None = None):
@@ -67,40 +75,62 @@ class FileLockService(LockService):
         self._fs = fs or LocalFS()
         self._fs.mkdirs(root)
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}.lock")
+    def _gen_path(self, name: str, gen: int) -> str:
+        return os.path.join(self.root, f"{name}.lock.{gen:010d}")
+
+    def _current(self, name: str) -> tuple[int, dict | None]:
+        """Highest existing generation and its parsed lease (None if no
+        generation exists or the head lease is unreadable/torn)."""
+        prefix = f"{name}.lock."
+        gens = []
+        for n in self._fs.list_names(self.root):
+            if n.startswith(prefix):
+                try:
+                    gens.append(int(n[len(prefix) :]))
+                except ValueError:
+                    continue
+        if not gens:
+            return 0, None
+        gen = max(gens)
+        try:
+            return gen, json.loads(self._fs.read_text(self._gen_path(name, gen)))
+        except (ValueError, OSError, FileNotFoundError):
+            return gen, None  # torn/just-deleted: treated as expired
 
     def acquire(self, name: str, ttl_sec: float = 60.0, timeout_sec: float = 30.0) -> str:
-        """Block until the lease is ours (or LockTimeout). Returns an
-        owner token that release() requires — a stale process cannot
-        release a lease that was taken over from it."""
-        token = uuid.uuid4().hex
+        """Block until the lease is ours (or LockTimeout). Returns a
+        token naming the held generation; release() requires it."""
+        owner = uuid.uuid4().hex
         deadline = time.time() + timeout_sec
-        path = self._path(name)
         while True:
-            payload = json.dumps({"owner": token, "expires_at": time.time() + ttl_sec})
-            try:
-                self._fs.create_text_exclusive(path, payload)
-                return token
-            except FileExistsError:
-                pass
-            try:
-                lease = json.loads(self._fs.read_text(path))
-            except (ValueError, OSError):
-                lease = None  # torn/deleted under us: retry the create
-            if lease is not None and lease.get("expires_at", 0) < time.time():
-                # expired holder: delete and loop back to the atomic
-                # create — of N racing takers exactly one create wins
-                self._fs.delete(path)
+            gen, lease = self._current(name)
+            live = lease is not None and lease.get("expires_at", 0) >= time.time()
+            if not live:
+                payload = json.dumps(
+                    {"owner": owner, "expires_at": time.time() + ttl_sec}
+                )
+                try:
+                    # the atomic arbiter: of N racing takers of this
+                    # generation, exactly one create succeeds
+                    self._fs.create_text_exclusive(self._gen_path(name, gen + 1), payload)
+                except FileExistsError:
+                    pass  # another taker won gen+1; loop and re-read
+                else:
+                    for g in range(max(1, gen - 8), gen + 1):  # sweep dead gens
+                        self._fs.delete(self._gen_path(name, g))
+                    return f"{gen + 1}:{owner}"
             if time.time() >= deadline:
-                raise LockTimeout(f"lock {name!r} held past deadline ({path})")
+                raise LockTimeout(f"lock {name!r} held past deadline")
             time.sleep(0.05)
 
     def release(self, name: str, token: str) -> None:
-        path = self._path(name)
+        gen_s, _, owner = token.partition(":")
+        path = self._gen_path(name, int(gen_s))
         try:
             lease = json.loads(self._fs.read_text(path))
         except (ValueError, OSError, FileNotFoundError):
-            return
-        if lease.get("owner") == token:
+            return  # superseded generation already swept
+        if lease.get("owner") == owner:
+            # deleting our OWN generation's file: a successor holds a
+            # different filename, so this can never free someone else
             self._fs.delete(path)

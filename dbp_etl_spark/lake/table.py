@@ -237,7 +237,12 @@ class LakeTable:
         if m is None:
             return False
         prefix, num = m.group(1), int(m.group(2))
-        return prefix in wm and num <= wm[prefix]
+        if prefix not in wm:
+            return False
+        entry = wm[prefix]
+        if isinstance(entry, (list, tuple)):  # [lo, hi] range (see expire)
+            return entry[0] <= num <= entry[1]
+        return num <= entry  # legacy scalar high-watermark
 
     def committed_batches(self) -> dict:
         return dict(self.manifest["committed_batches"])
@@ -348,6 +353,18 @@ class LakeTable:
             )
         if from_snapshot > to_snapshot:
             raise ValueError("from_snapshot must be <= to_snapshot")
+        if to_snapshot == self.snapshot_id:
+            to_manifest = self.manifest
+        else:
+            to_manifest = json.loads(
+                self._fs.read_text(os.path.join(self.root, _META, f"v{to_snapshot}.json"))
+            )
+        # the feed's schema is AS OF to_snapshot — aligning to the head
+        # schema instead would null-fill a column renamed/dropped AFTER
+        # the window on both sides and hide its in-window changes
+        to_schema = TableSchema.from_json(
+            to_manifest["schemas"][str(to_manifest["schema_version"])]
+        )
 
         def _files_of(snap: int) -> dict[int, frozenset]:
             if snap == self.snapshot_id:
@@ -369,12 +386,12 @@ class LakeTable:
             if old_files.get(b) != new_files.get(b)
         )
         key = self.key
-        cols = [c for c in self.schema.names() if c != "_deleted"]
+        cols = [c for c in to_schema.names() if c != "_deleted"]
         if not dirty:
             empty = self.read(buckets=[])
             return empty.withColumn("_change_type", F.lit("")).limit(0)
 
-        cur_struct = self.schema.to_struct()
+        cur_struct = to_schema.to_struct()
 
         def _visible(snap: int) -> DataFrame:
             df = self.read(buckets=dirty, snapshot_id=snap, include_deleted=True)
@@ -860,23 +877,42 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         head = self.snapshot_id
         min_retained = max(self.min_retained_snapshot, head - keep_last + 1)
-        prev_min = self.min_retained_snapshot
         meta = os.path.join(self.root, _META)
 
         ledger: dict = {}
         wm = dict(self.manifest.get("ledger_watermarks") or {})
         pruned = 0
+        # gather prunable ordered ids per prefix; fold them into the
+        # watermark ONLY where the claim is provable: the watermark is a
+        # CONTIGUOUS [lo, hi] range, extended only by ids adjacent to
+        # it. Ids that would leave a gap stay in the ledger verbatim —
+        # a watermark over a gapped id space would report never-applied
+        # ids inside the gap as committed and silently drop them.
+        candidates: dict[str, list[tuple[int, str, dict]]] = {}
         for k, v in self.manifest["committed_batches"].items():
-            if v["snapshot_id"] >= min_retained:
-                ledger[k] = v
-                continue
             m = _ORDERED_ID.match(k)
-            if m is None:
-                ledger[k] = v  # unordered id: membership must stay exact
+            if v["snapshot_id"] >= min_retained or m is None:
+                ledger[k] = v  # retained, or unordered (exact membership)
                 continue
-            prefix, num = m.group(1), int(m.group(2))
-            wm[prefix] = max(wm.get(prefix, num), num)
-            pruned += 1
+            candidates.setdefault(m.group(1), []).append((int(m.group(2)), k, v))
+        for prefix, items in candidates.items():
+            items.sort()
+            existing = wm.get(prefix)
+            if isinstance(existing, (int, float)):  # legacy scalar -> range
+                existing = [0, int(existing)]
+            for num, k, v in items:
+                if existing is None:
+                    existing = [num, num]
+                elif num == existing[1] + 1:
+                    existing[1] = num
+                elif existing[0] <= num <= existing[1]:
+                    pass  # duplicate id already covered
+                else:
+                    ledger[k] = v  # gap: keep the exact entry
+                    continue
+                pruned += 1
+            if existing is not None:
+                wm[prefix] = existing
         new_manifest = dict(self.manifest)
         new_manifest["snapshot_id"] = head + 1
         new_manifest["parent_id"] = head
@@ -899,15 +935,24 @@ class LakeTable:
             if self._fs.exists(p):
                 m = json.loads(self._fs.read_text(p))
                 live.update(f["path"] for f in m["files"])
+        # scan DOWNWARD from the horizon while manifests exist: a crash
+        # between a previous expiry's commit and its deletion loop left
+        # expired manifests BELOW that run's (already-persisted)
+        # min_retained — a prev_min-based range would never revisit
+        # them. Deletions are contiguous from the bottom, so the first
+        # missing manifest bounds the leftover stretch.
         expired_ids: list[int] = []
         dead: set[str] = set()
-        for i in range(prev_min, min_retained):
+        i = min_retained - 1
+        while i >= 0:
             p = os.path.join(meta, f"v{i}.json")
             if not self._fs.exists(p):
-                continue
+                break
             expired_ids.append(i)
             m = json.loads(self._fs.read_text(p))
             dead.update(f["path"] for f in m["files"])
+            i -= 1
+        expired_ids.reverse()
         dead -= live
         for rel in sorted(dead):
             self._fs.delete(os.path.join(self.root, rel))

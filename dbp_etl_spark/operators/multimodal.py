@@ -354,15 +354,16 @@ Y4M_MIME = "video/x-yuv4mpeg"
 def encode_y4m(frames: np.ndarray, fps: int = 25, c420: bool = False) -> bytes:
     """(n, h, w, 3) uint8 RGB -> YUV4MPEG2 bytes (C444 or C420jpeg).
     Test/synthesis helper — the sandbox has no other video source."""
+    # colorspace math is shared with the JPEG codec — one copy of the
+    # numerically-sensitive BT.601 coefficients
+    from dbp_etl_spark.operators.jpeg import _ycbcr_from_rgb
+
     n, h, w, _ = frames.shape
     colorspace = b"C420jpeg" if c420 else b"C444"
     out = bytearray(Y4M_MAGIC + b"W%d H%d F%d:1 Ip A1:1 %s\n" % (w, h, fps, colorspace))
     for f in range(n):
-        px = frames[f].astype(np.float64)
-        r, g, b = px[..., 0], px[..., 1], px[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        ycc = _ycbcr_from_rgb(frames[f].astype(np.float64))
+        y, u, v = ycc[..., 0], ycc[..., 1], ycc[..., 2]
         if c420:
             u = (u[0::2, 0::2] + u[1::2, 0::2] + u[0::2, 1::2] + u[1::2, 1::2]) / 4.0
             v = (v[0::2, 0::2] + v[1::2, 0::2] + v[0::2, 1::2] + v[1::2, 1::2]) / 4.0
@@ -426,10 +427,9 @@ def decode_y4m(content: bytes) -> tuple[np.ndarray, int]:
         if sub == 2:
             u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
             v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
-        r = y + 1.402 * (v - 128.0)
-        g = y - 0.344136 * (u - 128.0) - 0.714136 * (v - 128.0)
-        b = y + 1.772 * (u - 128.0)
-        frames.append(np.clip(np.stack([r, g, b], -1).round(), 0, 255).astype(np.uint8))
+        from dbp_etl_spark.operators.jpeg import _rgb_from_ycbcr
+
+        frames.append(_rgb_from_ycbcr(y, u, v))
     return np.stack(frames), fps
 
 

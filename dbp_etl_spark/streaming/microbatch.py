@@ -135,7 +135,7 @@ def run_stream(
         # read prune to touched files exactly like the batch runner
         cand = sorted(
             r["b"]
-            for r in df.select(table.bucket_expr("url").alias("b")).distinct().collect()
+            for r in df.select(table.bucket_expr().alias("b")).distinct().collect()
             if r["b"] is not None
         )
         res = merge_batch(

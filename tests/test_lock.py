@@ -146,3 +146,52 @@ def test_lock_service_restores_loser_fails(spark, tmp_path):
     assert set(errors) <= {"a", "b"} and len(errors) == 1  # exactly one loser
     final = LakeTable.load(spark, root)
     assert final.read().count() == 6
+
+
+def test_takeover_race_single_winner(tmp_path):
+    """The review-flagged hazard: N concurrent takers of an EXPIRED
+    lease must produce exactly one holder (delete-then-recreate designs
+    let several win; the generational create is the single arbiter)."""
+    import threading
+    import time
+
+    svc = FileLockService(str(tmp_path / "locks"))
+    svc.acquire("commit", ttl_sec=0.05, timeout_sec=1)  # crashed holder
+    time.sleep(0.1)
+    barrier = threading.Barrier(6, timeout=10)
+    tokens, timeouts = [], []
+    lock = threading.Lock()
+
+    def taker():
+        barrier.wait()
+        try:
+            tok = svc.acquire("commit", ttl_sec=60, timeout_sec=0.5)
+            with lock:
+                tokens.append(tok)
+        except LockTimeout:
+            with lock:
+                timeouts.append(1)
+
+    threads = [threading.Thread(target=taker) for _ in range(6)]
+    [t.start() for t in threads]
+    [t.join(20) for t in threads]
+    assert len(tokens) == 1  # exactly one winner holds the lease
+    assert len(timeouts) == 5
+
+
+def test_stale_release_cannot_free_successor(tmp_path):
+    """A stalled ex-holder's late release must not delete the
+    successor's lease (the read-check-delete window of a single-file
+    design): generations give each holder its own file."""
+    import time
+
+    svc = FileLockService(str(tmp_path / "locks"))
+    stale_tok = svc.acquire("commit", ttl_sec=0.05, timeout_sec=1)
+    time.sleep(0.1)
+    succ_tok = svc.acquire("commit", ttl_sec=60, timeout_sec=1)  # takeover
+    svc.release("commit", stale_tok)  # late release from the ex-holder
+    with pytest.raises(LockTimeout):
+        svc.acquire("commit", ttl_sec=60, timeout_sec=0.3)  # still held
+    svc.release("commit", succ_tok)
+    tok = svc.acquire("commit", ttl_sec=60, timeout_sec=1)
+    svc.release("commit", tok)

@@ -91,7 +91,7 @@ def test_ledger_pruning_keeps_replay_noop(spark, table):
     # pruned ids fell out of the ledger but the watermark keeps them committed
     led = t.manifest["committed_batches"]
     assert all(str(i) not in led for i in range(4))
-    assert t.manifest["ledger_watermarks"] == {"": 3}
+    assert t.manifest["ledger_watermarks"] == {"": [0, 3]}
     for i in range(6):
         assert t.is_committed(i), i
     assert not t.is_committed(99)
@@ -112,7 +112,7 @@ def test_ledger_watermark_prefixes_and_unordered_ids(spark, table):
     t.expire_snapshots(keep_last=1)
     t = t.refresh()
     wm = t.manifest["ledger_watermarks"]
-    assert wm == {"stream-ab-": 1, "stream-cd-": 5}
+    assert wm == {"stream-ab-": [0, 1], "stream-cd-": [5, 5]}
     # unordered id survives pruning verbatim (exact membership preserved)
     assert "adhoc_backfill" in t.manifest["committed_batches"]
     assert t.is_committed("stream-ab-0") and t.is_committed("stream-ab-1")
@@ -214,3 +214,50 @@ def test_runner_inline_expiry_preserves_state(spark, tmp_path):
     rep = CDCRunner(t_exp.refresh()).run(events)
     assert rep.n_skipped == 6
     assert t_exp.refresh().snapshot_id == before
+
+
+def test_expiry_crash_between_commit_and_delete_recovers(spark, table):
+    """A crash after the expiry COMMIT but before the manifest deletion
+    loop must not leak the expired v{K}.json forever: the next expiry's
+    downward scan picks them up."""
+    t = table
+    for i in range(6):
+        t = t.append(mk_rows(spark, 2, tag=f"b{i}"), batch_id=i)
+
+    # simulate the crash: run the commit half of expiry, skip cleanup
+    orig_delete = t._fs.delete
+    t._fs.delete = lambda *a, **k: False  # deletion "crashes" (no-op)
+    t.expire_snapshots(keep_last=2)
+    t._fs.delete = orig_delete
+    t = t.refresh()
+    leaked = [f for f in _meta_files(t.root) if int(f[1:-5]) < t.min_retained_snapshot]
+    assert leaked  # the crash left expired manifests behind
+
+    # next expiry run collects them even though min_retained already advanced
+    t = t.append(mk_rows(spark, 2, tag="b6"), batch_id=6)
+    t.expire_snapshots(keep_last=2)
+    t = t.refresh()
+    leaked_after = [
+        f for f in _meta_files(t.root) if int(f[1:-5]) < t.min_retained_snapshot
+    ]
+    assert leaked_after == []
+
+
+def test_ledger_watermark_refuses_gapped_id_spaces(spark, table):
+    """Ids pruned into the watermark must form a contiguous range: with
+    ids 1,2,3,10,11 a scalar high-watermark of 11 would claim the
+    never-applied 5 as committed and silently drop it. The gapped tail
+    stays in the ledger verbatim instead."""
+    t = table
+    for i in (1, 2, 3, 10, 11):
+        t = t.append(mk_rows(spark, 2, tag=f"b{i}"), batch_id=i)
+    t.expire_snapshots(keep_last=1)
+    t = t.refresh()
+    assert t.manifest["ledger_watermarks"] == {"": [1, 3]}
+    led = t.manifest["committed_batches"]
+    assert "10" in led and "11" in led  # post-gap ids kept exactly
+    for i in (1, 2, 3, 10, 11):
+        assert t.is_committed(i), i
+    # the id inside the gap is NOT claimed: it would re-apply, not drop
+    assert not t.is_committed(5)
+    assert not t.is_committed(0)
