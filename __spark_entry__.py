@@ -75,19 +75,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
-    "text_to_embedding_ann",
-    "value_percentiles",
-    "sales_cube",
-    "stratified_sample_docs",
-    "doc_tfidf_top_terms",
-    "contamination_ngram_overlap",
-    "json_props_extract",
-    "doc_token_stats",
-    "doc_fingerprint",
-    "dedup_exact_docs",
-    "doc_quality_score",
-    "embedding_norms_by_label",
-    "ann_cosine_topk",
+    # Round-4 rotation: the 13 queries whose last driver-green row is
+    # round 2 (VERDICT.md r3 "What's wrong" #2) go first so the driver's
+    # 50-query prefix re-verifies them this round.
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "carry_forward_fill",
+    "doc_bpe_token_count",
+    "doc_chunks",
+    "doc_filter_pipeline",
+    "doc_lang_id",
+    "embedding_neardup",
+    "scalar_gauntlet",
+    "session_window_agg",
+    "simhash_fingerprints",
+    "state_invariant_checks",
+    "xml_dim_source",
 ]
 
 

@@ -58,6 +58,7 @@ class LockService:
 
     def acquire(self, name: str, ttl_sec: float, timeout_sec: float) -> str: ...
     def release(self, name: str, token: str) -> None: ...
+    def validate(self, name: str, token: str) -> bool: ...
 
 
 class FileLockService(LockService):
@@ -122,6 +123,25 @@ class FileLockService(LockService):
             if time.time() >= deadline:
                 raise LockTimeout(f"lock {name!r} held past deadline")
             time.sleep(0.05)
+
+    def validate(self, name: str, token: str) -> bool:
+        """Fencing check at the point of use: is ``token`` still THE
+        live lease? True only if the token's generation file still
+        exists with our owner, is unexpired, and no higher generation
+        has been created. A holder paused past ttl_sec (GC pause, host
+        CPU-steal stall) resumes, calls this immediately before its
+        manifest create, sees a successor's generation, and aborts with
+        CommitConflict instead of silently clobbering the successor's
+        commit on a check-then-act store."""
+        gen_s, _, owner = token.partition(":")
+        try:
+            gen = int(gen_s)
+        except ValueError:
+            return False
+        cur_gen, lease = self._current(name)
+        if cur_gen != gen or lease is None:
+            return False  # superseded (or our file was swept)
+        return lease.get("owner") == owner and lease.get("expires_at", 0) >= time.time()
 
     def release(self, name: str, token: str) -> None:
         gen_s, _, owner = token.partition(":")

@@ -134,9 +134,12 @@ class TableSchema:
         if name in self.names():
             raise ValueError(f"column {name!r} already exists")
         spark_type(type_name)  # validate
-        return TableSchema(
-            self.columns + [ColumnSpec(col_id or self.max_id() + 1, name, type_name)]
-        )
+        new_id = col_id if col_id is not None else self.max_id() + 1
+        if new_id <= self.max_id():
+            # never-reuse invariant: a recycled id would resurrect a
+            # dropped column's bytes at read time
+            raise ValueError(f"col_id {new_id} <= max assigned id {self.max_id()}")
+        return TableSchema(self.columns + [ColumnSpec(new_id, name, type_name)])
 
     def drop_column(self, name: str) -> "TableSchema":
         """Metadata-only drop: old data files keep the column's bytes,

@@ -341,9 +341,12 @@ class LakeTable:
         Contract: assumes key-unique visible state (the MERGE-path
         invariant, checked by lake/integrity.py). On a bulk-append
         table with duplicate keys the full-outer diff would pair rows
-        cross-product-style per key. A column RENAMED inside the window
-        diffs as update_post for every row (old values align by NAME;
-        the pre-image of a renamed column is not reconstructed).
+        cross-product-style per key. Old-side rows align to the
+        to-snapshot schema by COLUMN ID (matching read()'s projection):
+        a rename inside the window keeps its pre-image (same id); a
+        drop+re-add inside the window reads NULL pre-images for the new
+        column (fresh id — the dropped column's bytes never leak in as
+        the pre-image of an unrelated column).
         """
         to_snapshot = self.snapshot_id if to_snapshot is None else to_snapshot
         if from_snapshot < self.min_retained_snapshot:
@@ -392,21 +395,37 @@ class LakeTable:
             return empty.withColumn("_change_type", F.lit("")).limit(0)
 
         cur_struct = to_schema.to_struct()
+        # old-side alignment map: to-snapshot column -> from-snapshot
+        # NAME of the SAME column id (None if the id did not exist yet).
+        # Mirrors read()'s column-id projection: a rename keeps its
+        # pre-image; a drop+re-add (fresh id) gets NULL pre-images
+        # instead of the dead column's unrelated bytes.
+        if from_snapshot == self.snapshot_id:
+            from_manifest = self.manifest
+        else:
+            from_manifest = json.loads(
+                self._fs.read_text(os.path.join(self.root, _META, f"v{from_snapshot}.json"))
+            )
+        from_schema = TableSchema.from_json(
+            from_manifest["schemas"][str(from_manifest["schema_version"])]
+        )
+        from_name_by_id = {c.col_id: c.name for c in from_schema.columns}
+        to_spec_by_name = {c.name: c for c in to_schema.columns}
 
         def _visible(snap: int) -> DataFrame:
             df = self.read(buckets=dirty, snapshot_id=snap, include_deleted=True)
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
-            # align to the CURRENT schema: a column added (or renamed)
-            # inside the window is absent from the old snapshot's frame
-            # — fill with NULL (its pre-image), cast widened types up
-            aligned = [
-                (
-                    F.col(c).cast(cur_struct[c].dataType)
-                    if c in df.columns
-                    else F.lit(None).cast(cur_struct[c].dataType)
-                ).alias(c)
-                for c in cols
-            ]
+            old_side = snap == from_snapshot and snap != to_snapshot
+            aligned = []
+            for c in cols:
+                src = from_name_by_id.get(to_spec_by_name[c].col_id) if old_side else c
+                aligned.append(
+                    (
+                        F.col(src).cast(cur_struct[c].dataType)
+                        if src is not None and src in df.columns
+                        else F.lit(None).cast(cur_struct[c].dataType)
+                    ).alias(c)
+                )
             return df.select(*aligned)
 
         old = _visible(from_snapshot).select(
@@ -521,12 +540,22 @@ class LakeTable:
         if self.lock is not None:
             token = self.lock.acquire("commit")
             try:
+                # fencing closure: re-validated immediately before the
+                # manifest create, so a holder that stalled past its
+                # lease TTL (GC pause, host CPU steal) aborts instead of
+                # clobbering the successor's commit on a check-then-act
+                # store (see FileLockService.validate).
+                fence = getattr(self.lock, "validate", None)
+                if fence is not None:
+                    return self._commit_unlocked(
+                        new_manifest, fence=lambda: self.lock.validate("commit", token)
+                    )
                 return self._commit_unlocked(new_manifest)
             finally:
                 self.lock.release("commit", token)
         return self._commit_unlocked(new_manifest)
 
-    def _commit_unlocked(self, new_manifest: dict) -> "LakeTable":
+    def _commit_unlocked(self, new_manifest: dict, fence=None) -> "LakeTable":
         meta = os.path.join(self.root, _META)
         head, _ = LakeTable._head(self._fs, self.root)
         if head != self.manifest["snapshot_id"]:
@@ -536,6 +565,11 @@ class LakeTable:
         snap_id = new_manifest["snapshot_id"]
         payload = json.dumps(new_manifest, indent=1)
         target = os.path.join(meta, f"v{snap_id}.json")
+        if fence is not None and not fence():
+            raise CommitConflict(
+                "commit lease expired or superseded before manifest create; "
+                "a successor may hold the lock — aborting to avoid a lost update"
+            )
         try:
             self._fs.create_text_exclusive(target, payload)
         except FileExistsError:

@@ -351,7 +351,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
             if self.nbits == 0:
-                return 0  # past end: spec says pad with 1s; 0 is safe for EOB-closed streams
+                # a compliant stream carries its own byte-alignment
+                # 1-padding IN the data; needing bits past end-of-stream
+                # means the entropy segment was truncated. Fail loudly so
+                # corrupt payloads route to the dead-letter path instead
+                # of decoding into fabricated coefficients.
+                raise ValueError("truncated entropy stream")
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
@@ -406,13 +411,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if content[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(content):
+            raise ValueError("truncated JPEG (lone 0xFF at end of payload)")
         marker = content[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
             break
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG (no room for segment length)")
         (seglen,) = struct.unpack(">H", content[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(content):
+            raise ValueError("truncated JPEG (segment length past end of payload)")
         body = content[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables per segment)
