@@ -75,9 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
-    # Round-4 rotation: the 13 queries whose last driver-green row is
-    # round 2 (VERDICT.md r3 "What's wrong" #2) go first so the driver's
-    # 50-query prefix re-verifies them this round.
+    # Round-4 rotation: new-this-round queries first, then the 13 whose
+    # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
+    # #2), so the driver's 50-query prefix re-verifies all of them.
+    "dim_snapshot_apply",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "carry_forward_fill",

@@ -402,3 +402,199 @@ def merge_batch(
 def _lake_type(simple: str) -> str:
     aliases = {"bigint": "long", "integer": "int", "smallint": "int"}
     return aliases.get(simple, simple)
+
+
+def snapshot_batch(
+    table: LakeTable,
+    snapshot: DataFrame,
+    batch_id,
+    transform=default_transform,
+    lineage: str = "per_bucket",
+) -> MergeResult:
+    """Snapshot-compare apply: make the table equal a FULL dimension
+    snapshot, with deletes INFERRED from absent keys.
+
+    The reference's metadata-only load diffs an entire dimension
+    snapshot against DB state and deletes whatever keys are left over —
+    /root/reference/load/UpdateDBPBiblesTable.py:65-126 (leftover-key
+    deletes at :81-86) and /root/reference/load/UpdateDBPLPTSTable.py:131-159.
+    This is that flow as a first-class runner API, vs. the event-stream
+    path (merge_batch) whose deletes must be explicit ``op='delete'``
+    events.
+
+    Semantics are VALUE-driven (the reference compares column values,
+    not timestamps): a key present in both sides updates iff any payload
+    column differs — the snapshot is authoritative regardless of
+    warc_ts ordering. Inferred deletes write ts-guarded tombstones
+    carrying the replaced row's warc_ts, so a late CDC event older than
+    the deleted row stays suppressed and a genuinely newer event
+    resurrects — snapshot mode composes with the event-stream mode on
+    the same table.
+
+    Structural idempotency (the reference's property — rerunning the
+    same extract produces zero SQL): applying the same snapshot twice
+    yields an empty diff; no bucket is rewritten, state_hash is
+    unchanged (tested).
+
+    Physical shape: candidates are ALL buckets (a full snapshot can
+    delete anywhere — inherent to compare-against-everything); the diff
+    is one bucket-partitioned full-outer join; only buckets with a real
+    change are rewritten. Cost scales with table+snapshot size for the
+    join but with the CHURN for the write.
+    """
+    if table.is_committed(batch_id):
+        return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=table.snapshot_id)
+    key = table.key
+
+    # malformed snapshot rows (null key / null ts / null payload) dead-letter;
+    # op is synthesized so split_deadletter's ladder applies unchanged
+    valid, dead = split_deadletter(snapshot.withColumn("op", F.lit("update")))
+    valid = valid.drop("op")
+    dead = dead.drop("op")
+
+    extra_cols = [c for c in valid.columns if c not in CORE_COLS]
+    schema_names = table.schema.names()
+    for c in extra_cols:
+        if c not in schema_names:
+            table = table.add_column(c, _lake_type(valid.schema[c].dataType.simpleString()))
+    schema_names = table.schema.names()
+
+    # a snapshot must be key-unique; keep the latest-ts row if not
+    # (defensive — deterministic total order via dedup_latest's hash
+    # tiebreak; no op column in snapshot rows, so no tombstone rank)
+    src = dedup_latest(
+        valid, key, [F.col("warc_ts").desc(), F.md5(F.col("html")).desc_nulls_last()]
+    )
+
+    tgt = table.read(include_deleted=True)  # all buckets: deletes can be anywhere
+    s = src.select(
+        F.col(key),
+        F.col("warc_ts").alias("_s_ts"),
+        F.col("html").alias("_s_html"),
+        *[F.col(c).alias(f"_s_{c}") for c in extra_cols],
+    )
+    t = tgt.select(
+        F.col(key),
+        *[F.col(c).alias(f"_t_{c}") for c in schema_names if c != key],
+    )
+    j = t.join(s, key, "full_outer")
+
+    t_dead = F.coalesce(F.col("_t__deleted"), F.lit(False))
+    # value compare across every snapshot-carried column (ts included:
+    # a re-crawl with identical bytes but a new warc_ts IS a change —
+    # final state must equal the snapshot exactly)
+    row_differs = ~F.col("_s_ts").eqNullSafe(F.col("_t_warc_ts")) | ~F.col(
+        "_s_html"
+    ).eqNullSafe(F.col("_t_html"))
+    for c in extra_cols:
+        row_differs = row_differs | ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_t_{c}"))
+    s_absent = F.col("_s_ts").isNull() & F.col("_s_html").isNull()
+    action = (
+        F.when(F.col(key).isNull(), F.lit("keep"))  # defensive: never happens
+        .when(s_absent & t_dead, F.lit("keep"))  # already tombstoned
+        .when(s_absent, F.lit("delete"))  # inferred: key left over in state
+        .when(F.col("_t_warc_ts").isNull() | t_dead, F.lit("insert"))
+        .when(row_differs, F.lit("update"))
+        .otherwise(F.lit("noop"))
+    )
+    j = j.withColumn("_action", action).withColumn("_b", table.bucket_expr(key)).persist()
+    try:
+        counts: dict[str, int] = {}
+        lineage_rows: list[dict] = []
+        max_ts = None
+        per_bucket = (
+            j.groupBy("_b", "_action")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("_s_ts").alias("max_ts"))
+            .collect()
+        )
+        for r in per_bucket:
+            counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
+            lineage_rows.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
+            if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
+                max_ts = r["max_ts"]
+        dirty = sorted(
+            {
+                r["bucket"]
+                for r in lineage_rows
+                if r["action"] in ("insert", "update", "delete")
+            }
+        )
+        summary = {
+            "snapshot_compare": True,
+            "counts": counts,
+            "max_warc_ts": max_ts.isoformat() if max_ts else None,
+            "dirty_buckets": dirty,
+        }
+        if not dirty:
+            empty = table.read().limit(0)
+            table.overwrite_buckets(empty, [], batch_id, summary=summary)
+            return MergeResult(
+                batch_id=batch_id,
+                counts=counts,
+                lineage=lineage_rows,
+                snapshot_id=table.snapshot_id,
+                max_warc_ts=summary["max_warc_ts"],
+                deadletter=dead,
+            )
+        in_dirty = j.filter(F.col("_b").isin([int(b) for b in dirty]))
+        n_part = max(1, min(len(dirty), 4 * table.spark.sparkContext.defaultParallelism))
+
+        carried = in_dirty.filter(F.col("_action").isin("keep", "noop")).select(
+            F.col(key),
+            F.col("_b").alias("_bucket"),
+            *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key],
+        )
+        cur_struct = table.schema.to_struct()
+        # inferred delete: tombstone guarded at the REPLACED row's ts —
+        # late events older than what the snapshot superseded stay dead,
+        # a strictly newer event resurrects (same rule as merge_batch)
+        tombstones = in_dirty.filter(F.col("_action") == "delete").select(
+            F.col(key),
+            F.col("_b").alias("_bucket"),
+            F.col("_t_warc_ts").alias("warc_ts"),
+            F.lit(True).alias("_deleted"),
+            *[
+                F.lit(None).cast(cur_struct[c].dataType).alias(c)
+                for c in schema_names
+                if c not in (key, "warc_ts", "_deleted")
+            ],
+        )
+        changed = in_dirty.filter(F.col("_action").isin("insert", "update")).select(
+            F.col(key),
+            F.col("_b").alias("_bucket"),
+            F.col("_s_ts").alias("warc_ts"),
+            F.col("_s_html").alias("html"),
+            (~F.col("_s_html").eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
+            F.col("_t_text").alias("_old_text"),
+            F.col("_t_lang").alias("_old_lang"),
+            F.lit(False).alias("_deleted"),
+            *[
+                (F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")).alias(c)
+                for c in schema_names
+                if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
+            ],
+        )
+        changed = transform(changed.repartition(n_part, "_bucket")).select(
+            *schema_names, "_bucket"
+        )
+        out_cols = [*schema_names, "_bucket"]
+        new_state = (
+            carried.select(*out_cols)
+            .unionByName(tombstones.select(*out_cols))
+            .repartition(n_part, "_bucket")
+            .unionByName(changed)
+        )
+        table.overwrite_buckets(
+            new_state, dirty, batch_id, summary=summary, pre_partitioned=True
+        )
+        return MergeResult(
+            batch_id=batch_id,
+            counts=counts,
+            dirty_buckets=dirty,
+            lineage=lineage_rows,
+            snapshot_id=table.snapshot_id,
+            max_warc_ts=summary["max_warc_ts"],
+            deadletter=dead,
+        )
+    finally:
+        j.unpersist()

@@ -233,6 +233,34 @@ class CDCRunner:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)
                 self._applied_since_expiry = 0
 
+    def apply_snapshot(self, snapshot: DataFrame, batch_id) -> MergeResult:
+        """Snapshot-compare mode: make the table equal a FULL dimension
+        snapshot, inferring deletes from absent keys (the reference's
+        metadata-load shape, /root/reference/load/UpdateDBPBiblesTable.py:65-126).
+
+        Exactly-once rides the same ledger as the stream path: a replay
+        of ``batch_id`` no-ops; applying the SAME snapshot content under
+        a new batch_id commits an empty diff (structural idempotency).
+        Dead letters / lineage flow through the runner's side outputs
+        like any stream batch."""
+        from dbp_etl_spark.cdc.merge import snapshot_batch
+
+        res = snapshot_batch(
+            self.table,
+            snapshot,
+            batch_id,
+            transform=self.transform,
+            lineage=self.lineage_mode,
+        )
+        if not res.skipped:
+            self._side_outputs(res)
+            if self.expire_every is not None:
+                self._applied_since_expiry += 1
+                if self._applied_since_expiry >= self.expire_every:
+                    self.table.expire_snapshots(keep_last=self.expire_keep_last)
+                    self._applied_since_expiry = 0
+        return res
+
     def _side_outputs(self, res: MergeResult) -> None:
         spark = self.table.spark
         label = (

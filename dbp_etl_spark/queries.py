@@ -2167,3 +2167,83 @@ def contamination_ngram_overlap(spark, sf_dir):
         F.count_distinct("g").alias("n_shared_5grams"),
         F.count_distinct("bench_id").alias("n_bench_docs_hit"),
     )
+
+
+# =====================================================================
+# Snapshot-compare CDC (round 4)
+# =====================================================================
+
+
+@q(
+    "dim_snapshot_apply",
+    """
+    WITH post AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts >= TIMESTAMP '2024-01-30 12:00:00')
+    SELECT 'https://dim.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round(value, 2) AS val
+    FROM post WHERE rn = 1
+    """,
+)
+def dim_snapshot_apply(spark, sf_dir):
+    """Snapshot-compare CDC mode END-TO-END (reference metadata-load
+    shape: full-dimension diff with leftover-key deletes,
+    /root/reference/load/UpdateDBPBiblesTable.py:65-126): seed a real
+    lake table from the pre-cutoff snapshot, apply the post-cutoff
+    snapshot via CDCRunner.apply_snapshot (full-outer value diff,
+    inferred tombstones, exactly-once ledger), and return the final
+    table state. The oracle is the post-cutoff snapshot itself — the
+    engine must CONVERGE to it through diff ops: 40 of 150 users have
+    no post-cutoff events, so their rows must be inferred-deleted for
+    the row counts to match."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def snap_of(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.concat(F.lit("https://dim.example/u"), F.col("user_id").cast("string")).alias(
+                    "url"
+                ),
+                F.col("ts").alias("warc_ts"),
+                F.encode(
+                    F.concat(F.lit("<html><body><p>v"), F.col("value").cast("string"), F.lit("</p></body></html>")),
+                    "utf-8",
+                ).alias("html"),
+                F.round("value", 2).alias("val"),
+            )
+        )
+
+    cutoff = "2024-01-30 12:00:00"
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="dim_snapshot_")
+    table = LakeTable.create(spark, f"{root}/dim", schema, key="url", num_buckets=8)
+    runner = CDCRunner(table)
+    runner.apply_snapshot(snap_of(ev.filter(F.col("ts") < cutoff)), batch_id="seed")
+    runner.apply_snapshot(snap_of(ev.filter(F.col("ts") >= cutoff)), batch_id="snap2")
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("val"),
+    )
