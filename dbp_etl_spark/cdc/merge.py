@@ -105,8 +105,15 @@ def merge_batch(
     lineage: str = "per_bucket",
     candidates: list[int] | None = None,
     batch_col: str = "batch_id",
+    pre_commit=None,
 ) -> MergeResult:
     """Apply one change batch to the table: exactly-once, atomic.
+
+    ``pre_commit``: callable invoked with a partial MergeResult (batch
+    id, lineage rows, dead letters) immediately BEFORE the manifest
+    commit — the runner writes its side outputs here so a committed
+    batch always has them on disk (atomic-with-commit; see
+    CDCRunner._side_outputs for the crash story).
 
     MERGE semantics (full-outer-join form):
       WHEN NOT MATCHED AND op<>'delete'            THEN INSERT
@@ -179,8 +186,21 @@ def merge_batch(
         cand_rows = valid.select(table.bucket_expr(key).alias("b")).distinct().collect()
         cand = sorted(r["b"] for r in cand_rows)
     _mark("candidates")
+
+    def _pre(counts_=None, lineage_rows_=None):
+        if pre_commit is not None:
+            pre_commit(
+                MergeResult(
+                    batch_id=batch_id,
+                    counts=counts_ or {},
+                    lineage=lineage_rows_ or [],
+                    deadletter=dead,
+                )
+            )
+
     if not cand:
         empty = table.read().limit(0)
+        _pre()
         table.overwrite_buckets(
             empty, [], batch_id, summary={**summary_base, "empty_batch": True}
         )
@@ -284,6 +304,7 @@ def merge_batch(
 
         if not dirty:
             empty = table.read().limit(0)
+            _pre(counts, lineage_rows)
             table.overwrite_buckets(empty, [], batch_id, summary=summary)
             return MergeResult(
                 batch_id=batch_id,
@@ -374,6 +395,7 @@ def merge_batch(
             observed["max_warc_ts"] = mt.isoformat() if mt else None
             return dict(observed)
 
+        _pre(counts, lineage_rows)
         table.overwrite_buckets(
             new_state,
             dirty,
@@ -410,6 +432,7 @@ def snapshot_batch(
     batch_id,
     transform=default_transform,
     lineage: str = "per_bucket",
+    pre_commit=None,
 ) -> MergeResult:
     """Snapshot-compare apply: make the table equal a FULL dimension
     snapshot, with deletes INFERRED from absent keys.
@@ -525,8 +548,20 @@ def snapshot_batch(
             "max_warc_ts": max_ts.isoformat() if max_ts else None,
             "dirty_buckets": dirty,
         }
+        def _pre():
+            if pre_commit is not None:
+                pre_commit(
+                    MergeResult(
+                        batch_id=batch_id,
+                        counts=counts,
+                        lineage=lineage_rows,
+                        deadletter=dead,
+                    )
+                )
+
         if not dirty:
             empty = table.read().limit(0)
+            _pre()
             table.overwrite_buckets(empty, [], batch_id, summary=summary)
             return MergeResult(
                 batch_id=batch_id,
@@ -584,6 +619,7 @@ def snapshot_batch(
             .repartition(n_part, "_bucket")
             .unionByName(changed)
         )
+        _pre()
         table.overwrite_buckets(
             new_state, dirty, batch_id, summary=summary, pre_partitioned=True
         )

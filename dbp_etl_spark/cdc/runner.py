@@ -224,8 +224,8 @@ class CDCRunner:
             lineage=self.lineage_mode,
             candidates=cand,
             batch_col=batch_col,
+            pre_commit=self._side_outputs,
         )
-        self._side_outputs(res)
         report.results.append(res)
         if self.expire_every is not None and not res.skipped:
             self._applied_since_expiry += 1
@@ -251,9 +251,9 @@ class CDCRunner:
             batch_id,
             transform=self.transform,
             lineage=self.lineage_mode,
+            pre_commit=self._side_outputs,
         )
         if not res.skipped:
-            self._side_outputs(res)
             if self.expire_every is not None:
                 self._applied_since_expiry += 1
                 if self._applied_since_expiry >= self.expire_every:
@@ -261,7 +261,33 @@ class CDCRunner:
                     self._applied_since_expiry = 0
         return res
 
+    @staticmethod
+    def _side_dir(root: str, label: str) -> str:
+        """Deterministic per-batch side-output directory: a replay of
+        the same batch id overwrites the SAME directory, making the
+        write idempotent (the atomicity story below depends on it)."""
+        import hashlib
+
+        safe = "".join(ch if (ch.isalnum() or ch in "-_.") else "_" for ch in label)[:80]
+        return os.path.join(root, f"b_{safe}_{hashlib.md5(label.encode()).hexdigest()[:8]}")
+
     def _side_outputs(self, res: MergeResult) -> None:
+        """Write lineage/errors side outputs for a batch.
+
+        Invoked as merge_batch/snapshot_batch's ``pre_commit`` hook —
+        i.e. BEFORE the manifest commit, into a deterministic per-batch
+        directory with overwrite semantics. This closes the reference's
+        dependent-table atomicity requirement (the video path commits
+        fileset tables and stream tables as one coordinated apply,
+        /root/reference/load/DBPLoadController.py:126-140) without a
+        cross-table transaction: a crash BEFORE the commit leaves the
+        batch uncommitted, so replay recomputes and overwrites the same
+        directories; a committed batch therefore ALWAYS has its side
+        outputs on disk, and replay can never duplicate them. The only
+        residue is an orphan side-output dir for a batch that crashed
+        and was never replayed — surfaced by state_checks'
+        lineage_ledger_mismatch (lake/integrity.py:66), never a gap.
+        """
         spark = self.table.spark
         label = (
             ",".join(str(b) for b in res.batch_id)
@@ -288,8 +314,8 @@ class CDCRunner:
                     level.alias("level"),
                     F.col("_dl_reason").alias("message"),
                 )
-                .write.mode("append")
-                .parquet(self.errors_path)
+                .write.mode("overwrite")
+                .parquet(self._side_dir(self.errors_path, label))
             )
         if self.lineage_path and res.lineage:
             rows = [
@@ -303,7 +329,7 @@ class CDCRunner:
             ]
             spark.createDataFrame(
                 rows, "batch_id string, partition_id int, action string, n long"
-            ).write.mode("append").parquet(self.lineage_path)
+            ).write.mode("overwrite").parquet(self._side_dir(self.lineage_path, label))
 
     # -- checkpoint/resume introspection -------------------------------
 
@@ -313,12 +339,17 @@ class CDCRunner:
             return None
         return max(ledger, key=lambda k: ledger[k]["snapshot_id"])
 
-    def errors(self) -> DataFrame | None:
-        if self.errors_path and os.path.exists(self.errors_path):
-            return self.table.spark.read.parquet(self.errors_path)
+    def _read_side(self, root: str) -> DataFrame | None:
+        # per-batch subdirectories (see _side_dir): recursive lookup, no
+        # hive partition inference — batch_id lives IN the rows
+        if root and os.path.exists(root) and os.listdir(root):
+            return (
+                self.table.spark.read.option("recursiveFileLookup", "true").parquet(root)
+            )
         return None
 
+    def errors(self) -> DataFrame | None:
+        return self._read_side(self.errors_path)
+
     def lineage(self) -> DataFrame | None:
-        if self.lineage_path and os.path.exists(self.lineage_path):
-            return self.table.spark.read.parquet(self.lineage_path)
-        return None
+        return self._read_side(self.lineage_path)

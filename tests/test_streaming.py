@@ -236,13 +236,13 @@ def test_stream_side_outputs_parity_with_runner(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    errors = spark.read.parquet(errors_path)
+    errors = spark.read.option("recursiveFileLookup", "true").parquet(errors_path)
     assert errors.count() == 2
     reasons = {r["message"] for r in errors.collect()}
     assert reasons == {"null_url", "bad_op"}
     assert all(r["batch_id"].startswith("stream-") for r in errors.collect())
 
-    lineage = spark.read.parquet(lineage_path)
+    lineage = spark.read.option("recursiveFileLookup", "true").parquet(lineage_path)
     assert lineage.count() > 0
     acts = {r["action"] for r in lineage.collect()}
     assert "insert" in acts
