@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
     # #2), so the driver's 50-query prefix re-verifies all of them.
     "dim_snapshot_apply",
+    "patch_update_events",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "carry_forward_fill",

@@ -102,3 +102,107 @@ def cdc_order(
     if batch_col is not None:
         order.append(F.col(batch_col).asc_nulls_last())
     return order
+
+
+def fold_patch_events(
+    df: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    ts_col: str = "warc_ts",
+    op_col: str = "op",
+    batch_col: str | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Collapse a batch that mixes FULL events (insert/update/delete)
+    with sparse PATCH events (op='patch'; NULL payload column =
+    "unchanged") into one event per key.
+
+    Reference analog: per-column changesets
+    (colName, newValue, oldValue, pk…) applied in sequence,
+    /root/reference/load/SQLBatchExec.py:118-129 — a patch event is the
+    row-form of those, carrying only the columns it touches.
+
+    The fold realizes the same total order as per-event apply, so the
+    batch-split invariance guarantee extends to patches:
+
+    * the latest full event per key wins (standard dedup order);
+    * patches STRICTLY newer than it overlay column-wise, oldest first,
+      each column taking the last non-null value (a patch never beats
+      an equal-ts full event — and applied per-event, an equal-ts patch
+      would no-op against the applied row);
+    * among patches tying on (key, ts), exactly one survives — earliest
+      batch, then the dedup total-order hash — matching what per-event
+      apply yields (the second equal-ts patch no-ops against state);
+    * a patch folded onto a delete winner is dropped (patching a dead
+      row is a no-op; a patch never resurrects);
+    * keys with only patches emit a single folded op='patch' event for
+      the merge ladder to apply against table state (target absent →
+      dropped there too).
+
+    Physical shape: everything is keyed by ``key`` — two window passes
+    over the (small) patch subset plus one join against the full-event
+    winners; no shuffle that isn't already keyed like the MERGE itself.
+    """
+    full = df.filter(F.col(op_col) != "patch")
+    patches = df.filter(F.col(op_col) == "patch")
+    fw = dedup_latest(full, key, cdc_order(batch_col=batch_col), salt_buckets=salt_buckets)
+
+    # one survivor per (key, ts): earliest batch, then total-order hash
+    p_order = [F.col(batch_col).asc_nulls_last()] if batch_col else []
+    p1 = dedup_latest(patches, [key, ts_col], p_order)
+
+    fts = fw.select(F.col(key).alias("_fp_k"), F.col(ts_col).alias("_fp_ts"))
+    p1 = (
+        p1.join(fts, p1[key] == fts["_fp_k"], "left")
+        .filter(F.col("_fp_ts").isNull() | (F.col(ts_col) > F.col("_fp_ts")))
+        .drop("_fp_k", "_fp_ts")
+    )
+
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    folded = (
+        p1.select(
+            F.col(key),
+            F.col(ts_col),
+            *[F.last(c, ignorenulls=True).over(wf).alias(c) for c in payload_cols],
+        )
+        .withColumn("_fp_rn", F.row_number().over(wr))
+        .filter(F.col("_fp_rn") == 1)
+        .drop("_fp_rn")
+    )
+
+    f = fw.select(
+        F.col(key),
+        F.col(ts_col).alias("_f_ts"),
+        F.col(op_col).alias("_f_op"),
+        *[F.col(c).alias(f"_f_{c}") for c in payload_cols],
+    )
+    p = folded.select(
+        F.col(key),
+        F.col(ts_col).alias("_p_ts"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    j = f.join(p, key, "full_outer")
+    has_f = F.col("_f_ts").isNotNull()
+    has_p = F.col("_p_ts").isNotNull()
+    # full winner is a delete -> patches dropped; else compose (patch
+    # values overlay, ts advances to the last applied patch's)
+    compose = has_f & has_p & (F.col("_f_op") != "delete")
+    out_ts = F.when(compose, F.col("_p_ts")).when(has_f, F.col("_f_ts")).otherwise(
+        F.col("_p_ts")
+    )
+    out_op = F.when(has_f, F.col("_f_op")).otherwise(F.lit("patch"))
+    out_payloads = [
+        F.when(compose, F.coalesce(F.col(f"_p_{c}"), F.col(f"_f_{c}")))
+        .when(has_f, F.col(f"_f_{c}"))
+        .otherwise(F.col(f"_p_{c}"))
+        .alias(c)
+        for c in payload_cols
+    ]
+    return j.select(
+        F.col(key), out_ts.alias(ts_col), out_op.alias(op_col), *out_payloads
+    )

@@ -77,18 +77,23 @@ def default_transform(df: DataFrame) -> DataFrame:
     ).drop("_ex")
 
 
-def split_deadletter(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_deadletter(batch: DataFrame, patch_ops: bool = False) -> tuple[DataFrame, DataFrame]:
     """Route malformed events to the dead-letter side-output.
 
     Reference analog: quarantine CSV routing,
     /root/reference/load/FilenameReducer.py:44-70 — bad rows are set
     aside, the batch still commits.
+
+    ``patch_ops``: additionally accept ``op='patch'`` events, whose
+    NULL payload columns mean "unchanged" (so a NULL html is valid).
     """
+    ops = (*VALID_OPS, "patch") if patch_ops else VALID_OPS
+    payload_exempt = ("delete", "patch") if patch_ops else ("delete",)
     reason = (
         F.when(F.col("url").isNull(), "null_url")
-        .when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "bad_op")
+        .when(F.col("op").isNull() | ~F.col("op").isin(*ops), "bad_op")
         .when(F.col("warc_ts").isNull(), "null_ts")
-        .when((F.col("op") != "delete") & F.col("html").isNull(), "null_payload")
+        .when(~F.col("op").isin(*payload_exempt) & F.col("html").isNull(), "null_payload")
     )
     tagged = batch.withColumn("_dl_reason", reason)
     valid = tagged.filter(F.col("_dl_reason").isNull()).drop("_dl_reason")
@@ -106,6 +111,7 @@ def merge_batch(
     candidates: list[int] | None = None,
     batch_col: str = "batch_id",
     pre_commit=None,
+    patch_ops: bool = False,
 ) -> MergeResult:
     """Apply one change batch to the table: exactly-once, atomic.
 
@@ -114,6 +120,16 @@ def merge_batch(
     commit — the runner writes its side outputs here so a committed
     batch always has them on disk (atomic-with-commit; see
     CDCRunner._side_outputs for the crash story).
+
+    ``patch_ops``: accept sparse ``op='patch'`` events — NULL payload
+    column = "unchanged" (reference per-column changesets,
+    /root/reference/load/SQLBatchExec.py:118-129). A patch applies only
+    to a LIVE target row with a strictly older warc_ts, via column-wise
+    coalesce; it never inserts, never resurrects a tombstone, and loses
+    every equal-ts tie. In-batch folding (fold_patch_events) realizes
+    the same total order, so batch-split invariance holds with patches.
+    Off by default: the flag gates extra ladder branches and the fold's
+    window passes out of the hot non-patch plan.
 
     MERGE semantics (full-outer-join form):
       WHEN NOT MATCHED AND op<>'delete'            THEN INSERT
@@ -153,7 +169,7 @@ def merge_batch(
             _t = now
 
     key = table.key
-    valid, dead = split_deadletter(batch)
+    valid, dead = split_deadletter(batch, patch_ops=patch_ops)
 
     # --- schema evolution driven by the batch: extra payload columns
     # (the batch-grouping column, whatever its name, is transport
@@ -171,9 +187,20 @@ def merge_batch(
     # batch-order tiebreak keeps fused (multi-batch) dedup byte-identical
     # to per-batch apply for events tying on (ts, op, payload)
     batch_tiebreak = batch_col if batch_col in valid.columns else None
-    src = dedup_latest(
-        valid, key, cdc_order(batch_col=batch_tiebreak), salt_buckets=salt_buckets
-    )
+    if patch_ops:
+        from dbp_etl_spark.cdc.dedup import fold_patch_events
+
+        src = fold_patch_events(
+            valid,
+            key,
+            ["html", *extra_cols],
+            batch_col=batch_tiebreak,
+            salt_buckets=salt_buckets,
+        )
+    else:
+        src = dedup_latest(
+            valid, key, cdc_order(batch_col=batch_tiebreak), salt_buckets=salt_buckets
+        )
 
     # --- candidate buckets from the RAW batch keys (file pruning):
     # a map-side-combined distinct over <= num_buckets values — far
@@ -237,12 +264,19 @@ def merge_batch(
     # the log as 1 batch vs N batches byte-identical (test_batch_split_
     # invariance). Ties at equal warc_ts follow cdc_order(): tombstone
     # beats write, then payload-md5-desc decides between writes.
+    is_patch = F.col("_s_op") == "patch" if patch_ops else F.lit(False)
     action = (
         F.when(F.col("_s_op").isNull(), F.lit("keep"))
+        # patch against an absent key: no row to patch — emit nothing
+        # (no branch below selects 'skip_patch', so the row vanishes)
+        .when(F.col("_t_warc_ts").isNull() & is_patch, F.lit("skip_patch"))
         .when(F.col("_t_warc_ts").isNull() & (F.col("_s_op") != "delete"), F.lit("insert"))
         .when(F.col("_t_warc_ts").isNull(), F.lit("delete"))  # tombstone for absent key
         .when(F.col("_s_ts") < F.col("_t_warc_ts"), F.lit("late"))
         .when(F.col("_s_op") == "delete", F.lit("delete"))  # s_ts >= t_ts: (re)tombstone
+        .when(is_patch & t_dead, F.lit("noop"))  # a patch never resurrects
+        .when(is_patch & (F.col("_s_ts") == F.col("_t_warc_ts")), F.lit("noop"))
+        .when(is_patch, F.lit("patch"))  # strictly newer, live target
         .when(t_dead & (F.col("_s_ts") > F.col("_t_warc_ts")), F.lit("insert"))  # resurrect
         .when(t_dead, F.lit("noop"))  # equal-ts write vs tombstone: tombstone wins
         .when((F.col("_s_ts") == F.col("_t_warc_ts")) & same_payload, F.lit("noop"))
@@ -261,9 +295,11 @@ def merge_batch(
         from pyspark.sql import Observation
 
         obs = Observation(f"merge-{batch_id}")
+        obs_actions = ("insert", "update", "delete", "late", "noop", "keep") + (
+            ("patch", "skip_patch") if patch_ops else ()
+        )
         obs_aggs = [
-            F.count(F.when(F.col("_action") == a, 1)).alias(a)
-            for a in ("insert", "update", "delete", "late", "noop", "keep")
+            F.count(F.when(F.col("_action") == a, 1)).alias(a) for a in obs_actions
         ] + [F.max("_s_ts").alias("max_ts")]
         j = j.observe(obs, *obs_aggs)
     # persisted in both modes: the write job scans j in three branches
@@ -288,7 +324,7 @@ def merge_batch(
                 {
                     r["bucket"]
                     for r in lineage_rows
-                    if r["action"] in ("insert", "update", "delete")
+                    if r["action"] in ("insert", "update", "delete", "patch")
                 }
             )
         else:
@@ -354,19 +390,39 @@ def merge_batch(
             ],
         )
 
-        changed = in_dirty.filter(F.col("_action").isin("insert", "update")).select(
+        # patch rows take coalesce(patch value, current value) per
+        # payload column (NULL = unchanged); full rows take the event's
+        # value wholesale (an explicit NULL stays NULL)
+        patch_here = F.col("_action") == "patch" if patch_ops else F.lit(False)
+        new_html = (
+            F.when(patch_here, F.coalesce(F.col("_s_html"), F.col("_t_html"))).otherwise(
+                F.col("_s_html")
+            )
+            if patch_ops
+            else F.col("_s_html")
+        )
+
+        def _new_payload(c: str) -> Column:
+            src_c = F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
+            if patch_ops and c in extra_cols:
+                return F.when(
+                    patch_here, F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}"))
+                ).otherwise(src_c)
+            return src_c
+
+        changed = in_dirty.filter(
+            F.col("_action").isin("insert", "update", "patch")
+        ).select(
             F.col(key),
             F.col("_b").alias("_bucket"),
             F.col("_s_ts").alias("warc_ts"),
-            F.col("_s_html").alias("html"),
-            (~F.col("_s_html").eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
+            new_html.alias("html"),
+            (~new_html.eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
             F.col("_t_text").alias("_old_text"),
             F.col("_t_lang").alias("_old_lang"),
             F.lit(False).alias("_deleted"),
             *[
-                (
-                    F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
-                ).alias(c)
+                _new_payload(c).alias(c)
                 for c in schema_names
                 if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
             ],

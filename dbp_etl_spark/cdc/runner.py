@@ -65,6 +65,7 @@ class CDCRunner:
         allow_urls: DataFrame | None = None,
         expire_every: int | None = None,
         expire_keep_last: int = 8,
+        patch_ops: bool = False,
     ):
         self.table = table
         self.errors_path = errors_path
@@ -81,6 +82,9 @@ class CDCRunner:
         # fused-resume window the deployment needs.
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
+        # accept sparse op='patch' events (NULL column = unchanged);
+        # see merge_batch(patch_ops=...) for the semantics
+        self.patch_ops = patch_ops
         self._applied_since_expiry = 0
 
     @staticmethod
@@ -225,6 +229,7 @@ class CDCRunner:
             candidates=cand,
             batch_col=batch_col,
             pre_commit=self._side_outputs,
+            patch_ops=self.patch_ops,
         )
         report.results.append(res)
         if self.expire_every is not None and not res.skipped:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MUTATING_ACTIONS = ("insert", "update", "delete")
+MUTATING_ACTIONS = ("insert", "update", "delete", "patch")
 
 
 def _counted(tag: str, df: DataFrame) -> DataFrame:

@@ -2247,3 +2247,107 @@ def dim_snapshot_apply(spark, sf_dir):
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("val"),
     )
+
+
+@q(
+    "patch_update_events",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'error'  THEN 'delete'
+                  ELSE 'patch' END AS op
+      FROM events),
+    latest_full AS (
+      SELECT user_id, ts, event_id, val, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE op IN ('insert', 'delete')) WHERE rn = 1),
+    alive AS (SELECT * FROM latest_full WHERE op = 'insert'),
+    p AS (
+      SELECT e.user_id, e.ts, e.event_id, e.val, (e.event_id % 2 = 0) AS is_score
+      FROM ev e JOIN alive a USING (user_id)
+      WHERE e.op = 'patch' AND e.ts > a.ts),
+    folded AS (
+      SELECT user_id,
+             max(ts) AS pts,
+             arg_max(val, ts) FILTER (WHERE is_score) AS p_score,
+             arg_max(event_id, ts) FILTER (WHERE NOT is_score) AS p_html_eid
+      FROM p GROUP BY user_id)
+    SELECT 'https://p.example/u' || CAST(a.user_id AS VARCHAR) AS url,
+           strftime(coalesce(f.pts, a.ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           coalesce(f.p_score, a.val) AS score,
+           length('<html><body><p>e'
+                  || CAST(coalesce(f.p_html_eid, a.event_id) AS VARCHAR)
+                  || '</p></body></html>') AS html_len
+    FROM alive a LEFT JOIN folded f USING (user_id)
+    """,
+)
+def patch_update_events(spark, sf_dir):
+    """Sparse patch events END-TO-END (reference per-column changesets,
+    /root/reference/load/SQLBatchExec.py:118-129): map the events table
+    to a CDC log where signup=insert, error=delete, and every other
+    event is an op='patch' touching exactly ONE column (even event_id
+    -> score, odd -> html; the untouched column is NULL = unchanged),
+    apply it through CDCRunner(patch_ops=True) in five ts-aligned
+    weekly batches onto a real lake table, and return the final state.
+    The oracle folds the same log in SQL: per live user, the latest
+    full event's values overlaid by the last non-null patch per column.
+    Untouched columns surviving a patch is exactly what the value-hash
+    verifies."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("patch")
+    )
+    is_score = F.col("event_id") % 2 == 0
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>e"), F.col("event_id").cast("string"), F.lit("</p></body></html>")
+        ),
+        "utf-8",
+    )
+    changes = ev.select(
+        F.concat(F.lit("https://p.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(op == "insert", html)
+        .when((op == "patch") & ~is_score, html)
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("html"),
+        F.when(op == "insert", F.round("value", 2))
+        .when((op == "patch") & is_score, F.round("value", 2))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("score"),
+        op.alias("op"),
+        # ts-aligned weekly batches: batch order == event-time order, so
+        # sequential batch apply equals the global ts-order fold
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="patch_events_")
+    table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
+    CDCRunner(table, patch_ops=True).run(changes)
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "score",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
