@@ -80,6 +80,8 @@ _CHECK_FIRST = [
     # #2), so the driver's 50-query prefix re-verifies all of them.
     "dim_snapshot_apply",
     "patch_update_events",
+    "text_search_and",
+    "text_search_phrase",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "carry_forward_fill",

@@ -1,0 +1,99 @@
+"""Inverted-index full-text search: posting lists + AND / phrase query.
+
+The engine's analog of the reference's FULLTEXT index on verse_text
+(/root/reference/database/dbp.sql:759-764) — the one text-retrieval
+capability of the reference the operator inventory did not yet cover,
+and the exact primitive for substring-level contamination checks.
+
+Physical shape (the 100 TB story): the index IS a DataFrame keyed by
+token — build is one posexplode + one groupBy(token, doc) (map-side
+combined); persisted bucketed/partitioned by token it serves point
+lookups with partition pruning. Queries filter to the query's tokens
+FIRST (predicate pushdown to the parquet scan of the index), broadcast
+the tiny term list, and shuffle only by doc id for the existential
+group — never by corpus text. No all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.functions.embed import tokenize
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional posting rows ``(token, doc, positions, tf)``.
+
+    The flat token-keyed form (one row per (token, doc)) is the
+    scale-friendly layout: writes partition by token, hot tokens spread
+    over their doc rows instead of one giant list, and every query
+    below starts with an equi-filter on token.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    return toks.groupBy("token", "doc").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+
+
+def posting_lists(postings: DataFrame) -> DataFrame:
+    """Classic token -> sorted postings-list rollup (storage/export
+    form): ``(token, df, postings: array<struct<doc, positions>>)``."""
+    return postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_sort(F.collect_list(F.struct("doc", "positions"))).alias("postings"),
+    )
+
+
+def search_and(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Docs containing ALL ``terms`` (boolean AND): ``(doc, total_tf)``.
+
+    One token-filtered scan, one doc-keyed group. The filter is a
+    pushed-down IN over the index's key column.
+    """
+    uniq = sorted(set(terms))
+    hit = postings.filter(F.col("token").isin(uniq))
+    return (
+        hit.groupBy("doc")
+        .agg(
+            F.count_distinct("token").alias("_nt"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("_nt") == len(uniq))
+        .drop("_nt")
+    )
+
+
+def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Docs containing the exact token sequence ``phrase``:
+    ``(doc, n_matches)`` with the number of occurrences.
+
+    Method: each term occurrence at position p under phrase offset i
+    votes for start p-i; a start with ALL n offsets present is a match.
+    Repeated tokens in the phrase are handled by joining a tiny
+    (offset, token) frame (broadcast), so one occurrence can vote for
+    several offsets — count DISTINCT offsets per start.
+    """
+    spark = postings.sparkSession
+    n = len(phrase)
+    terms = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "offset int, token string"
+    )
+    occ = (
+        postings.filter(F.col("token").isin(sorted(set(phrase))))
+        .select("token", "doc", F.explode("positions").alias("pos"))
+        .join(F.broadcast(terms), "token")
+        .select("doc", (F.col("pos") - F.col("offset")).alias("start"), "offset")
+    )
+    starts = (
+        occ.groupBy("doc", "start")
+        .agg(F.count_distinct("offset").alias("_no"))
+        .filter((F.col("_no") == n) & (F.col("start") >= 0))
+    )
+    return starts.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_matches"))

@@ -2351,3 +2351,55 @@ def patch_update_events(spark, sf_dir):
         "score",
         F.octet_length("html").cast("long").alias("html_len"),
     )
+
+
+@q(
+    "text_search_and",
+    """
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents)
+    SELECT doc_id AS doc,
+           CAST(len(list_filter(toks, t -> t = 'spark'))
+                + len(list_filter(toks, t -> t = 'vector')) AS BIGINT) AS total_tf
+    FROM tokd
+    WHERE list_contains(toks, 'spark') AND list_contains(toks, 'vector')
+    """,
+)
+def text_search_and(spark, sf_dir):
+    """Inverted-index boolean AND search (the engine's analog of the
+    reference FULLTEXT index, /root/reference/database/dbp.sql:759-764):
+    build token->doc postings over documents, return docs containing
+    ALL query terms with their summed term frequency. Token-keyed
+    shuffle only; the term filter pushes down to the index scan."""
+    from dbp_etl_spark.operators.text_search import build_postings, search_and
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_and(build_postings(docs), ["spark", "vector"])
+
+
+@q(
+    "text_search_phrase",
+    """
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(toks)), i -> toks[i] = 'table' AND toks[i+1] = 'table')) AS n
+      FROM tokd)
+    SELECT doc_id AS doc, CAST(n AS BIGINT) AS n_matches FROM m WHERE n > 0
+    """,
+)
+def text_search_phrase(spark, sf_dir):
+    """Positional phrase search over the inverted index: docs containing
+    the exact token sequence, with occurrence counts. The phrase
+    ('table','table') repeats a token, exercising the offset-vote join
+    (one occurrence votes for several phrase offsets). Overlapping
+    occurrences count individually on both sides."""
+    from dbp_etl_spark.operators.text_search import build_postings, search_phrase
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_phrase(build_postings(docs), ["table", "table"])
