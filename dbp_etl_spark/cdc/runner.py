@@ -66,6 +66,7 @@ class CDCRunner:
         expire_every: int | None = None,
         expire_keep_last: int = 8,
         patch_ops: bool = False,
+        retry_conflicts: int = 0,
     ):
         self.table = table
         self.errors_path = errors_path
@@ -85,6 +86,14 @@ class CDCRunner:
         # accept sparse op='patch' events (NULL column = unchanged);
         # see merge_batch(patch_ops=...) for the semantics
         self.patch_ops = patch_ops
+        # multi-writer mode: on CommitConflict (another runner advanced
+        # the table head between our read and commit), refresh the
+        # handle and re-apply up to N times. The ledger makes the retry
+        # safe: batches the winner already applied no-op, and the MERGE
+        # recomputes against the NEW head so nothing is lost. Pair with
+        # ``table.lock = FileLockService(...)`` on stores whose
+        # exclusive create is check-then-act.
+        self.retry_conflicts = retry_conflicts
         self._applied_since_expiry = 0
 
     @staticmethod
@@ -219,17 +228,19 @@ class CDCRunner:
             batch = changes.filter(F.col(batch_col).isin(*group))
             bid = list(group)
         cand = sorted({c for b in group for c in cand_by_batch.get(b, [])})
-        res = merge_batch(
-            self.table,
-            batch,
-            bid,
-            transform=self.transform,
-            salt_buckets=self.salt_buckets,
-            lineage=self.lineage_mode,
-            candidates=cand,
-            batch_col=batch_col,
-            pre_commit=self._side_outputs,
-            patch_ops=self.patch_ops,
+        res = self._with_conflict_retry(
+            lambda: merge_batch(
+                self.table,
+                batch,
+                bid,
+                transform=self.transform,
+                salt_buckets=self.salt_buckets,
+                lineage=self.lineage_mode,
+                candidates=cand,
+                batch_col=batch_col,
+                pre_commit=self._side_outputs,
+                patch_ops=self.patch_ops,
+            )
         )
         report.results.append(res)
         if self.expire_every is not None and not res.skipped:
@@ -250,13 +261,15 @@ class CDCRunner:
         like any stream batch."""
         from dbp_etl_spark.cdc.merge import snapshot_batch
 
-        res = snapshot_batch(
-            self.table,
-            snapshot,
-            batch_id,
-            transform=self.transform,
-            lineage=self.lineage_mode,
-            pre_commit=self._side_outputs,
+        res = self._with_conflict_retry(
+            lambda: snapshot_batch(
+                self.table,
+                snapshot,
+                batch_id,
+                transform=self.transform,
+                lineage=self.lineage_mode,
+                pre_commit=self._side_outputs,
+            )
         )
         if not res.skipped:
             if self.expire_every is not None:
@@ -265,6 +278,25 @@ class CDCRunner:
                     self.table.expire_snapshots(keep_last=self.expire_keep_last)
                     self._applied_since_expiry = 0
         return res
+
+    def _with_conflict_retry(self, apply_fn):
+        """Run ``apply_fn``, retrying up to ``retry_conflicts`` times on
+        CommitConflict with a refreshed handle (lock/_fs carried over —
+        refresh() returns a plain handle). A lost race recomputes the
+        MERGE against the winner's head; already-committed batch ids
+        ledger-skip inside apply_fn."""
+        from dbp_etl_spark.lake.table import CommitConflict
+
+        for attempt in range(self.retry_conflicts + 1):
+            try:
+                return apply_fn()
+            except CommitConflict:
+                if attempt >= self.retry_conflicts:
+                    raise
+                fresh = self.table.refresh()
+                fresh.lock = self.table.lock
+                fresh._fs = self.table._fs
+                self.table = fresh
 
     @staticmethod
     def _side_dir(root: str, label: str) -> str:

@@ -195,3 +195,92 @@ def test_stale_release_cannot_free_successor(tmp_path):
     svc.release("commit", succ_tok)
     tok = svc.acquire("commit", ttl_sec=60, timeout_sec=1)
     svc.release("commit", tok)
+
+
+# ------------------------------------------------- multi-writer end-to-end
+
+
+def test_two_runners_concurrent_apply_equals_serial(spark, tmp_path):
+    """VERDICT r3 #6: two REAL CDCRunners drive disjoint batch ranges of
+    one change log against one table concurrently (lock + conflict
+    retry). The losers' retries recompute against the winner's head, so
+    the final state is byte-identical to a serial single-runner apply —
+    the merge guards realize a total order, making ANY interleave
+    converge."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+
+    log = generate_changes(spark, 1500, 60, n_batches=6)
+    # serial reference state
+    t_serial = LakeTable.create(
+        spark, str(tmp_path / "serial"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    CDCRunner(t_serial).run(log)
+
+    LakeTable.create(
+        spark, str(tmp_path / "conc"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    root = str(tmp_path / "conc")
+    lock_dir = str(tmp_path / "locks")
+    from pyspark.sql import functions as F
+
+    errors = {}
+
+    def writer(name, lo, hi):
+        try:
+            t = LakeTable.load(spark, root)
+            t.lock = FileLockService(lock_dir)
+            runner = CDCRunner(t, retry_conflicts=10)
+            runner.run(log.filter((F.col("batch_id") >= lo) & (F.col("batch_id") < hi)))
+        except Exception as e:  # pragma: no cover
+            errors[name] = e
+            raise
+
+    ta = threading.Thread(target=writer, args=("a", 0, 3))
+    tb = threading.Thread(target=writer, args=("b", 3, 6))
+    ta.start(), tb.start()
+    ta.join(300), tb.join(300)
+    assert not errors
+    final = LakeTable.load(spark, root)
+    assert {str(b) for b in range(6)} <= set(final.committed_batches())
+    assert final.state_hash() == t_serial.state_hash()
+
+
+def test_two_runners_nonatomic_store_with_lock(spark, tmp_path):
+    """Same e2e through a check-then-act store: the lease serializes the
+    commit sections, conflict retry absorbs head races, both runners'
+    batches land, state equals serial."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+    from pyspark.sql import functions as F
+
+    log = generate_changes(spark, 800, 40, n_batches=4)
+    t_serial = LakeTable.create(
+        spark, str(tmp_path / "serial2"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    CDCRunner(t_serial).run(log)
+
+    LakeTable.create(
+        spark, str(tmp_path / "conc2"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    root = str(tmp_path / "conc2")
+    lock_dir = str(tmp_path / "locks2")
+    errors = {}
+
+    def writer(name, lo, hi):
+        try:
+            t = LakeTable.load(spark, root)
+            t._fs = NonAtomicFS(None)
+            t.lock = FileLockService(lock_dir)
+            runner = CDCRunner(t, retry_conflicts=10)
+            runner.run(log.filter((F.col("batch_id") >= lo) & (F.col("batch_id") < hi)))
+        except Exception as e:  # pragma: no cover
+            errors[name] = e
+            raise
+
+    ta = threading.Thread(target=writer, args=("a", 0, 2))
+    tb = threading.Thread(target=writer, args=("b", 2, 4))
+    ta.start(), tb.start()
+    ta.join(300), tb.join(300)
+    assert not errors
+    final = LakeTable.load(spark, root)
+    assert {str(b) for b in range(4)} <= set(final.committed_batches())
+    assert final.state_hash() == t_serial.state_hash()
