@@ -43,6 +43,24 @@ def main() -> int:
         default=1,
         help="group up to N consecutive uncommitted batches per MERGE (group commit)",
     )
+    p.add_argument(
+        "--snapshot",
+        action="store_true",
+        help="treat --events as a FULL dimension snapshot: value diff with "
+        "inferred deletes (snapshot-compare mode); --snapshot-id names the batch",
+    )
+    p.add_argument("--snapshot-id", default="snapshot")
+    p.add_argument(
+        "--patch-ops",
+        action="store_true",
+        help="accept sparse op='patch' events (NULL payload column = unchanged)",
+    )
+    p.add_argument(
+        "--retry-conflicts",
+        type=int,
+        default=0,
+        help="multi-writer mode: retry CommitConflict N times with a fresh handle",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -94,24 +112,36 @@ def main() -> int:
         lineage_path=args.lineage_path,
         salt_buckets=args.salt_buckets,
         lineage_mode=args.lineage,
+        patch_ops=args.patch_ops,
+        retry_conflicts=args.retry_conflicts,
     )
     t0 = time.time()
-    report = runner.run(changes, fuse=args.fuse)
-    wall = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "events": n_events,
-                "batches": report.n_batches,
-                "skipped": report.n_skipped,
-                "wall_sec": round(wall, 3),
-                "events_per_sec": round(n_events / wall, 1),
-                "counts": report.total_counts(),
-                "snapshot_id": table.snapshot_id,
-                "state_hash": table.state_hash(),
-            }
-        )
-    )
+    if args.snapshot:
+        res = runner.apply_snapshot(changes.drop("op", "batch_id"), args.snapshot_id)
+        wall = time.time() - t0
+        out = {
+            "events": n_events,
+            "mode": "snapshot_compare",
+            "skipped": int(res.skipped),
+            "wall_sec": round(wall, 3),
+            "counts": res.counts,
+            "snapshot_id": table.snapshot_id,
+            "state_hash": table.state_hash(),
+        }
+    else:
+        report = runner.run(changes, fuse=args.fuse)
+        wall = time.time() - t0
+        out = {
+            "events": n_events,
+            "batches": report.n_batches,
+            "skipped": report.n_skipped,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "counts": report.total_counts(),
+            "snapshot_id": table.snapshot_id,
+            "state_hash": table.state_hash(),
+        }
+    print(json.dumps(out))
     spark.stop()
     return 0
 
