@@ -320,7 +320,12 @@ class LakeTable:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         return out
 
-    def read_changes(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        include_pre: bool = False,
+    ) -> DataFrame:
         """Row-level change feed between two snapshots (Iceberg/Delta
         CDF analog): what happened to the table from ``from_snapshot``
         (exclusive) to ``to_snapshot`` (inclusive, default head).
@@ -330,6 +335,12 @@ class LakeTable:
         (a derived table, an index, a cache) apply the feed instead of
         re-reading the full state; this is what lets one lake table
         FEED another CDC pipeline (changes-out, not just changes-in).
+
+        ``include_pre=True`` additionally emits an ``update_pre`` row
+        (the OLD values) for every update, Delta's
+        update_preimage/update_postimage pair — required by consumers
+        that must RETRACT the old contribution (incremental group-bys,
+        maintained indexes; see operators/incremental.py).
 
         Physical shape: the two manifests are diffed for buckets whose
         file sets changed — only THOSE buckets' rows (old + new) are
@@ -455,11 +466,18 @@ class LakeTable:
             for c in cols
             if c != key
         ]
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(F.col(key), *out_cols, "_change_type")
+        typed = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
         )
+        feed = typed.select(F.col(key), *out_cols, "_change_type")
+        if include_pre:
+            pre = typed.filter(F.col("_change_type") == "update_post").select(
+                F.col(key),
+                *[F.col(f"_o_{c}").alias(c) for c in cols if c != key],
+                F.lit("update_pre").alias("_change_type"),
+            )
+            feed = feed.unionByName(pre)
+        return feed
 
     # ----------------------------------------------------------------- write
 

@@ -1,0 +1,171 @@
+"""Incremental view maintenance: CDF-driven rollup == full recompute.
+
+Reference analog: dependent-table refresh after each load
+(/root/reference/load/DBPLoadController.py:126-140) done there by full
+re-reads; here the derived rollup advances by applying only the change
+feed between snapshots (delta maintenance of count/sum aggregates)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbp_etl_spark.lake import LakeTable, TableSchema
+from dbp_etl_spark.operators.incremental import IncrementalRollup, rollup_delta
+
+SALES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def mk_sales(spark, n, ts_base=1700000000):
+    return spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(ts_base) + F.col("id")).alias("warc_ts"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "fr").otherwise("de").alias("lang"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+
+
+@pytest.fixture()
+def sales_table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "sales"), TableSchema.from_struct(SALES), key="url", num_buckets=4
+    )
+
+
+def full_rollup(t):
+    return {
+        r["lang"]: (r["n"], r["total"])
+        for r in t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+
+
+def state_of(rollup):
+    return {r["lang"]: (r["n"], round(r["total"], 9)) for r in rollup.read().collect()}
+
+
+def test_read_changes_include_pre(spark, sales_table):
+    """update_pre rows carry the OLD values, one per update; inserts
+    and deletes appear exactly once with no pre twin."""
+    t = sales_table.append(mk_sales(spark, 6), batch_id="b0")
+    s0 = t.snapshot_id
+    t = t.update_where(F.col("url") == "k1", {"score": F.lit(99.0)}, batch_id="b1")
+    t = t.delete_where(F.col("url") == "k2", batch_id="b2")
+    t = t.append(mk_sales(spark, 1, ts_base=1800000000).withColumn(
+        "url", F.lit("kNEW")), batch_id="b3")
+
+    feed = t.read_changes(s0, include_pre=True).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r["url"] for r in by_type["update_post"]} == {"k1"}
+    assert {r["url"] for r in by_type["update_pre"]} == {"k1"}
+    assert by_type["update_post"][0]["score"] == 99.0
+    assert by_type["update_pre"][0]["score"] == 1.5  # old value
+    assert {r["url"] for r in by_type["delete"]} == {"k2"}
+    assert {r["url"] for r in by_type["insert"]} == {"kNEW"}
+    # without the flag: no pre rows (back-compat shape)
+    types = {r["_change_type"] for r in t.read_changes(s0).collect()}
+    assert "update_pre" not in types
+
+
+def test_rollup_delta_signs(spark):
+    """insert/update_post add, delete/update_pre retract — per group."""
+    changes = spark.createDataFrame(
+        [
+            ("en", 1.0, "insert"),
+            ("en", 2.0, "delete"),
+            ("fr", 5.0, "update_post"),
+            ("fr", 3.0, "update_pre"),
+        ],
+        "lang string, score double, _change_type string",
+    )
+    d = {r["lang"]: (r["d_n"], r["d_sum"]) for r in rollup_delta(changes, ["lang"], "score").collect()}
+    assert d == {"en": (0, -1.0), "fr": (0, 2.0)}
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sales_table, tmp_path):
+    """Three churn windows — updates in place, group moves, deletes,
+    inserts — each refresh() lands exactly on the full recompute."""
+    t = sales_table
+    roll = IncrementalRollup(t, str(tmp_path / "state"), ["lang"], "score")
+
+    # window 1: bootstrap over initial rows
+    t = t.append(mk_sales(spark, 30), batch_id="w1")
+    roll.source = t
+    roll.refresh()
+    assert state_of(roll) == full_rollup(t)
+
+    # window 2: value updates + a group MOVE (en -> fr) + deletes
+    t = t.update_where(F.col("url") == "k0", {"score": F.lit(1000.0)}, batch_id="w2a")
+    t = t.update_where(F.col("url") == "k3", {"lang": F.lit("fr")}, batch_id="w2b")
+    t = t.delete_where(F.col("url").isin("k4", "k5"), batch_id="w2c")
+    roll.source = t
+    roll.refresh()
+    assert state_of(roll) == full_rollup(t)
+
+    # window 3: new inserts + more churn in one window
+    t = t.append(mk_sales(spark, 5, ts_base=1800000000).withColumn(
+        "url", F.concat(F.lit("new"), F.monotonically_increasing_id())), batch_id="w3a")
+    t = t.update_where(F.col("url") == "k6", {"score": F.lit(-7.0)}, batch_id="w3b")
+    roll.source = t
+    snap = roll.refresh()
+    assert state_of(roll) == full_rollup(t)
+
+    # idempotent: refresh at head no-ops, pointer unchanged
+    assert roll.refresh() == snap
+    assert roll.last_applied_snapshot() == snap
+    # only the live version is retained
+    versions = [n for n in os.listdir(str(tmp_path / "state")) if n.startswith("v")]
+    assert versions == [f"v{snap}"]
+
+
+def test_rollup_group_vanishes_when_empty(spark, sales_table, tmp_path):
+    """Retracting a group's last row removes it from the state rather
+    than leaving an (n=0) husk."""
+    t = sales_table.append(
+        spark.createDataFrame(
+            [("a", 1700000000, "en", 1.0), ("b", 1700000001, "fr", 2.0)],
+            "url string, warc_ts long, lang string, score double",
+        ).withColumn("warc_ts", F.timestamp_seconds("warc_ts")),
+        batch_id="b0",
+    )
+    roll = IncrementalRollup(t, str(tmp_path / "state2"), ["lang"], "score")
+    roll.refresh()
+    t = t.delete_where(F.col("url") == "b", batch_id="b1")
+    roll.source = t
+    roll.refresh()
+    assert state_of(roll) == {"en": (1, 1.0)}
+
+
+def test_rollup_crash_between_state_and_pointer(spark, sales_table, tmp_path):
+    """State dir written but pointer not swung (crash) → the next
+    refresh adopts the already-materialized version instead of
+    double-applying the delta."""
+    t = sales_table.append(mk_sales(spark, 10), batch_id="b0")
+    roll = IncrementalRollup(t, str(tmp_path / "state3"), ["lang"], "score")
+    roll.refresh()
+    t = t.update_where(F.col("url") == "k1", {"score": F.lit(50.0)}, batch_id="b1")
+    roll.source = t
+    snap = roll.refresh()
+    # simulate the crash: roll back the pointer, keep the state dir
+    with open(roll._version_path(), "w") as f:
+        f.write(str(snap - 1))
+    # recreate the previous version dir so read() still resolves
+    # (the pruning step removed it); the adopted target must win
+    prev = roll.refresh()
+    assert prev == snap
+    assert state_of(roll) == full_rollup(t)
