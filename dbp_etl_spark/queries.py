@@ -2403,3 +2403,115 @@ def text_search_phrase(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return search_phrase(build_postings(docs), ["table", "table"])
+
+
+@q(
+    "incremental_rollup_maintain",
+    """
+    WITH pre AS (
+      SELECT user_id, round(value, 2) AS score,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-30 12:00:00'),
+    seed AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+             CASE user_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang,
+             score
+      FROM pre WHERE rn = 1),
+    w2a AS (SELECT url, lang,
+                   CASE WHEN score > 200 THEN score - 100.0 ELSE score END AS score
+            FROM seed),
+    w2b AS (SELECT url,
+                   CASE WHEN lang = 'en' AND score < 50 THEN 'fr' ELSE lang END AS lang,
+                   score
+            FROM w2a),
+    w2c AS (SELECT * FROM w2b WHERE NOT (lang = 'de' AND score > 300)),
+    w3a AS (SELECT * FROM w2c
+            UNION ALL
+            SELECT 'n' || CAST(event_id AS VARCHAR) AS url,
+                   CASE event_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang,
+                   round(value, 2) AS score
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-30 12:00:00' AND event_type = 'signup'),
+    w3b AS (SELECT url, lang,
+                   CASE WHEN score < 20 THEN score + 500.0 ELSE score END AS score
+            FROM w3a)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n, round(sum(score), 4) AS total
+    FROM w3b GROUP BY lang
+    """,
+)
+def incremental_rollup_maintain(spark, sf_dir):
+    """Incremental view maintenance END-TO-END (reference dependent-
+    table refresh, /root/reference/load/DBPLoadController.py:126-140,
+    done there by full re-reads after each load): seed a lake table
+    from pre-cutoff events, maintain a lang->(n, total) rollup through
+    three churn windows — predicate updates, a group MOVE (en->fr),
+    predicate deletes, fresh inserts — advancing the rollup ONLY via
+    the change-data feed (read_changes include_pre=True: retract
+    pre-images, add post-images). The oracle recomputes the final
+    state from scratch; the maintained state must land on it exactly.
+    At 10^10 rows each refresh costs the churn, not the table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.operators.incremental import IncrementalRollup
+
+    cutoff = "2024-01-30 12:00:00"
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    seed = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+            F.round("value", 2).alias("score"),
+        )
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ivm_rollup_")
+    t = LakeTable.create(spark, f"{root}/dim", schema, key="url", num_buckets=8)
+    roll = IncrementalRollup(t, f"{root}/state", ["lang"], "score")
+
+    # window 1: bootstrap
+    t = t.append(seed, batch_id="w1")
+    roll.source = t
+    roll.refresh()
+    # window 2: predicate updates, a group move, predicate deletes
+    t = t.update_where(F.col("score") > 200, {"score": F.col("score") - 100.0}, batch_id="w2a")
+    t = t.update_where(
+        (F.col("lang") == "en") & (F.col("score") < 50), {"lang": F.lit("fr")}, batch_id="w2b"
+    )
+    t = t.delete_where((F.col("lang") == "de") & (F.col("score") > 300), batch_id="w2c")
+    roll.source = t
+    roll.refresh()
+    # window 3: fresh inserts + another update sweep
+    new_rows = ev.filter((F.col("ts") >= cutoff) & (F.col("event_type") == "signup")).select(
+        F.concat(F.lit("n"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        F.round("value", 2).alias("score"),
+    )
+    t = t.append(new_rows, batch_id="w3a")
+    t = t.update_where(F.col("score") < 20, {"score": F.col("score") + 500.0}, batch_id="w3b")
+    roll.source = t
+    roll.refresh()
+    return roll.read().select("lang", "n", F.round("total", 4).alias("total"))
