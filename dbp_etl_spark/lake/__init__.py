@@ -10,3 +10,4 @@ without data rewrite, and time travel over snapshot history.
 
 from dbp_etl_spark.lake.table import LakeTable, SnapshotExpired  # noqa: F401
 from dbp_etl_spark.lake.schema import ColumnSpec, TableSchema  # noqa: F401
+from dbp_etl_spark.lake.txn import TxnAborted, TxnCoordinator  # noqa: F401

@@ -88,6 +88,9 @@ class LakeTable:
         # critical section for stores whose exclusive create is
         # check-then-act (S3A-style). None = rely on the fs CAS.
         self.lock = None
+        # set by TxnCoordinator.transaction(): commits are COLLECTED
+        # (staged) instead of published — see lake/txn.py
+        self._txn_collector = None
 
     # ------------------------------------------------------------- lifecycle
 
@@ -554,7 +557,28 @@ class LakeTable:
         under that lease — required on stores whose exclusive create is
         check-then-act (the head re-check inside the lease then
         arbitrates; see lake/lock.py).
+
+        Inside a multi-table transaction (lake/txn.py) the commit is
+        STAGED instead: the manifest is appended to the transaction's
+        collected group (published atomically with the other members at
+        the transaction's single commit point) and the in-memory handle
+        advances so later ops in the same transaction build on it. The
+        coordinator already holds the group mutex, so no per-table lock
+        is taken.
         """
+        if self._txn_collector is not None:
+            head, _ = LakeTable._head(self._fs, self.root)
+            staged_ahead = sum(
+                1 for root, _m in self._txn_collector if root == self.root
+            )
+            if head + staged_ahead != self.manifest["snapshot_id"]:
+                raise CommitConflict(
+                    f"table advanced to snapshot {head} under a transaction "
+                    f"(we hold {self.manifest['snapshot_id']})"
+                )
+            self._txn_collector.append((self.root, new_manifest))
+            self.manifest = new_manifest
+            return self
         if self.lock is not None:
             token = self.lock.acquire("commit")
             try:
