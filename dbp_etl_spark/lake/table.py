@@ -1144,6 +1144,69 @@ class LakeTable:
         agg = df.agg(F.sum(row_hash).alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
         return f"{agg['n']}:{agg['h']}"
 
+    def rollback_to(self, snapshot_id: int, batch_id=None) -> "LakeTable":
+        """Restore the table's LOGICAL state to ``snapshot_id`` as a
+        new commit (Iceberg rollback semantics: history moves forward,
+        nothing is rewritten — the new manifest re-references the
+        target snapshot's files).
+
+        "Logical state" includes the batch ledger and its pruning
+        watermarks: they revert to the target's, so change batches the
+        rollback undid RE-APPLY when the tail replays them — rollback +
+        resume-from-the-log is the recovery path for a bad batch that
+        the drift guard (cdc/runner.py DriftError) stopped the tail
+        for. The reference's analog is restoring the pre-load DB state
+        and re-running the load (its transactional apply,
+        /root/reference/load/SQLBatchExec.py:58-99, rolls back a
+        failed batch the same way).
+
+        File safety: the target must be ≥ ``min_retained_snapshot``
+        (SnapshotExpired otherwise), and every retained manifest's
+        files survive ``expire_snapshots`` by reference, so the
+        re-referenced files are guaranteed present. Schema reverts to
+        the target's version as well; versions added after the target
+        stay in the manifest's schema map and are simply inactive.
+
+        Metadata-only: cost is one manifest write, independent of
+        table size. Idempotent under ``batch_id`` like any commit.
+        """
+        if snapshot_id > self.snapshot_id:
+            raise ValueError(
+                f"cannot roll forward: target {snapshot_id} is beyond head "
+                f"{self.snapshot_id}"
+            )
+        if snapshot_id < self.min_retained_snapshot:
+            raise SnapshotExpired(
+                f"snapshot {snapshot_id} expired (oldest retained: "
+                f"{self.min_retained_snapshot})"
+            )
+        # default id is scoped to the CURRENT head: replaying the same
+        # rollback no-ops, but rolling back to the same target again
+        # from a later head is a fresh (correct) commit
+        bid = (
+            batch_id
+            if batch_id is not None
+            else f"rollback-to-{snapshot_id}-from-{self.snapshot_id}"
+        )
+        if self.is_committed(bid) or snapshot_id == self.snapshot_id:
+            return self
+        old = json.loads(
+            self._fs.read_text(os.path.join(self.root, _META, f"v{snapshot_id}.json"))
+        )
+        snap_id = self.snapshot_id + 1
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = snap_id
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["files"] = old["files"]
+        new_manifest["schema_version"] = old["schema_version"]
+        ledger = dict(old["committed_batches"])
+        ledger[str(bid)] = {"snapshot_id": snap_id}
+        new_manifest["committed_batches"] = ledger
+        if "ledger_watermarks" in old or "ledger_watermarks" in new_manifest:
+            new_manifest["ledger_watermarks"] = old.get("ledger_watermarks") or {}
+        new_manifest["summary"] = {"rollback_to": snapshot_id}
+        return self._commit(new_manifest)
+
     def history(self) -> list[dict]:
         out = []
         meta = os.path.join(self.root, _META)
