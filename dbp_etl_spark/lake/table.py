@@ -893,6 +893,59 @@ class LakeTable:
             rows, targets, batch_id, summary={"compacted_buckets": targets}
         )
 
+    def rebucket(self, new_num_buckets: int, batch_id) -> "LakeTable":
+        """Change the table's bucket count — layout evolution for a
+        table that outgrew its create-time ``num_buckets``.
+
+        At the design point this matters: a table created with 32
+        buckets at 10^8 rows holds multi-GB buckets at 10^10 — every
+        MERGE then rewrites huge files for a handful of changed rows.
+        Rebucketing to, say, 1024 restores small copy-on-write units
+        and finer file pruning.
+
+        One full rewrite (read everything including tombstones —
+        late-event suppression survives — reshuffle by the NEW bucket
+        function, one atomic commit that also flips ``num_buckets``).
+        Content is unchanged: state_hash before == after (tested), and
+        every subsequent read/MERGE prunes with the new function.
+        Ledger-keyed: a crashed rebucket replays as a no-op.
+
+        Scale note: the rewrite is O(table) once, amortized against
+        every future merge's pruning gain. For online/incremental
+        evolution, growing by an integer factor k (B → k·B with
+        pmod(hash, B) buckets) makes old bucket ``b`` exactly the
+        union of new buckets ``{b + i·B}`` — a dual-spec reader could
+        then migrate bucket-by-bucket; this one-shot API is the
+        simple, always-correct form of the same move.
+        """
+        if new_num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if new_num_buckets == self.num_buckets or self.is_committed(batch_id):
+            return self
+        snap_id = self.snapshot_id + 1
+        new_bucket = F.pmod(F.xxhash64(F.col(self.key)), F.lit(new_num_buckets)).cast(
+            "int"
+        )
+        rows = (
+            self.read(include_deleted=True)
+            .withColumn("_bucket", new_bucket)
+            .repartition("_bucket")
+        )
+        ver = self.manifest["schema_version"]
+        new_files = self._write_data(rows, snap_id, ver, pre_partitioned=True)
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = snap_id
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["num_buckets"] = new_num_buckets
+        new_manifest["files"] = new_files
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(batch_id)] = {"snapshot_id": snap_id}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = {
+            "rebucket": {"from": self.num_buckets, "to": new_num_buckets}
+        }
+        return self._commit(new_manifest)
+
     def vacuum_tombstones(self, older_than_ts, batch_id) -> "LakeTable":
         """Drop tombstone rows whose warc_ts < older_than_ts (the
         late-event watermark): once no event older than the watermark
