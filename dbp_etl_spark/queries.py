@@ -2515,3 +2515,80 @@ def incremental_rollup_maintain(spark, sf_dir):
     roll.source = t
     roll.refresh()
     return roll.read().select("lang", "n", F.round("total", 4).alias("total"))
+
+
+@q(
+    "rollback_replay_converges",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val
+    FROM ranked WHERE rn = 1
+    """,
+)
+def rollback_replay_converges(spark, sf_dir):
+    """Bad-batch recovery END-TO-END (reference transactional rollback,
+    /root/reference/load/SQLBatchExec.py:58-99): apply the pre-cutoff
+    log, remember the good snapshot, apply the post-cutoff batch, ROLL
+    BACK to the good snapshot (metadata-only, forward history), then
+    re-apply the same post-cutoff batch from the log — the reverted
+    ledger must let it re-apply (not no-op) and the final state must
+    equal the never-rolled-back outcome. The oracle is the plain
+    latest-state fold over the whole log."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    cutoff = "2024-01-30 12:00:00"
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+                F.col("ts").alias("warc_ts"),
+                F.round("value", 2).alias("val"),
+            )
+        )
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="rollback_q_")
+    t = LakeTable.create(spark, f"{root}/t", schema, key="url", num_buckets=8)
+
+    pre = latest(ev.filter(F.col("ts") < cutoff))
+    t = t.append(pre, batch_id="w1")
+    good = t.snapshot_id
+
+    # the post-cutoff "batch": a full-state refresh (tombstone the old
+    # rows, append the new latest-per-key state) — two ledgered commits
+    # that must BOTH revert with the rollback and re-apply on replay
+    post = latest(ev)  # whole-log latest = the target end state
+
+    def apply_post(tbl, tag):
+        tbl = tbl.delete_where(F.col("url").isNotNull(), batch_id=f"{tag}-del")
+        return tbl.append(post, batch_id=f"{tag}-add")
+
+    t = apply_post(t, "w2")
+    t = t.rollback_to(good)  # suspicious batch undone…
+    assert not t.is_committed("w2-add")  # …and its ledger entries reverted
+    t = apply_post(t, "w2")  # …log replay re-applies it
+    return t.read().select(
+        "url", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"), "val"
+    )
