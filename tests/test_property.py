@@ -156,3 +156,45 @@ def test_retention_invariance_fuzzed(spark, tmp_path):
         rep = CDCRunner(te).run(df)
         assert rep.n_skipped == rep.n_batches, f"case {idx}: pruned replay re-applied"
         assert te.refresh().state_hash() == h, f"case {idx}: replay mutated state"
+
+
+def test_rollback_replay_invariance_fuzzed(spark, tmp_path):
+    """Rollback theorem, fuzzed: for randomized logs, rolling back to
+    ANY intermediate snapshot and replaying the full log converges to
+    the never-rolled-back state — the reverted ledger re-applies
+    exactly the undone batches (earlier ones still no-op)."""
+    import random
+
+    rnd = random.Random(77)
+    for idx, (events, bounds) in enumerate(_mk_events()[:4]):
+        rows = []
+        for pos, (url, ts, payload, op) in enumerate(events):
+            b = sum(1 for x in bounds if x <= pos)
+            rows.append((url, ts, payload, op, b))
+        df = spark.createDataFrame(
+            rows, "url string, ts long, html binary, op string, batch_id long"
+        ).select(
+            "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "batch_id"
+        )
+        n_batches = len(bounds) + 1
+        j = rnd.randint(0, n_batches - 1)
+
+        ref = LakeTable.create(
+            spark, str(tmp_path / f"ref{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
+        CDCRunner(ref, salt_buckets=4).run(df)
+        want = ref.refresh().state_hash()
+
+        t = LakeTable.create(
+            spark, str(tmp_path / f"rb{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
+        )
+        CDCRunner(t, salt_buckets=4).run(df.filter(F.col("batch_id") <= j))
+        t = t.refresh()
+        good = t.snapshot_id
+        if j < n_batches - 1:
+            CDCRunner(t, salt_buckets=4).run(df.filter(F.col("batch_id") > j))
+            t = t.refresh()
+        t = t.rollback_to(good)
+        rep = CDCRunner(t, salt_buckets=4).run(df)
+        assert rep.n_skipped == j + 1, f"case {idx}: pre-rollback batches must no-op"
+        assert t.refresh().state_hash() == want, f"case {idx}: rollback+replay diverged"
