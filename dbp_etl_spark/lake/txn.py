@@ -116,6 +116,13 @@ class TxnCoordinator:
     coordinated world with ``table.lock = coord.table_lock()`` (single-
     table commits then serialize with transactions and trigger
     recovery); tables written ONLY inside transactions need no setup.
+
+    The coordinator's ``fs`` must reach every member table's root
+    (finalize/recovery write table manifests through it) — i.e. the
+    group lives on ONE store: pass ``fs_for(root, spark)`` when the
+    tables are on hdfs://-style URIs, the default LocalFS for plain
+    paths. Cross-store transaction groups are out of scope, as they
+    are for every single-catalog lakehouse.
     """
 
     def __init__(self, root: str, fs: Filesystem | None = None, ttl_sec: float = 600.0):
