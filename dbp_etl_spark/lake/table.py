@@ -261,14 +261,22 @@ class LakeTable:
         buckets: list[int] | None = None,
         snapshot_id: int | None = None,
         include_deleted: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read current (or time-travel) state, optionally pruned to buckets.
+
+        ``tag``: read the named snapshot (see ``tag_snapshot``) —
+        mutually exclusive with ``snapshot_id``.
 
         Bucket pruning is file-level: only manifest entries whose bucket
         is in ``buckets`` are scanned — the Iceberg-partition-pruning
         analog of the reference's keyed state reads
         (/root/reference/load/UpdateDBPFilesetTables.py:234-242).
         """
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or tag, not both")
+            snapshot_id = self.resolve_tag(tag)
         manifest = self.manifest
         if snapshot_id is not None and snapshot_id != manifest["snapshot_id"]:
             if snapshot_id < self.min_retained_snapshot:
@@ -1005,7 +1013,13 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         head = self.snapshot_id
-        min_retained = max(self.min_retained_snapshot, head - keep_last + 1)
+        desired = head - keep_last + 1
+        tags = self.manifest.get("tags") or {}
+        if tags:
+            # tags pin retention: the horizon stays contiguous, so it
+            # cannot advance past the oldest tagged snapshot
+            desired = min(desired, min(tags.values()))
+        min_retained = max(self.min_retained_snapshot, desired)
         meta = os.path.join(self.root, _META)
 
         ledger: dict = {}
@@ -1196,6 +1210,79 @@ class LakeTable:
         row_hash = F.xxhash64(*cols).cast("decimal(38,0)")
         agg = df.agg(F.sum(row_hash).alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
         return f"{agg['n']}:{agg['h']}"
+
+    # ------------------------------------------------------------------ tags
+
+    @property
+    def tags(self) -> dict:
+        """name -> snapshot_id map of named snapshots (Iceberg tag
+        analog). Tags PIN retention: ``expire_snapshots`` never moves
+        the horizon past the oldest tagged snapshot (the horizon stays
+        contiguous, so a tag retains everything at-or-above it — drop
+        stale tags to release storage)."""
+        return dict(self.manifest.get("tags") or {})
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.manifest.get("tags") or {}
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} (have: {sorted(tags)})")
+        return tags[name]
+
+    def tag_snapshot(self, name: str, snapshot_id: int | None = None, batch_id=None) -> "LakeTable":
+        """Name a snapshot (default: the head) for stable time travel —
+        ``read(tag=name)`` — and as a retention pin (audit cuts,
+        release marks; the reference's analog is a dated LPTS metadata
+        extract kept for reproducibility). Metadata-only commit; a tag
+        name is immutable while it exists (untag first to move it)."""
+        snap = self.snapshot_id if snapshot_id is None else snapshot_id
+        if snap > self.snapshot_id:
+            raise ValueError(f"snapshot {snap} is beyond head {self.snapshot_id}")
+        if snap < self.min_retained_snapshot:
+            raise SnapshotExpired(
+                f"snapshot {snap} expired (oldest retained: "
+                f"{self.min_retained_snapshot})"
+            )
+        cur = self.manifest.get("tags") or {}
+        if name in cur:
+            # existing tag: "ensure tagged" (no explicit target, or the
+            # same target) is a no-op; MOVING a tag needs an untag first
+            if snapshot_id is None or cur[name] == snap:
+                return self
+            raise ValueError(
+                f"tag {name!r} already points at snapshot {cur[name]}; untag first"
+            )
+        bid = batch_id if batch_id is not None else f"tag-{name}-{snap}"
+        if self.is_committed(bid):
+            return self
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = self.snapshot_id + 1
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["tags"] = {**cur, name: snap}
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(bid)] = {"snapshot_id": new_manifest["snapshot_id"]}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = {"tag": {name: snap}}
+        return self._commit(new_manifest)
+
+    def untag_snapshot(self, name: str, batch_id=None) -> "LakeTable":
+        """Drop a tag (releases its retention pin). Unknown names are a
+        no-op, so replays and double-drops are harmless."""
+        cur = self.manifest.get("tags") or {}
+        if name not in cur:
+            return self
+        bid = batch_id if batch_id is not None else f"untag-{name}-{cur[name]}"
+        if self.is_committed(bid):
+            return self
+        new_tags = {k: v for k, v in cur.items() if k != name}
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = self.snapshot_id + 1
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["tags"] = new_tags
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(bid)] = {"snapshot_id": new_manifest["snapshot_id"]}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = {"untag": name}
+        return self._commit(new_manifest)
 
     def rollback_to(self, snapshot_id: int, batch_id=None) -> "LakeTable":
         """Restore the table's LOGICAL state to ``snapshot_id`` as a
