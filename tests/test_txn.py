@@ -199,3 +199,27 @@ def test_consistent_frontier_and_prune(spark, pair):
     recs = coord._records()
     assert len(recs) == 1
     assert coord.recover() == 0
+
+
+def test_write_audit_publish_pattern(spark, pair):
+    """WAP: inside a transaction the member handle reads its STAGED
+    state (data files exist, manifests unpublished) — an audit query
+    can inspect the would-be commit and abort it by raising; readers
+    elsewhere never see an unaudited row."""
+    a, b, coord = pair
+
+    def load_and_audit(min_rows):
+        with coord.transaction([a]) as txn:
+            (ta,) = txn.tables
+            ta.append(mk_rows(spark, 3, tag="cand"), batch_id=f"wap-{min_rows}")
+            staged_count = ta.read().count()  # audit sees the staged state
+            assert LakeTable.load(spark, a.root).read().count() == 0  # others do not (pre-publish)
+            if staged_count < min_rows:
+                raise ValueError(f"audit failed: {staged_count} < {min_rows}")
+
+    with pytest.raises(TxnAborted, match="audit failed"):
+        load_and_audit(min_rows=10)
+    assert a.refresh().read().count() == 0  # aborted: nothing published
+
+    load_and_audit(min_rows=3)  # audit passes -> published
+    assert a.refresh().read().count() == 3
