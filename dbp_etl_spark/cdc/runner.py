@@ -296,6 +296,10 @@ class CDCRunner:
                 fresh = self.table.refresh()
                 fresh.lock = self.table.lock
                 fresh._fs = self.table._fs
+                # inside a multi-table transaction the staged-commit
+                # collector MUST survive the refresh — losing it would
+                # publish the retried merge outside the transaction
+                fresh._txn_collector = self.table._txn_collector
                 self.table = fresh
 
     @staticmethod

@@ -1012,6 +1012,11 @@ class LakeTable:
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if self._txn_collector is not None:
+            # retention deletes files/manifests IMMEDIATELY; staging its
+            # commit while physically deleting would destroy history the
+            # transaction might still abort back to
+            raise RuntimeError("expire_snapshots cannot run inside a transaction")
         head = self.snapshot_id
         desired = head - keep_last + 1
         tags = self.manifest.get("tags") or {}

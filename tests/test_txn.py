@@ -223,3 +223,31 @@ def test_write_audit_publish_pattern(spark, pair):
 
     load_and_audit(min_rows=3)  # audit passes -> published
     assert a.refresh().read().count() == 3
+
+
+def test_cdc_runner_inside_txn(spark, pair):
+    """The full CDCRunner (discovery, dedup, side outputs, retry
+    machinery) stages inside a transaction: its merge to table A and a
+    bulk append to table B publish atomically, and retention is
+    refused while staged (its physical deletes cannot abort)."""
+    from dbp_etl_spark.cdc import CDCRunner
+
+    a, b, coord = pair
+    log = mk_rows(spark, 8).withColumn("op", F.lit("insert")).withColumn(
+        "batch_id", F.lit(0).cast("long")
+    )
+    with pytest.raises(TxnAborted, match="inside a transaction"):
+        with coord.transaction([a, b]) as txn:
+            ta, tb = txn.tables
+            CDCRunner(ta, salt_buckets=4, retry_conflicts=2).run(log)
+            ta.expire_snapshots(keep_last=1)  # refused → aborts the group
+    # the expire refusal aborted the WHOLE group — atomicity holds
+    assert (a.refresh().snapshot_id, b.refresh().snapshot_id) == (0, 0)
+
+    with coord.transaction([a, b]) as txn:
+        ta, tb = txn.tables
+        CDCRunner(ta, salt_buckets=4, retry_conflicts=2).run(log)
+        tb.append(mk_rows(spark, 2, tag="s"), batch_id="side")
+    a2, b2 = a.refresh(), b.refresh()
+    assert a2.read().count() == 8 and b2.read().count() == 2
+    assert a2.is_committed(0) and b2.is_committed("side")
