@@ -126,18 +126,26 @@ def fold_patch_events(
     batch-split invariance guarantee extends to patches:
 
     * the latest full event per key wins (standard dedup order);
-    * patches STRICTLY newer than it overlay column-wise, oldest first,
-      each column taking the last non-null value (a patch never beats
-      an equal-ts full event — and applied per-event, an equal-ts patch
-      would no-op against the applied row);
+    * patches STRICTLY newer than it are folded into a PATCH PART that
+      rides NEXT TO the full event (columns ``_p_ts`` = last patch ts,
+      and per payload column ``_pts_{c}``/``_pv_{c}`` = the ts/value of
+      the last patch touching that column). The fold must NOT compose
+      the patch values into the full event's columns: whether the full
+      event (or any individual patch) is LATE is only decidable
+      against TABLE STATE inside the merge ladder — a batch that holds
+      a late full event plus a newer patch would otherwise resurrect
+      the stale full payload (or lose the patch when the winner is a
+      late delete). The ladder resolves the full part first, then
+      overlays each patch column iff ITS patch ts beats the resolved
+      row's ts (merge.py, patch overlay);
     * among patches tying on (key, ts), exactly one survives — earliest
       batch, then the dedup total-order hash — matching what per-event
       apply yields (the second equal-ts patch no-ops against state);
-    * a patch folded onto a delete winner is dropped (patching a dead
-      row is a no-op; a patch never resurrects);
-    * keys with only patches emit a single folded op='patch' event for
-      the merge ladder to apply against table state (target absent →
-      dropped there too).
+    * a delete winner KEEPS its patch part: if the delete applies, the
+      ladder discards the patches (never resurrect); if the delete is
+      late, the patches may still legitimately apply to the live row;
+    * keys with only patches emit op='patch' with the same patch-part
+      columns (target absent → dropped in the ladder too).
 
     Physical shape: everything is keyed by ``key`` — two window passes
     over the (small) patch subset plus one join against the full-event
@@ -164,11 +172,24 @@ def fold_patch_events(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wr = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    # per column: the LAST patch touching it, carried as (ts, value) so
+    # the ladder can late-check each column independently
     folded = (
         p1.select(
             F.col(key),
             F.col(ts_col),
-            *[F.last(c, ignorenulls=True).over(wf).alias(c) for c in payload_cols],
+            *[
+                F.last(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(F.col(ts_col).alias("t"), F.col(c).alias("v")),
+                    ),
+                    ignorenulls=True,
+                )
+                .over(wf)
+                .alias(f"_pp_{c}")
+                for c in payload_cols
+            ],
         )
         .withColumn("_fp_rn", F.row_number().over(wr))
         .filter(F.col("_fp_rn") == 1)
@@ -184,25 +205,19 @@ def fold_patch_events(
     p = folded.select(
         F.col(key),
         F.col(ts_col).alias("_p_ts"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        *[F.col(f"_pp_{c}")["t"].alias(f"_pts_{c}") for c in payload_cols],
+        *[F.col(f"_pp_{c}")["v"].alias(f"_pv_{c}") for c in payload_cols],
     )
     j = f.join(p, key, "full_outer")
     has_f = F.col("_f_ts").isNotNull()
-    has_p = F.col("_p_ts").isNotNull()
-    # full winner is a delete -> patches dropped; else compose (patch
-    # values overlay, ts advances to the last applied patch's)
-    compose = has_f & has_p & (F.col("_f_op") != "delete")
-    out_ts = F.when(compose, F.col("_p_ts")).when(has_f, F.col("_f_ts")).otherwise(
-        F.col("_p_ts")
-    )
+    out_ts = F.when(has_f, F.col("_f_ts")).otherwise(F.col("_p_ts"))
     out_op = F.when(has_f, F.col("_f_op")).otherwise(F.lit("patch"))
-    out_payloads = [
-        F.when(compose, F.coalesce(F.col(f"_p_{c}"), F.col(f"_f_{c}")))
-        .when(has_f, F.col(f"_f_{c}"))
-        .otherwise(F.col(f"_p_{c}"))
-        .alias(c)
-        for c in payload_cols
-    ]
     return j.select(
-        F.col(key), out_ts.alias(ts_col), out_op.alias(op_col), *out_payloads
+        F.col(key),
+        out_ts.alias(ts_col),
+        out_op.alias(op_col),
+        *[F.col(f"_f_{c}").alias(c) for c in payload_cols],
+        F.col("_p_ts"),
+        *[F.col(f"_pts_{c}") for c in payload_cols],
+        *[F.col(f"_pv_{c}") for c in payload_cols],
     )

@@ -240,12 +240,23 @@ def merge_batch(
 
     tgt = table.read(buckets=cand, include_deleted=True)
 
+    patch_part_cols = ["html", *extra_cols] if patch_ops else []
     s = src.select(
         F.col(key),
         F.col("warc_ts").alias("_s_ts"),
         F.col("html").alias("_s_html"),
         F.col("op").alias("_s_op"),
         *[F.col(c).alias(f"_s_{c}") for c in extra_cols],
+        # patch part (fold_patch_events): last patch ts overall + the
+        # (ts, value) of the last patch touching each payload column —
+        # resolved against table state in the ladder/overlay below
+        *(
+            [F.col("_p_ts").alias("_s_p_ts")]
+            + [F.col(f"_pts_{c}").alias(f"_s_pts_{c}") for c in patch_part_cols]
+            + [F.col(f"_pv_{c}").alias(f"_s_pv_{c}") for c in patch_part_cols]
+            if patch_ops
+            else []
+        ),
     )
     t = tgt.select(
         F.col(key),
@@ -285,7 +296,29 @@ def merge_batch(
         )  # equal-ts deterministic loser (mirrors dedup tiebreak)
         .otherwise(F.lit("update"))
     )
+    if patch_ops:
+        # patch overlay on a FULL event that resolved late/noop against
+        # a live target: the full part lost, but patches strictly newer
+        # than the target row still apply (exactly what per-event apply
+        # would do) — upgrade to a patch action. Deletes that applied
+        # (i.e. the row is now dead) never take patches; a LATE delete
+        # resolves to 'late' and lands here like any late full event.
+        overlay_late = (
+            F.col("_s_p_ts").isNotNull()
+            & F.col("_t_warc_ts").isNotNull()
+            & ~t_dead
+            & (F.col("_s_p_ts") > F.col("_t_warc_ts"))
+        )
+        action = F.when(
+            overlay_late & action.isin("late", "noop"), F.lit("patch")
+        ).otherwise(action)
     j = j.withColumn("_action", action).withColumn("_b", table.bucket_expr(key))
+
+    # watermark instant of an event: its patch part's ts when present
+    # (greatest ignores the NULL side), else the full event's ts
+    _evt_ts = (
+        F.greatest(F.col("_s_ts"), F.col("_s_p_ts")) if patch_ops else F.col("_s_ts")
+    )
 
     obs = None
     counts: dict[str, int] = {}
@@ -300,7 +333,7 @@ def merge_batch(
         )
         obs_aggs = [
             F.count(F.when(F.col("_action") == a, 1)).alias(a) for a in obs_actions
-        ] + [F.max("_s_ts").alias("max_ts")]
+        ] + [F.max(_evt_ts).alias("max_ts")]
         j = j.observe(obs, *obs_aggs)
     # persisted in both modes: the write job scans j in three branches
     # (carried / tombstones / changed) — the cache populates on first
@@ -311,7 +344,7 @@ def merge_batch(
         if lineage == "per_bucket":
             per_bucket = (
                 j.groupBy("_b", "_action")
-                .agg(F.count(F.lit(1)).alias("n"), F.max("_s_ts").alias("max_ts"))
+                .agg(F.count(F.lit(1)).alias("n"), F.max(_evt_ts).alias("max_ts"))
                 .collect()
             )
             _mark("join+action-agg")
@@ -390,14 +423,32 @@ def merge_batch(
             ],
         )
 
-        # patch rows take coalesce(patch value, current value) per
-        # payload column (NULL = unchanged); full rows take the event's
-        # value wholesale (an explicit NULL stays NULL)
+        # Patch overlay, per column: a column takes its patch value iff
+        # THAT column's last patch is strictly newer than the resolved
+        # base row — the base is the target for 'patch' actions (full
+        # part lost or absent) and the fresh full value for
+        # insert/update (every folded patch is newer than the full
+        # winner by construction). A column whose last patch is late
+        # keeps the base value; full rows take the event's value
+        # wholesale (an explicit NULL stays NULL).
         patch_here = F.col("_action") == "patch" if patch_ops else F.lit(False)
-        new_html = (
-            F.when(patch_here, F.coalesce(F.col("_s_html"), F.col("_t_html"))).otherwise(
-                F.col("_s_html")
+        full_with_pp = (
+            F.col("_s_p_ts").isNotNull() & F.col("_action").isin("insert", "update")
+            if patch_ops
+            else F.lit(False)
+        )
+
+        def _overlaid(c: str, base_full: Column, base_tgt: Column) -> Column:
+            pv, pt = F.col(f"_s_pv_{c}"), F.col(f"_s_pts_{c}")
+            return (
+                F.when(patch_here & pt.isNotNull() & (pt > F.col("_t_warc_ts")), pv)
+                .when(patch_here, base_tgt)
+                .when(full_with_pp & pt.isNotNull(), pv)
+                .otherwise(base_full)
             )
+
+        new_html = (
+            _overlaid("html", F.col("_s_html"), F.col("_t_html"))
             if patch_ops
             else F.col("_s_html")
         )
@@ -405,17 +456,26 @@ def merge_batch(
         def _new_payload(c: str) -> Column:
             src_c = F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
             if patch_ops and c in extra_cols:
-                return F.when(
-                    patch_here, F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}"))
-                ).otherwise(src_c)
+                return _overlaid(c, F.col(f"_s_{c}"), F.col(f"_t_{c}"))
             return src_c
+
+        # event time of the written row: the last patch's ts whenever a
+        # patch part rode along (it is the newest applied instant)
+        new_ts = (
+            F.when(
+                (patch_here | full_with_pp) & F.col("_s_p_ts").isNotNull(),
+                F.col("_s_p_ts"),
+            ).otherwise(F.col("_s_ts"))
+            if patch_ops
+            else F.col("_s_ts")
+        )
 
         changed = in_dirty.filter(
             F.col("_action").isin("insert", "update", "patch")
         ).select(
             F.col(key),
             F.col("_b").alias("_bucket"),
-            F.col("_s_ts").alias("warc_ts"),
+            new_ts.alias("warc_ts"),
             new_html.alias("html"),
             (~new_html.eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
             F.col("_t_text").alias("_old_text"),

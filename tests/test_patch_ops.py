@@ -151,3 +151,107 @@ def test_patch_lineage_reconciles(spark, tmp_path):
     assert chk["lineage_ledger_mismatch"] == 0
     acts = {x["action"] for x in r.lineage().collect()}
     assert "patch" in acts
+
+
+def test_late_full_event_with_newer_patch_in_same_batch(spark, tmp_path):
+    """A batch holding a LATE full update plus a newer patch must not
+    resurrect the stale full payload: the full part loses to table
+    state, the patch still applies column-wise. Per-batch, one-batch
+    and fused applies all agree (review r4 finding #1)."""
+
+    def run(split):
+        t = mk_table(spark, tmp_path / f"s{split}")
+        r = CDCRunner(t, patch_ops=True)
+        seed = [("u1", 200, b"<p>current</p>", 2.0, "insert", 0)]
+        mix = [
+            ("u1", 150, b"<p>stale</p>", 3.0, "update", 1),  # late vs table
+            ("u1", 300, None, 9.0, "patch", 2),  # applies
+        ]
+        if split == "per_batch":
+            for i, ev in enumerate(seed + mix):
+                r.run(pev(spark, [ev]))
+        elif split == "fused":
+            r.run(pev(spark, seed + mix), fuse=3)
+        else:  # seed, then one mixed batch
+            r.run(pev(spark, seed))
+            r.run(pev(spark, [(u, ts, h, sc, op, 1) for (u, ts, h, sc, op, _b) in mix]))
+        return state(t)
+
+    expect = {"u1": ("current", 9.0, 300.0)}  # html kept, score patched
+    assert run("mixed") == expect
+    assert run("per_batch") == expect
+    assert run("fused") == expect
+
+
+def test_late_delete_with_newer_patch_in_same_batch(spark, tmp_path):
+    """A late delete in the same batch as a newer patch: the delete is
+    a no-op, the patch must still apply (old compose dropped it)."""
+
+    def run(tag, as_one):
+        t = mk_table(spark, tmp_path / tag)
+        r = CDCRunner(t, patch_ops=True)
+        r.run(pev(spark, [("u1", 200, b"<p>keep</p>", 1.0, "insert", 0)]))
+        mix = [
+            ("u1", 150, None, None, "delete", 1),  # late: no-op
+            ("u1", 300, None, 8.0, "patch", 1 if as_one else 2),
+        ]
+        if as_one:
+            r.run(pev(spark, mix))
+        else:
+            for ev in mix:
+                r.run(pev(spark, [ev]))
+        return state(t)
+
+    expect = {"u1": ("keep", 8.0, 300.0)}
+    assert run("one", True) == expect
+    assert run("per", False) == expect
+
+
+def test_applied_delete_still_discards_patches(spark, tmp_path):
+    """A delete that APPLIES (newer than the row) kills same-batch
+    patches that are newer than the delete — a patch never resurrects."""
+    t = mk_table(spark, tmp_path)
+    r = CDCRunner(t, patch_ops=True)
+    r.run(pev(spark, [("u1", 100, b"<p>a</p>", 1.0, "insert", 0)]))
+    r.run(
+        pev(
+            spark,
+            [
+                ("u1", 200, None, None, "delete", 1),
+                ("u1", 300, None, 9.0, "patch", 1),
+            ],
+        )
+    )
+    assert t.read().filter("url = 'u1'").count() == 0
+    # the tombstone sits at the DELETE's ts (200), NOT the discarded
+    # patch's (300): an event at 150 stays suppressed, one at 250
+    # legitimately resurrects
+    r.run(pev(spark, [("u1", 150, b"<p>older</p>", 1.0, "update", 2)]))
+    assert t.read().filter("url = 'u1'").count() == 0
+    r.run(pev(spark, [("u1", 250, b"<p>back</p>", 1.0, "update", 3)]))
+    assert state(t)["u1"] == ("back", 1.0, 250.0)
+
+
+def test_per_column_patch_lateness(spark, tmp_path):
+    """Patches straddling the table row's ts apply PER COLUMN: a folded
+    patch pair (score@150, html@300) against a row@200 must take only
+    the html — folding both to ts300 would smuggle in the late score."""
+
+    def run(tag, as_one):
+        t = mk_table(spark, tmp_path / tag)
+        r = CDCRunner(t, patch_ops=True)
+        r.run(pev(spark, [("u1", 200, b"<p>row</p>", 5.0, "insert", 0)]))
+        mix = [
+            ("u1", 150, None, 7.7, "patch", 1),  # late for score
+            ("u1", 300, b"<p>new</p>", None, "patch", 1 if as_one else 2),
+        ]
+        if as_one:
+            r.run(pev(spark, mix))
+        else:
+            for ev in mix:
+                r.run(pev(spark, [ev]))
+        return state(t)
+
+    expect = {"u1": ("new", 5.0, 300.0)}  # score keeps table value
+    assert run("one", True) == expect
+    assert run("per", False) == expect
