@@ -1344,6 +1344,10 @@ class LakeTable:
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["files"] = old["files"]
         new_manifest["schema_version"] = old["schema_version"]
+        # layout is part of the restored state: the target's files carry
+        # bucket ids assigned under ITS bucket function — pairing them
+        # with a later rebucket's count would corrupt pruning and merges
+        new_manifest["num_buckets"] = old["num_buckets"]
         ledger = dict(old["committed_batches"])
         ledger[str(bid)] = {"snapshot_id": snap_id}
         new_manifest["committed_batches"] = ledger

@@ -117,3 +117,41 @@ def test_rollback_reverts_schema(spark, table):
     # the later schema version stays registered; re-adding works fresh
     t = t.add_column("rating", "double")
     assert "rating" in t.read().columns
+
+
+def test_rollback_across_rebucket_restores_layout(spark, table):
+    """Rolling back across a rebucket must restore num_buckets with the
+    files: old-layout files under the new bucket function would break
+    pruned reads and make merges treat live keys as absent (review r4
+    finding #2)."""
+    from dbp_etl_spark.cdc import CDCRunner
+
+    t = table
+    CDCRunner(t, salt_buckets=4).run(
+        mk_rows(spark, 40)
+        .withColumn("op", F.lit("insert"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+    )
+    t = t.refresh()
+    s1 = t.snapshot_id
+    t = t.rebucket(16, batch_id="grow")
+    t = t.rollback_to(s1)
+    assert t.num_buckets == 4
+    # a keyed merge after the rollback still finds its target (no
+    # duplicate insert) and updates in place
+    up = spark.createDataFrame(
+        [("https://h.example/p1", 1900000000, b"<p>upd</p>", "update")],
+        "url string, ts long, html binary, op string",
+    ).select(
+        "url",
+        F.timestamp_seconds("ts").alias("warc_ts"),
+        "html",
+        "op",
+        F.lit(9).cast("long").alias("batch_id"),
+    )
+    CDCRunner(t, salt_buckets=4).run(up)
+    t = t.refresh()
+    rows = t.read().filter(F.col("url") == "https://h.example/p1").collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["html"]) == b"<p>upd</p>"
+    assert t.read().count() == 40
