@@ -1256,7 +1256,14 @@ class LakeTable:
             raise ValueError(
                 f"tag {name!r} already points at snapshot {cur[name]}; untag first"
             )
-        bid = batch_id if batch_id is not None else f"tag-{name}-{snap}"
+        # the default replay id is scoped to the CURRENT head: a
+        # create→untag→recreate sequence must not collide with the
+        # first create's ledger entry and silently skip the re-pin
+        bid = (
+            batch_id
+            if batch_id is not None
+            else f"tag-{name}-{snap}-at-{self.snapshot_id}"
+        )
         if self.is_committed(bid):
             return self
         new_manifest = dict(self.manifest)
@@ -1275,7 +1282,11 @@ class LakeTable:
         cur = self.manifest.get("tags") or {}
         if name not in cur:
             return self
-        bid = batch_id if batch_id is not None else f"untag-{name}-{cur[name]}"
+        bid = (
+            batch_id
+            if batch_id is not None
+            else f"untag-{name}-{cur[name]}-at-{self.snapshot_id}"
+        )
         if self.is_committed(bid):
             return self
         new_tags = {k: v for k, v in cur.items() if k != name}

@@ -97,3 +97,21 @@ def test_tag_expired_snapshot_refused(spark, table):
         t.tag_snapshot("too-late", snapshot_id=old)
     with pytest.raises(ValueError, match="beyond head"):
         t.tag_snapshot("future", snapshot_id=t.snapshot_id + 5)
+
+
+def test_retag_after_untag_actually_pins(spark, table):
+    """create -> untag -> re-create at the SAME snapshot must create a
+    real tag (the first create's ledger entry must not swallow the
+    replay — review r4 finding #3), and the retention pin must hold."""
+    t = table.append(mk_rows(spark, 4), batch_id="b1")
+    target = t.snapshot_id
+    t = t.tag_snapshot("audit", snapshot_id=target)
+    t = t.untag_snapshot("audit")
+    assert t.tags == {}
+    t = t.tag_snapshot("audit", snapshot_id=target)  # re-pin
+    assert t.tags == {"audit": target}
+    for i in range(3):
+        t = t.append(mk_rows(spark, 1, base=30 + i), batch_id=f"b{i + 2}")
+    t.expire_snapshots(keep_last=1)
+    t = t.refresh()
+    assert t.read(tag="audit").count() == 4  # pin held
