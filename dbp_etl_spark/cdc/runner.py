@@ -291,15 +291,19 @@ class CDCRunner:
             try:
                 return apply_fn()
             except CommitConflict:
-                if attempt >= self.retry_conflicts:
+                # inside a multi-table transaction a conflict means the
+                # disk head moved under the coordinator lock (a writer
+                # not routed through it): the transaction's staged base
+                # is invalidated and NO refresh can mend it — a
+                # refreshed handle would either drop the staged commits
+                # (publishing outside the transaction) or fail the
+                # staged-head check forever. Fail fast; the transaction
+                # aborts as a whole and the caller re-runs it.
+                if attempt >= self.retry_conflicts or self.table._txn_collector is not None:
                     raise
                 fresh = self.table.refresh()
                 fresh.lock = self.table.lock
                 fresh._fs = self.table._fs
-                # inside a multi-table transaction the staged-commit
-                # collector MUST survive the refresh — losing it would
-                # publish the retried merge outside the transaction
-                fresh._txn_collector = self.table._txn_collector
                 self.table = fresh
 
     @staticmethod

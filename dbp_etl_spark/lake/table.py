@@ -480,15 +480,21 @@ class LakeTable:
         typed = j.withColumn("_change_type", change).filter(
             F.col("_change_type").isNotNull()
         )
-        feed = typed.select(F.col(key), *out_cols, "_change_type")
-        if include_pre:
-            pre = typed.filter(F.col("_change_type") == "update_post").select(
-                F.col(key),
-                *[F.col(f"_o_{c}").alias(c) for c in cols if c != key],
-                F.lit("update_pre").alias("_change_type"),
-            )
-            feed = feed.unionByName(pre)
-        return feed
+        if not include_pre:
+            return typed.select(F.col(key), *out_cols, "_change_type")
+        # single pass: the pre-image rides the same scan/join as the
+        # feed row (update rows inline to a post+pre pair) — a union of
+        # two branches over the join would scan both snapshots and run
+        # the diff TWICE per consumer (review r4 finding #6)
+        post_struct = F.struct(*out_cols, F.col("_change_type").alias("_change_type"))
+        pre_struct = F.struct(
+            *[F.col(f"_o_{c}").alias(c) for c in cols if c != key],
+            F.lit("update_pre").alias("_change_type"),
+        )
+        rows = F.when(
+            F.col("_change_type") == "update_post", F.array(post_struct, pre_struct)
+        ).otherwise(F.array(post_struct))
+        return typed.select(F.col(key), F.inline(rows))
 
     # ----------------------------------------------------------------- write
 

@@ -209,7 +209,7 @@ class TxnCoordinator:
             fresh = [t.refresh() for t in tables]
             handle = _TxnHandle(fresh)
             for t in fresh:
-                t.lock = None  # coordinator lock already held
+                t.lock = None  # coordinator lock already held for the body
                 t._txn_collector = handle.staged
             try:
                 yield handle
@@ -221,6 +221,11 @@ class TxnCoordinator:
             finally:
                 for t in fresh:
                     t._txn_collector = None
+                    # the yielded handles outlive the block as ordinary
+                    # member-table handles: route their future commits
+                    # through the coordinator mutex + recovery, or the
+                    # atomicity argument above stops holding for them
+                    t.lock = _CoordinatedLock(self)
             if handle.staged:
                 # fencing: confirm the lease immediately before the
                 # record create (the commit point), mirroring
