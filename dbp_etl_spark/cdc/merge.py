@@ -101,6 +101,96 @@ def split_deadletter(batch: DataFrame, patch_ops: bool = False) -> tuple[DataFra
     return valid, dead
 
 
+def _per_bucket_lineage(j: DataFrame, evt_ts: Column, dirty_actions: tuple):
+    """One aggregation pass over the joined changeset: per-bucket op
+    counts (lineage), total counts, watermark, and the dirty-bucket
+    set. Shared by the event-stream and snapshot-compare paths."""
+    counts: dict[str, int] = {}
+    lineage_rows: list[dict] = []
+    max_ts = None
+    per_bucket = (
+        j.groupBy("_b", "_action")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(evt_ts).alias("max_ts"))
+        .collect()
+    )
+    for r in per_bucket:
+        counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
+        lineage_rows.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
+        if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
+            max_ts = r["max_ts"]
+    dirty = sorted(
+        {r["bucket"] for r in lineage_rows if r["action"] in dirty_actions}
+    )
+    return counts, lineage_rows, max_ts, dirty
+
+
+def _assemble_new_state(
+    table: LakeTable,
+    in_dirty: DataFrame,
+    schema_names: list[str],
+    extra_cols: list[str],
+    transform,
+    n_part: int,
+    carried_actions: tuple,
+    tombstone_ts: Column,
+    changed_actions: tuple,
+    new_ts: Column,
+    new_html: Column,
+    new_payload,
+) -> DataFrame:
+    """Build the complete new contents of the dirty buckets from the
+    action-tagged join: carried rows by reference, ts-guarded
+    tombstones, and changed rows routed through the transform — all
+    clustered by _bucket BEFORE the Arrow UDF so its output pipelines
+    straight into the partitioned write (no post-UDF exchange). The
+    event-stream and snapshot-compare paths differ only in the
+    expressions they pass in (which actions carry, which instant
+    guards a tombstone, how a changed column resolves)."""
+    key = table.key
+    carried = in_dirty.filter(F.col("_action").isin(*carried_actions)).select(
+        F.col(key),
+        F.col("_b").alias("_bucket"),
+        *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key],
+    )
+    cur_struct = table.schema.to_struct()
+    tombstones = in_dirty.filter(F.col("_action") == "delete").select(
+        F.col(key),
+        F.col("_b").alias("_bucket"),
+        tombstone_ts.alias("warc_ts"),
+        F.lit(True).alias("_deleted"),
+        *[
+            F.lit(None).cast(cur_struct[c].dataType).alias(c)
+            for c in schema_names
+            if c not in (key, "warc_ts", "_deleted")
+        ],
+    )
+    changed = in_dirty.filter(F.col("_action").isin(*changed_actions)).select(
+        F.col(key),
+        F.col("_b").alias("_bucket"),
+        new_ts.alias("warc_ts"),
+        new_html.alias("html"),
+        (~new_html.eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
+        F.col("_t_text").alias("_old_text"),
+        F.col("_t_lang").alias("_old_lang"),
+        F.lit(False).alias("_deleted"),
+        *[
+            new_payload(c).alias(c)
+            for c in schema_names
+            if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
+        ],
+    )
+    changed = transform(changed.repartition(n_part, "_bucket")).select(
+        *schema_names, "_bucket"
+    )
+    out_cols = [*schema_names, "_bucket"]
+    return (
+        carried.select(*out_cols)
+        .unionByName(tombstones.select(*out_cols))
+        .repartition(n_part, "_bucket")
+        .unionByName(changed)
+    )
+
+
 def merge_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -342,24 +432,10 @@ def merge_batch(
     j = j.persist()
     try:
         if lineage == "per_bucket":
-            per_bucket = (
-                j.groupBy("_b", "_action")
-                .agg(F.count(F.lit(1)).alias("n"), F.max(_evt_ts).alias("max_ts"))
-                .collect()
+            counts, lineage_rows, max_ts, dirty = _per_bucket_lineage(
+                j, _evt_ts, ("insert", "update", "delete", "patch")
             )
             _mark("join+action-agg")
-            for r in per_bucket:
-                counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
-                lineage_rows.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
-                if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
-                    max_ts = r["max_ts"]
-            dirty = sorted(
-                {
-                    r["bucket"]
-                    for r in lineage_rows
-                    if r["action"] in ("insert", "update", "delete", "patch")
-                }
-            )
         else:
             dirty = list(cand)  # single-pass mode rewrites all candidates
 
@@ -401,26 +477,6 @@ def merge_batch(
         # thousands of tiny python tasks, so cap at 4x parallelism.
         n_part = max(
             1, min(len(dirty), 4 * table.spark.sparkContext.defaultParallelism)
-        )
-
-        carried = in_dirty.filter(F.col("_action").isin("keep", "late", "noop")).select(
-            F.col(key),
-            F.col("_b").alias("_bucket"),
-            *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key],
-        )
-
-        # delete -> ts-guarded tombstone row (all payload columns NULL)
-        cur_struct = table.schema.to_struct()
-        tombstones = in_dirty.filter(F.col("_action") == "delete").select(
-            F.col(key),
-            F.col("_b").alias("_bucket"),
-            F.col("_s_ts").alias("warc_ts"),
-            F.lit(True).alias("_deleted"),
-            *[
-                F.lit(None).cast(cur_struct[c].dataType).alias(c)
-                for c in schema_names
-                if c not in (key, "warc_ts", "_deleted")
-            ],
         )
 
         # Patch overlay, per column: a column takes its patch value iff
@@ -470,33 +526,19 @@ def merge_batch(
             else F.col("_s_ts")
         )
 
-        changed = in_dirty.filter(
-            F.col("_action").isin("insert", "update", "patch")
-        ).select(
-            F.col(key),
-            F.col("_b").alias("_bucket"),
-            new_ts.alias("warc_ts"),
-            new_html.alias("html"),
-            (~new_html.eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
-            F.col("_t_text").alias("_old_text"),
-            F.col("_t_lang").alias("_old_lang"),
-            F.lit(False).alias("_deleted"),
-            *[
-                _new_payload(c).alias(c)
-                for c in schema_names
-                if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
-            ],
-        )
-        changed = transform(changed.repartition(n_part, "_bucket")).select(
-            *schema_names, "_bucket"
-        )
-
-        out_cols = [*schema_names, "_bucket"]
-        new_state = (
-            carried.select(*out_cols)
-            .unionByName(tombstones.select(*out_cols))
-            .repartition(n_part, "_bucket")
-            .unionByName(changed)
+        new_state = _assemble_new_state(
+            table,
+            in_dirty,
+            schema_names,
+            extra_cols,
+            transform,
+            n_part,
+            carried_actions=("keep", "late", "noop"),
+            tombstone_ts=F.col("_s_ts"),
+            changed_actions=("insert", "update", "patch"),
+            new_ts=new_ts,
+            new_html=new_html,
+            new_payload=_new_payload,
         )
         observed: dict = {}
 
@@ -638,25 +680,8 @@ def snapshot_batch(
     )
     j = j.withColumn("_action", action).withColumn("_b", table.bucket_expr(key)).persist()
     try:
-        counts: dict[str, int] = {}
-        lineage_rows: list[dict] = []
-        max_ts = None
-        per_bucket = (
-            j.groupBy("_b", "_action")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("_s_ts").alias("max_ts"))
-            .collect()
-        )
-        for r in per_bucket:
-            counts[r["_action"]] = counts.get(r["_action"], 0) + r["n"]
-            lineage_rows.append({"bucket": r["_b"], "action": r["_action"], "n": r["n"]})
-            if r["max_ts"] is not None and (max_ts is None or r["max_ts"] > max_ts):
-                max_ts = r["max_ts"]
-        dirty = sorted(
-            {
-                r["bucket"]
-                for r in lineage_rows
-                if r["action"] in ("insert", "update", "delete")
-            }
+        counts, lineage_rows, max_ts, dirty = _per_bucket_lineage(
+            j, F.col("_s_ts"), ("insert", "update", "delete")
         )
         summary = {
             "snapshot_compare": True,
@@ -690,50 +715,24 @@ def snapshot_batch(
         in_dirty = j.filter(F.col("_b").isin([int(b) for b in dirty]))
         n_part = max(1, min(len(dirty), 4 * table.spark.sparkContext.defaultParallelism))
 
-        carried = in_dirty.filter(F.col("_action").isin("keep", "noop")).select(
-            F.col(key),
-            F.col("_b").alias("_bucket"),
-            *[F.col(f"_t_{c}").alias(c) for c in schema_names if c != key],
-        )
-        cur_struct = table.schema.to_struct()
         # inferred delete: tombstone guarded at the REPLACED row's ts —
         # late events older than what the snapshot superseded stay dead,
         # a strictly newer event resurrects (same rule as merge_batch)
-        tombstones = in_dirty.filter(F.col("_action") == "delete").select(
-            F.col(key),
-            F.col("_b").alias("_bucket"),
-            F.col("_t_warc_ts").alias("warc_ts"),
-            F.lit(True).alias("_deleted"),
-            *[
-                F.lit(None).cast(cur_struct[c].dataType).alias(c)
-                for c in schema_names
-                if c not in (key, "warc_ts", "_deleted")
-            ],
-        )
-        changed = in_dirty.filter(F.col("_action").isin("insert", "update")).select(
-            F.col(key),
-            F.col("_b").alias("_bucket"),
-            F.col("_s_ts").alias("warc_ts"),
-            F.col("_s_html").alias("html"),
-            (~F.col("_s_html").eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
-            F.col("_t_text").alias("_old_text"),
-            F.col("_t_lang").alias("_old_lang"),
-            F.lit(False).alias("_deleted"),
-            *[
-                (F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")).alias(c)
-                for c in schema_names
-                if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
-            ],
-        )
-        changed = transform(changed.repartition(n_part, "_bucket")).select(
-            *schema_names, "_bucket"
-        )
-        out_cols = [*schema_names, "_bucket"]
-        new_state = (
-            carried.select(*out_cols)
-            .unionByName(tombstones.select(*out_cols))
-            .repartition(n_part, "_bucket")
-            .unionByName(changed)
+        new_state = _assemble_new_state(
+            table,
+            in_dirty,
+            schema_names,
+            extra_cols,
+            transform,
+            n_part,
+            carried_actions=("keep", "noop"),
+            tombstone_ts=F.col("_t_warc_ts"),
+            changed_actions=("insert", "update"),
+            new_ts=F.col("_s_ts"),
+            new_html=F.col("_s_html"),
+            new_payload=lambda c: (
+                F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
+            ),
         )
         _pre()
         table.overwrite_buckets(
