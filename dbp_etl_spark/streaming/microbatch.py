@@ -55,9 +55,17 @@ def _stream_identity(spark, checkpoint_path: str) -> str:
             pass  # concurrent creator won; read theirs
     return fs.read_text(marker).strip()
 
-def _changes_reader(spark: SparkSession, max_files_per_trigger: int | None):
-    """Shared streaming reader scaffold for the change-event schema."""
-    reader = spark.readStream.schema(CHANGES_SCHEMA)
+def _changes_reader(
+    spark: SparkSession, max_files_per_trigger: int | None, schema=None
+):
+    """Shared streaming reader scaffold for the change-event schema.
+
+    A streaming file source needs a FIXED schema up front — columns
+    absent from it are silently dropped at read time, so a tail whose
+    events carry extra payload columns (schema evolution) MUST declare
+    them via ``schema``; the default covers only the core event
+    columns."""
+    reader = spark.readStream.schema(schema if schema is not None else CHANGES_SCHEMA)
     if max_files_per_trigger is not None:
         if max_files_per_trigger <= 0:
             raise ValueError("max_files_per_trigger must be positive")
@@ -94,6 +102,8 @@ def run_stream(
     allow_urls=None,
     expire_every: int | None = None,
     expire_keep_last: int = 8,
+    patch_ops: bool = False,
+    changes_schema=None,
 ):
     """Tail ``changes_path`` (parquet change events) into ``table``.
 
@@ -110,7 +120,13 @@ def run_stream(
     """
     from dbp_etl_spark.cdc.runner import CDCRunner
 
-    stream = _changes_reader(spark, max_files_per_trigger).parquet(changes_path)
+    # extra payload columns ride only if declared: the streaming source
+    # reads a fixed schema, so pass ``changes_schema`` when the event
+    # log carries evolution columns beyond the core five (they would
+    # otherwise be silently dropped before the MERGE ever sees them)
+    stream = _changes_reader(
+        spark, max_files_per_trigger, schema=changes_schema
+    ).parquet(changes_path)
     stream_id = _stream_identity(spark, checkpoint_path)
     applied = [0]  # microbatches since last expiry (foreachBatch closure state)
     side = CDCRunner(
@@ -138,6 +154,12 @@ def run_stream(
             for r in df.select(table.bucket_expr().alias("b")).distinct().collect()
             if r["b"] is not None
         )
+        # side outputs ride the pre-commit hook so a committed epoch
+        # always has its lineage/errors on disk — without it, a crash
+        # between the MERGE commit and a post-hoc side-output write
+        # leaves a committed epoch with no lineage forever (the ledger
+        # early-return above would skip the replay). Same atomicity
+        # contract as CDCRunner._side_outputs on the batch path.
         res = merge_batch(
             table,
             df,
@@ -145,8 +167,9 @@ def run_stream(
             transform=transform,
             salt_buckets=salt_buckets,
             candidates=cand,
+            pre_commit=side._side_outputs,
+            patch_ops=patch_ops,
         )
-        side._side_outputs(res)
         # inline retention, same contract as CDCRunner(expire_every=N):
         # an unbounded tail otherwise accretes one ledger entry and one
         # snapshot per microbatch forever

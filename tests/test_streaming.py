@@ -362,3 +362,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows["u1"]["status"] == 200  # in-window match
     assert "u2" in rows and rows["u2"]["status"] is None  # response too late
     assert "u3" in rows and rows["u3"]["status"] is None  # never answered
+
+
+def test_stream_patch_ops_parity(spark, tmp_path):
+    """patch_ops on the streaming tail: sparse patches applied per
+    microbatch match the batch runner's one-shot apply."""
+
+    def pev(rows):
+        return spark.createDataFrame(
+            rows, "url string, ts long, html binary, score double, op string, batch_id long"
+        ).select(
+            "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "score", "op", "batch_id"
+        )
+
+    first = pev(
+        [
+            ("u1", 100, b"<p>a</p>", 1.0, "insert", 0),
+            ("u2", 100, b"<p>b</p>", 2.0, "insert", 0),
+        ]
+    )
+    second = pev(
+        [
+            ("u1", 200, None, 9.0, "patch", 1),  # score only; html kept
+            ("u2", 50, None, 7.0, "patch", 1),  # late: no-op
+        ]
+    )
+    src = str(tmp_path / "changes")
+    # sequential writes => file mtime order => insert batch drains first
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    t_stream = mk_table(spark, tmp_path, "stream_p")
+    q = run_stream(
+        spark,
+        src,
+        t_stream,
+        checkpoint_path=str(tmp_path / "ckpt_p"),
+        max_files_per_trigger=1,
+        patch_ops=True,
+        changes_schema=first.schema,  # score rides only if declared
+    )
+    q.awaitTermination(120)
+
+    t_batch = mk_table(spark, tmp_path, "batch_p")
+    CDCRunner(t_batch, patch_ops=True).run(
+        first.unionByName(second).withColumn("batch_id", F.lit(0))
+    )
+    assert t_stream.state_hash() == t_batch.state_hash()
+    got = {r["url"]: (r["text"], r["score"]) for r in t_stream.read().collect()}
+    assert got == {"u1": ("a", 9.0), "u2": ("b", 2.0)}
