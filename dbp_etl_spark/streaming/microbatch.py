@@ -195,6 +195,7 @@ def deduped_changes_stream(
     watermark: str = "1 hour",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    changes_schema=None,
 ):
     """Streaming exact-duplicate suppression with BOUNDED state:
     ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
@@ -212,7 +213,7 @@ def deduped_changes_stream(
     from pyspark.sql import functions as F
 
     deduped = (
-        _changes_reader(spark, max_files_per_trigger)
+        _changes_reader(spark, max_files_per_trigger, schema=changes_schema)
         .parquet(changes_path)
         .withColumn("_ph", F.coalesce(F.md5("html"), F.lit("")))
         .withWatermark("warc_ts", watermark)
