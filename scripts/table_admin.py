@@ -1,0 +1,124 @@
+"""Operate a lake table from the command line (spark-submit friendly).
+
+The maintenance / recovery / ref surface of LakeTable as subcommands,
+so an operator can run them the same way the CDC job runs
+(``spark-submit --py-files dbp_etl_spark.zip scripts/table_admin.py …``):
+
+    table_admin.py --table /lake/pages history
+    table_admin.py --table /lake/pages expire --keep-last 8
+    table_admin.py --table /lake/pages vacuum-orphans --grace-sec 86400
+    table_admin.py --table /lake/pages compact --sort-by warc_ts
+    table_admin.py --table /lake/pages rebucket --num-buckets 1024
+    table_admin.py --table /lake/pages rollback --to 41
+    table_admin.py --table /lake/pages tag --name audit-2026-08 [--snapshot 41]
+    table_admin.py --table /lake/pages untag --name audit-2026-08
+    table_admin.py --table /lake/pages tags
+    table_admin.py --table /lake/pages check        # integrity report
+
+Every mutating subcommand is ledger-keyed (``--batch-id`` overrides
+the default), so re-running after a crash or a lost shell is a no-op.
+Reference analog: the operational re-runs the reference does through
+its controller entry points (/root/reference/load/DBPLoadController.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    p.add_argument("--table", required=True, help="lake table root")
+    p.add_argument("--batch-id", help="override the ledger id of a mutating op")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("history")
+    sub.add_parser("tags")
+    sub.add_parser("check")
+
+    s = sub.add_parser("expire")
+    s.add_argument("--keep-last", type=int, default=8)
+
+    s = sub.add_parser("vacuum-orphans")
+    s.add_argument("--grace-sec", type=float, default=86400.0)
+
+    s = sub.add_parser("vacuum-tombstones")
+    s.add_argument("--older-than", required=True, help="ISO timestamp watermark")
+
+    s = sub.add_parser("compact")
+    s.add_argument("--sort-by", nargs="*", default=None)
+
+    s = sub.add_parser("rebucket")
+    s.add_argument("--num-buckets", type=int, required=True)
+
+    s = sub.add_parser("rollback")
+    s.add_argument("--to", type=int, required=True, help="target snapshot id")
+
+    s = sub.add_parser("tag")
+    s.add_argument("--name", required=True)
+    s.add_argument("--snapshot", type=int, default=None)
+
+    s = sub.add_parser("untag")
+    s.add_argument("--name", required=True)
+
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"table-admin-{args.cmd}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    from dbp_etl_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, args.table)
+    bid = args.batch_id
+    out: object
+
+    if args.cmd == "history":
+        out = t.history()
+    elif args.cmd == "tags":
+        out = t.tags
+    elif args.cmd == "check":
+        from dbp_etl_spark.lake.integrity import state_checks
+
+        report = {r["check"]: r["n_violations"] for r in state_checks(t).collect()}
+        print(json.dumps({"table": args.table, "cmd": args.cmd, "result": report}))
+        spark.stop()
+        return 0 if all(n == 0 for n in report.values()) else 2
+    elif args.cmd == "expire":
+        out = t.expire_snapshots(keep_last=args.keep_last)
+    elif args.cmd == "vacuum-orphans":
+        out = t.remove_orphan_files(grace_sec=args.grace_sec)
+    elif args.cmd == "vacuum-tombstones":
+        from pyspark.sql import functions as F
+
+        t = t.vacuum_tombstones(
+            F.to_timestamp(F.lit(args.older_than)), bid or f"vacuum-{args.older_than}"
+        )
+        out = {"snapshot_id": t.snapshot_id}
+    elif args.cmd == "compact":
+        t = t.compact(bid or "compact", sort_by=args.sort_by or None)
+        out = {"snapshot_id": t.snapshot_id}
+    elif args.cmd == "rebucket":
+        t = t.rebucket(args.num_buckets, batch_id=bid or f"rebucket-{args.num_buckets}")
+        out = {"snapshot_id": t.snapshot_id, "num_buckets": t.num_buckets}
+    elif args.cmd == "rollback":
+        t = t.rollback_to(args.to, batch_id=bid)
+        out = {"snapshot_id": t.snapshot_id, "rolled_back_to": args.to}
+    elif args.cmd == "tag":
+        t = t.tag_snapshot(args.name, snapshot_id=args.snapshot, batch_id=bid)
+        out = {"tags": t.tags}
+    elif args.cmd == "untag":
+        t = t.untag_snapshot(args.name, batch_id=bid)
+        out = {"tags": t.tags}
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown cmd {args.cmd}")
+
+    print(json.dumps({"table": args.table, "cmd": args.cmd, "result": out}, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
