@@ -709,13 +709,23 @@ class LakeTable:
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)
 
-    def create_view(self, name: str, buckets: list[int] | None = None) -> None:
-        """Register current visible state as a temp view for spark.sql.
+    def create_view(
+        self,
+        name: str,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> None:
+        """Register visible state as a temp view for spark.sql.
 
         The view captures THIS handle's snapshot (a later refresh +
         re-register sees newer data) — the SQL-surface bridge so lake
-        tables compose with the query registry's SQL idioms."""
-        self.read(buckets=buckets).createOrReplaceTempView(name)
+        tables compose with the query registry's SQL idioms.
+        ``snapshot_id``/``tag`` register a time-travel view instead
+        (e.g. ``create_view("pages_audit", tag="audit-2026-08")``)."""
+        self.read(buckets=buckets, snapshot_id=snapshot_id, tag=tag).createOrReplaceTempView(
+            name
+        )
 
     # ----------------------------------------------------------- row-level DML
 

@@ -115,3 +115,13 @@ def test_retag_after_untag_actually_pins(spark, table):
     t.expire_snapshots(keep_last=1)
     t = t.refresh()
     assert t.read(tag="audit").count() == 4  # pin held
+
+
+def test_create_view_time_travel(spark, table):
+    t = table.append(mk_rows(spark, 5), batch_id="b1")
+    t = t.tag_snapshot("cut")
+    t = t.append(mk_rows(spark, 3, base=50), batch_id="b2")
+    t.create_view("pages_now")
+    t.create_view("pages_cut", tag="cut")
+    assert spark.sql("SELECT count(*) n FROM pages_now").collect()[0]["n"] == 8
+    assert spark.sql("SELECT count(*) n FROM pages_cut").collect()[0]["n"] == 5
