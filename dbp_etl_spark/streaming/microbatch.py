@@ -212,10 +212,25 @@ def deduped_changes_stream(
     """
     from pyspark.sql import functions as F
 
+    stream = _changes_reader(spark, max_files_per_trigger, schema=changes_schema).parquet(
+        changes_path
+    )
+    # the redelivery hash must cover EVERY payload column the declared
+    # schema carries — hashing html alone would treat two distinct
+    # events differing only in an extra column as duplicates and drop
+    # one, diverging from the batch path's full-row tiebreak
+    extra_payload = [
+        c for c in stream.columns if c not in ("url", "warc_ts", "op", "html", "batch_id")
+    ]
+    ph = F.md5(
+        F.concat_ws(
+            "\x00",
+            F.coalesce(F.md5("html"), F.lit("")),
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in extra_payload],
+        )
+    )
     deduped = (
-        _changes_reader(spark, max_files_per_trigger, schema=changes_schema)
-        .parquet(changes_path)
-        .withColumn("_ph", F.coalesce(F.md5("html"), F.lit("")))
+        stream.withColumn("_ph", ph)
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["url", "warc_ts", "op", "_ph"])
         .drop("_ph")

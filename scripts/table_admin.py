@@ -91,17 +91,25 @@ def main() -> int:
     elif args.cmd == "vacuum-orphans":
         out = t.remove_orphan_files(grace_sec=args.grace_sec)
     elif args.cmd == "vacuum-tombstones":
-        from pyspark.sql import functions as F
+        from datetime import datetime
 
+        # parse driver-side: a malformed watermark must FAIL, not pass
+        # NULL into the filter and silently vacuum nothing
+        watermark = datetime.fromisoformat(args.older_than)
         t = t.vacuum_tombstones(
-            F.to_timestamp(F.lit(args.older_than)), bid or f"vacuum-{args.older_than}"
+            watermark, bid or f"vacuum-{args.older_than}-from-{t.snapshot_id}"
         )
         out = {"snapshot_id": t.snapshot_id}
     elif args.cmd == "compact":
-        t = t.compact(bid or "compact", sort_by=args.sort_by or None)
+        # default ids are head-scoped: a constant id would make every
+        # later default-id run a silent ledger no-op
+        t = t.compact(bid or f"compact-from-{t.snapshot_id}", sort_by=args.sort_by or None)
         out = {"snapshot_id": t.snapshot_id}
     elif args.cmd == "rebucket":
-        t = t.rebucket(args.num_buckets, batch_id=bid or f"rebucket-{args.num_buckets}")
+        t = t.rebucket(
+            args.num_buckets,
+            batch_id=bid or f"rebucket-{args.num_buckets}-from-{t.snapshot_id}",
+        )
         out = {"snapshot_id": t.snapshot_id, "num_buckets": t.num_buckets}
     elif args.cmd == "rollback":
         t = t.rollback_to(args.to, batch_id=bid)
