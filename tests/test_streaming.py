@@ -411,3 +411,37 @@ def test_stream_patch_ops_parity(spark, tmp_path):
     assert t_stream.state_hash() == t_batch.state_hash()
     got = {r["url"]: (r["text"], r["score"]) for r in t_stream.read().collect()}
     assert got == {"u1": ("a", 9.0), "u2": ("b", 2.0)}
+
+
+def test_streaming_dedup_extra_column_distinct(spark, tmp_path):
+    """The redelivery hash covers declared extra payload columns: two
+    events identical except for an extra column are DISTINCT (html-only
+    hashing used to drop one nondeterministically)."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.streaming.microbatch import deduped_changes_stream
+
+    src = str(tmp_path / "ddx_src")
+    schema_df = spark.createDataFrame(
+        [
+            ("u1", 100, b"<p>a</p>", 1.0, "update", 0),
+            ("u1", 100, b"<p>a</p>", 2.0, "update", 0),  # differs ONLY in score
+            ("u1", 100, b"<p>a</p>", 2.0, "update", 1),  # true redelivery
+        ],
+        "url string, t long, html binary, score double, op string, batch_id long",
+    ).select(
+        "url", F.timestamp_seconds("t").alias("warc_ts"), "html", "score", "op", "batch_id"
+    )
+    schema_df.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "ddx_out")
+    q = deduped_changes_stream(
+        spark,
+        src,
+        str(tmp_path / "ddx_ck"),
+        out,
+        changes_schema=schema_df.schema,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # both distinct events survive; redelivery dropped
+    assert sorted(r["score"] for r in rows) == [1.0, 2.0]
