@@ -54,7 +54,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbp_etl_spark.lake.fs import Filesystem, fs_for
-from dbp_etl_spark.lake.schema import TableSchema
+from dbp_etl_spark.lake.schema import TableSchema, spark_type
+from dbp_etl_spark.lake.stats import (
+    collect_file_stats,
+    file_may_match,
+    validate_predicates,
+)
+
+# column types with a usable total order for manifest file bounds
+_STATS_TYPES = {"string", "timestamp", "long", "int", "double", "float", "boolean", "date"}
 
 _META = "_meta"
 _DATA = "data"
@@ -103,8 +111,16 @@ class LakeTable:
         key: str = "url",
         num_buckets: int = 16,
         bloom_key: bool = False,
+        stats_columns: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table.
+
+        ``stats_columns``: record per-file min/max/null-count bounds
+        for these columns in the manifest at every write (Iceberg's
+        ``lower_bounds``/``upper_bounds``). ``read(where=...)`` then
+        prunes files from metadata alone — see lake/stats.py. Off by
+        default: collection reads one footer per written file at
+        commit time, which a pure-throughput tail may not want.
 
         ``bloom_key=True`` writes a parquet bloom filter on the merge
         key into every data file: point lookups (WHERE url = ...) then
@@ -144,11 +160,40 @@ class LakeTable:
             "summary": {},
             "bloom_key": bloom_key,
         }
+        if stats_columns:
+            manifest["stats_col_ids"] = cls._resolve_stats_cols(schema, stats_columns)
         fs.create_text_exclusive(
             os.path.join(root, _META, "v0.json"), json.dumps(manifest, indent=1)
         )
         fs.write_text(os.path.join(root, _META, "VERSION"), "0")
         return cls(spark, root, manifest, fs=fs)
+
+    @staticmethod
+    def _resolve_stats_cols(schema: TableSchema, cols: list[str]) -> list[int]:
+        by_name = {c.name: c for c in schema.columns}
+        ids = []
+        for name in cols:
+            c = by_name.get(name)
+            if c is None:
+                raise ValueError(f"stats column {name!r} not in schema")
+            if c.type not in _STATS_TYPES:
+                raise ValueError(
+                    f"stats unsupported for column {name!r} of type {c.type}"
+                )
+            ids.append(c.col_id)
+        return ids
+
+    def set_stats_columns(self, cols: list[str]) -> "LakeTable":
+        """Start recording per-file bounds for ``cols`` on future
+        writes (metadata-only commit). Files already written keep no
+        bounds and are simply never pruned — conservative by design."""
+        ids = self._resolve_stats_cols(self.schema, cols)
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = self.snapshot_id + 1
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["stats_col_ids"] = ids
+        new_manifest["summary"] = {"stats_columns": list(cols)}
+        return self._commit(new_manifest)
 
     @staticmethod
     def _head(fs, root: str) -> tuple[int, dict]:
@@ -262,6 +307,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         include_deleted: bool = False,
         tag: str | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Read current (or time-travel) state, optionally pruned to buckets.
 
@@ -272,6 +318,17 @@ class LakeTable:
         is in ``buckets`` are scanned — the Iceberg-partition-pruning
         analog of the reference's keyed state reads
         (/root/reference/load/UpdateDBPFilesetTables.py:234-242).
+
+        ``where``: list of ``(column, op, value)`` predicates
+        (op in ``=`` ``<`` ``<=`` ``>`` ``>=`` ``in``), ANDed. Used
+        twice: files whose manifest bounds prove no match are pruned
+        before the scan (see lake/stats.py), and the same predicates
+        are re-applied as a real filter on the scanned rows — so the
+        result is always exactly ``read().filter(...)``, stats or not.
+        An equality/``in`` predicate on the merge key additionally
+        prunes to that key's hash bucket (the point-lookup fast path:
+        bucket → file bounds → parquet row-group/bloom, each layer
+        narrowing the last).
         """
         if tag is not None:
             if snapshot_id is not None:
@@ -289,10 +346,7 @@ class LakeTable:
                 self._fs.read_text(os.path.join(self.root, _META, f"v{snapshot_id}.json"))
             )
         current = TableSchema.from_json(manifest["schemas"][str(manifest["schema_version"])])
-        files = manifest["files"]
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+        files = self._prune_entries(manifest, current, buckets, where)
 
         cur_struct = current.to_struct()
         if not files:
@@ -329,7 +383,116 @@ class LakeTable:
             out = out.unionByName(p)
         if not include_deleted and "_deleted" in out.columns:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        if where:
+            out = out.filter(self._where_condition(where))
         return out
+
+    # ---------------------------------------------------- file skipping
+
+    def candidate_files(
+        self,
+        where: list[tuple] | None = None,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[dict]:
+        """Manifest entries a ``read`` with the same arguments would
+        scan — the metadata-only plan, for tests and the admin CLI."""
+        manifest = self.manifest
+        if snapshot_id is not None and snapshot_id != manifest["snapshot_id"]:
+            manifest = json.loads(
+                self._fs.read_text(os.path.join(self.root, _META, f"v{snapshot_id}.json"))
+            )
+        current = TableSchema.from_json(manifest["schemas"][str(manifest["schema_version"])])
+        return self._prune_entries(manifest, current, buckets, where)
+
+    def _prune_entries(
+        self,
+        manifest: dict,
+        current: TableSchema,
+        buckets: list[int] | None,
+        where: list[tuple] | None,
+    ) -> list[dict]:
+        files = manifest["files"]
+        if where:
+            validate_predicates(where)
+            name_to_id = {c.name: c.col_id for c in current.columns}
+            preds_by_id: dict[int, list[tuple]] = {}
+            for col, op, val in where:
+                if col not in name_to_id:
+                    raise ValueError(f"unknown column in where: {col!r}")
+                preds_by_id.setdefault(name_to_id[col], []).append((op, val))
+            tz = self._session_tz()
+            files = [f for f in files if file_may_match(f, preds_by_id, tz)]
+            key_buckets = self._key_buckets_from_where(where, manifest["num_buckets"], current)
+            if key_buckets is not None:
+                buckets = (
+                    sorted(set(key_buckets) & set(buckets))
+                    if buckets is not None
+                    else key_buckets
+                )
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        return files
+
+    def _session_tz(self):
+        """Session timezone as a tzinfo — what ``F.lit(naive_dt)``
+        localizes with, so manifest-bound pruning of naive datetime
+        predicates matches Spark's own comparison. None (= never prune
+        on naive datetimes) if it cannot be resolved."""
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(self.spark.conf.get("spark.sql.session.timeZone"))
+        except Exception:  # noqa: BLE001 — conservative fallback
+            return None
+
+    def _key_buckets_from_where(
+        self, where: list[tuple], num_buckets: int, current: TableSchema
+    ) -> list[int] | None:
+        """Buckets implied by an equality/membership predicate on the
+        merge key, or None. Hashing runs as one driver-side row so the
+        bucket function is EXACTLY ``bucket_expr`` (same JVM xxhash64)."""
+        vals = None
+        for col, op, val in where:
+            if col == self.key and op == "=":
+                vals = [val]
+                break
+            if col == self.key and op == "in":
+                vals = list(val)
+                break
+        if not vals or len(vals) > 64:
+            return None
+        ktype = spark_type(next(c.type for c in current.columns if c.name == self.key))
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(F.lit(v).cast(ktype)), F.lit(num_buckets))
+                .cast("int")
+                .alias(f"b{i}")
+                for i, v in enumerate(vals)
+            ]
+        ).first()
+        return sorted(set(row))
+
+    @staticmethod
+    def _where_condition(where: list[tuple]) -> Column:
+        cond = F.lit(True)
+        for col, op, val in where:
+            c = F.col(col)
+            if op == "=":
+                piece = c == F.lit(val)
+            elif op == "<":
+                piece = c < F.lit(val)
+            elif op == "<=":
+                piece = c <= F.lit(val)
+            elif op == ">":
+                piece = c > F.lit(val)
+            elif op == ">=":
+                piece = c >= F.lit(val)
+            else:  # "in" — validated upstream
+                piece = c.isin(list(val))
+            cond = cond & piece
+        return cond
 
     def read_changes(
         self,
@@ -538,7 +701,17 @@ class LakeTable:
             writer = writer.option(
                 f"parquet.bloom.filter.enabled#{self.key}", "true"
             ).option(f"parquet.bloom.filter.expected.ndv#{self.key}", "100000")
-        writer.parquet(snap_dir)
+        # INT96 (Spark's legacy default) carries no parquet column
+        # statistics, which would leave timestamp columns without
+        # manifest bounds; TIMESTAMP_MICROS is the modern annotated
+        # type, stats-capable, and lossless for Spark's micros values.
+        conf = self.spark.conf
+        ts_prev = conf.get("spark.sql.parquet.outputTimestampType")
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(snap_dir)
+        finally:
+            conf.set("spark.sql.parquet.outputTimestampType", ts_prev)
         entries: list[dict] = []
         for bucket_dir in self._fs.list_names(snap_dir):
             if not bucket_dir.startswith("_bucket="):
@@ -553,6 +726,20 @@ class LakeTable:
                             "schema_version": schema_version,
                         }
                     )
+        stat_ids = set(self.manifest.get("stats_col_ids") or [])
+        if entries and stat_ids:
+            # footer-only reads (no row bytes), one per new file — the
+            # Iceberg-writer analog of emitting lower/upper bounds into
+            # the manifest. Driver-side and bounded by files-per-commit
+            # (≤ a few per touched bucket).
+            wanted = {c.name: c.col_id for c in schema.columns if c.col_id in stat_ids}
+            for e in entries:
+                try:
+                    e["stats"] = collect_file_stats(
+                        os.path.join(self.root, e["path"]), wanted
+                    )
+                except Exception:  # noqa: BLE001 — stats are an optimization;
+                    pass  # a file without bounds is merely never pruned
         return entries
 
     def _commit(self, new_manifest: dict) -> "LakeTable":

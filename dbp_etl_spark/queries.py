@@ -2592,3 +2592,86 @@ def rollback_replay_converges(spark, sf_dir):
     return t.read().select(
         "url", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"), "val"
     )
+
+
+@q(
+    "stats_pruned_range_scan",
+    """
+    SELECT 'https://s.example/u' || CAST(user_id AS VARCHAR)
+             || '-' || CAST(event_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round(value, 2) AS score
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+    """,
+)
+def stats_pruned_range_scan(spark, sf_dir):
+    """Manifest-bound file skipping END-TO-END (lake/stats.py; Iceberg
+    lower/upper-bounds analog of the reference's filename filtering
+    before download, /root/reference/load/InputFileset.py:86-118):
+    load the events log into a lake table with per-file ``warc_ts``
+    bounds via five week-sliced appends, then range-scan one week with
+    ``read(where=...)``. The metadata plan must prune the off-window
+    weeks' files — the query RAISES if no file was skipped, so the
+    driver's green row certifies both the pruning and (via value hash)
+    that pruning changed nothing. Oracle: the same range filter over
+    the raw log."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = ev.select(
+        F.concat(
+            F.lit("https://s.example/u"),
+            F.col("user_id").cast("string"),
+            F.lit("-"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.round("value", 2).alias("score"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="stats_scan_")
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        schema,
+        key="url",
+        num_buckets=4,
+        stats_columns=["warc_ts"],
+    )
+    cuts = [datetime.datetime(2024, 1, d) for d in (1, 8, 15, 22, 29)] + [
+        datetime.datetime(2024, 3, 1)
+    ]
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        t = t.append(
+            rows.filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi)),
+            batch_id=f"week{i}",
+        )
+    # string predicates = session-timezone wall-time semantics, the
+    # same rule DuckDB's naive timestamps follow in the oracle
+    where = [
+        ("warc_ts", ">=", "2024-01-25 00:00:00"),
+        ("warc_ts", "<", "2024-01-29 00:00:00"),
+    ]
+    pruned = t.candidate_files(where=where)
+    if not len(pruned) < len(t.manifest["files"]):
+        raise RuntimeError("manifest bounds pruned no files — file skipping is broken")
+    return t.read(where=where).select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "score",
+    )
