@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
     # #2), so the driver's 50-query prefix re-verifies all of them.
     "stats_pruned_range_scan",
+    "session_incident_overlap",
     "incremental_rollup_maintain",
     "rollback_replay_converges",
     "dim_snapshot_apply",

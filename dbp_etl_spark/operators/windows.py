@@ -1,4 +1,5 @@
-"""Window-family operators: sessionization, range merging, as-of join.
+"""Window-family operators: sessionization, range merging, as-of join,
+binned interval-overlap join.
 
 Reference analogs: rolling verse concatenation (W5,
 /root/reference/load/UpdateDBPTextFilesets.py:158-196), run-length
@@ -121,6 +122,74 @@ def asof_join(
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval overlap join WITHOUT an equi key: pairs where
+    ``[l_start, l_end) ∩ [r_start, r_end) ≠ ∅``.
+
+    Spark has no native band join, and the naive form is a cartesian
+    with a range filter — O(|L|·|R|) and a single-task
+    BroadcastNestedLoopJoin at scale. This decomposes time into
+    fixed-width bins: each interval explodes to the bins it covers,
+    the join is an EQUI join on the bin id (shuffle keyed by bin,
+    normal SortMergeJoin parallelism), and each overlapping pair is
+    emitted exactly once by keeping only the bin containing the pair's
+    first overlap instant ``max(l_start, r_start)`` — no distinct pass.
+
+    ``bin_seconds`` sizing: pick ≈ the typical interval length —
+    explode factor is interval_len/bin (rows), while too-coarse bins
+    put many intervals in one bin (join fan-out). A hot bin (e.g. an
+    outage hour everyone's interval crosses) is an ordinary skewed
+    join key: AQE skew-join splitting applies as usual.
+
+    Column names of the two sides must be disjoint (the result carries
+    both). End-exclusive, empty intervals never match. Timestamp or
+    numeric-seconds columns accepted.
+    """
+    l_s, l_e = left_range
+    r_s, r_e = right_range
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(f"column names must be disjoint, both sides have {sorted(shared)}")
+
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _us(side: DataFrame, col: str):
+        dt = dict(side.dtypes)[col]
+        c = F.col(col)
+        return F.unix_micros(c) if dt.startswith("timestamp") else (c.cast("double") * 1_000_000).cast("long")
+
+    def _bin_of(x):
+        # exact floor-division on longs (double division can misplace
+        # exact bin-boundary instants); pmod keeps floor semantics for
+        # pre-epoch negatives
+        return ((x - F.pmod(x, F.lit(bin_us))) / F.lit(bin_us)).cast("long")
+
+    def _binned(side: DataFrame, s: str, e: str, bin_name: str) -> DataFrame:
+        s_us, e_us = _us(side, s), _us(side, e)
+        return side.withColumn(
+            bin_name,
+            F.explode(F.sequence(_bin_of(s_us), _bin_of(e_us - F.lit(1)))),
+        ).filter(s_us < e_us)
+
+    lb = _binned(left, l_s, l_e, "_lbin")
+    rb = _binned(right, r_s, r_e, "_rbin")
+    joined = lb.join(rb, lb["_lbin"] == rb["_rbin"], "inner")
+    l_s_us, r_s_us = _us(joined, l_s), _us(joined, r_s)
+    l_e_us, r_e_us = _us(joined, l_e), _us(joined, r_e)
+    first_overlap_bin = _bin_of(F.greatest(l_s_us, r_s_us))
+    return (
+        joined.filter((l_s_us < r_e_us) & (r_s_us < l_e_us))
+        .filter(F.col("_lbin") == first_overlap_bin)
+        .drop("_lbin", "_rbin")
     )
 
 

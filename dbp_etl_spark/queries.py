@@ -2675,3 +2675,69 @@ def stats_pruned_range_scan(spark, sf_dir):
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         "score",
     )
+
+
+@q(
+    "session_incident_overlap",
+    """
+    WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+    lagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess_e AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM lagged),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(ts) AS s_start, max(ts) + INTERVAL 300 SECOND AS s_end
+      FROM sess_e GROUP BY 1, 2),
+    incidents AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS i_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS i_end
+      FROM ev WHERE event_type = 'error')
+    SELECT s.user_id, s.session_id,
+           strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(i.i_start, '%Y-%m-%d %H:%M:%S') AS incident_hour
+    FROM sessions s JOIN incidents i
+      ON s.s_start < i.i_end AND i.i_start < s.s_end
+    """,
+)
+def session_incident_overlap(spark, sf_dir):
+    """Interval overlap join with NO equi key (operators/windows.py:
+    overlap_join_binned): derive per-user activity sessions (1 h gap
+    rule, 300 s trailing window) and error-incident hours, then find
+    every session that overlaps any incident hour — the "who was
+    active during an outage" shape. The engine decomposes time into
+    hour bins and equi-joins on the bin id (exactly-once via the
+    first-overlap-bin rule); the naive form DuckDB runs is the
+    O(n·m) inequality join — same pairs, different plan class."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    from dbp_etl_spark.operators.windows import overlap_join_binned, sessionize
+
+    sess = sessionize(
+        ev.select("user_id", "ts", "event_id"), "user_id", "ts", 3600, "event_id"
+    )
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 300 SECONDS")).alias("s_end"),
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", F.col("ts")).alias("i_start"))
+        .distinct()
+        .withColumn("i_end", F.col("i_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    pairs = overlap_join_binned(
+        sessions, incidents, ("s_start", "s_end"), ("i_start", "i_end"), bin_seconds=3600
+    )
+    return pairs.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("i_start", "yyyy-MM-dd HH:mm:ss").alias("incident_hour"),
+    )
