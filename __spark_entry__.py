@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     # #2), so the driver's 50-query prefix re-verifies all of them.
     "stats_pruned_range_scan",
     "session_incident_overlap",
+    "zorder_multidim_scan",
     "incremental_rollup_maintain",
     "rollback_replay_converges",
     "dim_snapshot_apply",

@@ -1058,6 +1058,8 @@ class LakeTable:
         batch_id,
         buckets: list[int] | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        files_per_bucket: int = 1,
     ) -> "LakeTable":
         """Rewrite buckets so each holds a minimal number of files.
 
@@ -1069,16 +1071,32 @@ class LakeTable:
         ``sort_by``: additionally cluster rows within each bucket by
         these columns (e.g. ``["warc_ts"]``). Parquet writes min/max
         stats per row group, so a later range scan (WHERE warc_ts
-        BETWEEN ...) skips row groups wholesale — the lake's analog of
-        Delta's OPTIMIZE ... ZORDER for the single-column case.
-        ``sort_by`` also drops the n>1-files precondition: clustering
-        alone is a reason to rewrite."""
+        BETWEEN ...) skips row groups wholesale — and with
+        ``stats_columns`` configured, the manifest file bounds tighten
+        the same way. Clustering alone is a reason to rewrite (the
+        n>1-files precondition is dropped).
+
+        ``zorder_by``: cluster by a Morton interleave of 2-6 columns
+        instead (operators/zorder.py) — every interleaved dimension
+        becomes prunable at once, where ``sort_by`` only makes the
+        leading column selective. The lake analog of Delta's
+        OPTIMIZE ... ZORDER.
+
+        ``files_per_bucket``: range-split each bucket's clustered rows
+        into ~n files so per-FILE manifest bounds stay tight — the
+        test-scale stand-in for target-file-size bin packing (at the
+        design point a multi-GB bucket naturally yields many files;
+        here buckets are small enough that one file would swallow the
+        whole range and file skipping could never fire)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         if self.is_committed(batch_id):
             return self
         by_bucket: dict[int, int] = {}
         for f in self.manifest["files"]:
             by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
-        min_files = 0 if sort_by else 1
+        cluster = sort_by or zorder_by
+        min_files = 0 if cluster else 1
         targets = sorted(
             b
             for b, n in by_bucket.items()
@@ -1087,18 +1105,31 @@ class LakeTable:
         if not targets:
             return self
         rows = self.read(buckets=targets, include_deleted=True)
-        if sort_by:
-            rows = (
-                rows.withColumn("_bucket", self.bucket_expr())
-                .repartition("_bucket")
-                .sortWithinPartitions("_bucket", *sort_by)
-            )
+        if cluster:
+            rows = rows.withColumn("_bucket", self.bucket_expr())
+            if zorder_by:
+                from dbp_etl_spark.operators.zorder import zorder_bounds, zorder_key
+
+                bounds = zorder_bounds(rows, zorder_by)
+                rows = rows.withColumn("_zkey", zorder_key(rows, zorder_by, bounds))
+                order_cols = ["_zkey"]
+                summary = {"compacted_buckets": targets, "zordered_by": zorder_by}
+            else:
+                order_cols = list(sort_by)
+                summary = {"compacted_buckets": targets, "sorted_by": sort_by}
+            if files_per_bucket > 1:
+                rows = rows.repartitionByRange(
+                    len(targets) * files_per_bucket, "_bucket", *order_cols
+                )
+            else:
+                rows = rows.repartition("_bucket")
+            rows = rows.sortWithinPartitions("_bucket", *order_cols)
             return self.overwrite_buckets(
                 rows,
                 targets,
                 batch_id,
                 pre_partitioned=True,
-                summary={"compacted_buckets": targets, "sorted_by": sort_by},
+                summary=summary,
             )
         return self.overwrite_buckets(
             rows, targets, batch_id, summary={"compacted_buckets": targets}

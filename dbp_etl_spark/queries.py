@@ -2741,3 +2741,62 @@ def session_incident_overlap(spark, sf_dir):
         F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("i_start", "yyyy-MM-dd HH:mm:ss").alias("incident_hour"),
     )
+
+
+@q(
+    "zorder_multidim_scan",
+    """
+    SELECT 'https://z.example/e' || CAST(event_id AS VARCHAR) AS url,
+           user_id, round(value, 2) AS val
+    FROM events
+    WHERE round(value, 2) >= 120.0 AND round(value, 2) < 180.0
+    """,
+)
+def zorder_multidim_scan(spark, sf_dir):
+    """Z-order clustering + manifest-bound file skipping on a
+    NON-LEADING dimension (operators/zorder.py, lake/stats.py; the
+    public OPTIMIZE-ZORDER idea): load events into a lake table with
+    per-file bounds on (user_id, val), compact with a Morton interleave
+    of both columns split into ~8 files per bucket, then range-scan on
+    ``val`` alone. Under a plain user_id sort every file would span the
+    whole val range — the query RAISES unless the metadata plan
+    actually skipped files, so the green row certifies multi-dim
+    clustering end-to-end. Oracle: the same filter over the raw log."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = ev.select(
+        F.concat(F.lit("https://z.example/e"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("user_id").alias("user_id"),
+        F.round("value", 2).alias("val"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="zorder_scan_")
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        schema,
+        key="url",
+        num_buckets=4,
+        stats_columns=["user_id", "val"],
+    )
+    t = t.append(rows, batch_id="load")
+    t = t.compact("z1", zorder_by=["user_id", "val"], files_per_bucket=8)
+    where = [("val", ">=", 120.0), ("val", "<", 180.0)]
+    if not len(t.candidate_files(where=where)) < len(t.manifest["files"]):
+        raise RuntimeError("z-order clustering pruned no files on the second dimension")
+    return t.read(where=where).select("url", "user_id", "val")
