@@ -1,0 +1,195 @@
+"""Mergeable sketches as JVM-side aggregations: HyperLogLog distinct
+counting and Count-Min frequency estimation.
+
+Why sketches at 100 TB: an exact ``count(DISTINCT url)`` or a full
+frequency table shuffles every distinct key; a sketch is a tiny,
+MERGEABLE summary (registers / counters) that each partition builds
+locally and a single reduce combines — the canonical scale pattern for
+cardinality and heavy-hitter questions over a 10^10-row log. The
+production-safe use is two-pass: the sketch PRUNES candidates cheaply,
+an exact pass verifies only the survivors (see the
+``hll_prefilter_groups`` / ``cm_candidate_keys`` helpers and their
+driver-oracled queries) — answers stay exact, the exact pass touches
+a fraction of the keys.
+
+Everything here is built from deterministic ``xxhash64`` expressions
+and plain groupBy/max/sum — no UDF, no RDD, no randomness; the same
+input always yields the same sketch, which is what makes the error
+bounds unit-testable.
+
+Public-knowledge basis: Flajolet et al., "HyperLogLog: the analysis of
+a near-optimal cardinality estimation algorithm" (2007); Cormode &
+Muthukrishnan, "An improved data stream summary: the count-min sketch
+and its applications" (2005).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- HLL
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12, group_by: list[str] | None = None) -> DataFrame:
+    """Build HLL registers for ``col``: 2^p rows (register_id, rho) per
+    group — the mergeable sketch state.
+
+    register_id = low ``p`` bits of xxhash64(col); rho = 1 + leading
+    zeros of the remaining 64-p bits. One shuffle keyed by (group,
+    register) with map-side partial max — at any scale the reduce
+    state is ≤ 2^p rows per group.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    h = F.xxhash64(F.col(col))
+    # low p bits -> register; remaining bits shifted down
+    reg = F.pmod(h, F.lit(1 << p)).cast("int")
+    rest = F.shiftrightunsigned(h, p)
+    # rho = position of the first 1-bit in the (64-p)-bit suffix,
+    # counting from 1; all-zero suffix -> 64-p+1
+    width = 64 - p
+    # exact bit_length via the binary-string length (log2+floor on a
+    # double misplaces 2^k-1 boundary values at 50+ bits)
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)).cast("int"))
+    rho = (F.lit(width) - bitlen + 1).cast("int")
+    keys = [F.col(g) for g in (group_by or [])]
+    out = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, reg.alias("register_id"), rho.alias("rho"))
+        .groupBy(*keys, "register_id")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return out
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union registers from independently built sketches (same p and
+    grouping): register-wise max — the lossless HLL merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12, group_by: list[str] | None = None) -> DataFrame:
+    """Harmonic-mean estimate with the standard small-range (linear
+    counting) correction; returns one row per group with
+    ``approx_distinct`` (double). Relative standard error ≈
+    1.04/sqrt(2^p)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # Flajolet's alpha_m for m >= 128
+    keys = [F.col(g) for g in (group_by or [])]
+    agg = sketch.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sum_inv"),
+        F.count("*").alias("_m_used"),
+    )
+    zeros = F.lit(float(m)) - F.col("_m_used")  # registers never hit
+    raw = F.lit(alpha * m * m) / (F.col("_sum_inv") + zeros)
+    # linear counting when the raw estimate is small and empty
+    # registers remain (the regime where LC dominates HLL accuracy)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(*[g for g in (group_by or [])], est.alias("approx_distinct"))
+
+
+def hll_error_bound(p: int, sigmas: float = 3.0) -> float:
+    """Relative error envelope: sigmas * 1.04 / sqrt(2^p)."""
+    return sigmas * 1.04 / math.sqrt(1 << p)
+
+
+def hll_prefilter_groups(
+    df: DataFrame,
+    group: str,
+    col: str,
+    min_distinct: int,
+    p: int = 12,
+    sigmas: float = 6.0,
+) -> DataFrame:
+    """Two-pass exact ``HAVING count(DISTINCT col) >= min_distinct``:
+    the HLL pass drops every group whose approx distinct is below the
+    threshold minus a ``sigmas``-wide envelope (a group that passes the
+    exact bar is kept with overwhelming probability; the default 6
+    sigma makes a false drop astronomically unlikely while still
+    pruning the bulk of the groups), then the exact distinct runs only
+    on survivors. Returns (group, distinct_cnt) EXACT rows. A looser
+    envelope costs extra exact work, never correctness of kept rows."""
+    sk = hll_registers(df, col, p=p, group_by=[group])
+    est = hll_estimate(sk, p=p, group_by=[group])
+    cut = min_distinct * (1.0 - hll_error_bound(p, sigmas=sigmas))
+    candidates = est.filter(F.col("approx_distinct") >= F.lit(cut)).select(group)
+    exact = (
+        df.join(F.broadcast(candidates), group)
+        .groupBy(group)
+        .agg(F.countDistinct(col).alias("distinct_cnt"))
+        .filter(F.col("distinct_cnt") >= min_distinct)
+    )
+    return exact
+
+
+# ----------------------------------------------------------- Count-Min
+
+
+def cm_sketch(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+    """Count-Min sketch: ``depth`` hash rows × ``width`` counters as a
+    (row, bucket, cnt) DataFrame — mergeable by summing cnt. One
+    explode (×depth) + one shuffle bounded by depth·width counters."""
+    if depth < 1 or width < 1:
+        raise ValueError("width and depth must be >= 1")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    out = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("_k"))
+        .select("_k", rows)
+        .select(
+            "row",
+            F.pmod(F.xxhash64(F.col("_k"), F.col("row")), F.lit(width)).cast("int").alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return out
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(sketch: DataFrame, keys: DataFrame, col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+    """Point estimates for ``keys[col]``: min over the depth rows of
+    the matching counters. Never underestimates; overestimates by at
+    most eps·N (eps = e/width) with prob 1-(1/2)^depth."""
+    probes = keys.select(F.col(col).alias("_k")).distinct()
+    probes = probes.select(
+        "_k", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    ).select(
+        "_k",
+        "row",
+        F.pmod(F.xxhash64(F.col("_k"), F.col("row")), F.lit(width)).cast("int").alias("bucket"),
+    )
+    joined = probes.join(sketch, ["row", "bucket"], "left").na.fill({"cnt": 0})
+    return joined.groupBy("_k").agg(F.min("cnt").alias("approx_cnt")).withColumnRenamed("_k", col)
+
+
+def cm_heavy_hitters_exact(
+    df: DataFrame, col: str, min_count: int, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Two-pass exact ``HAVING count(*) >= min_count``: the CM pass
+    keeps keys whose estimate clears the bar (sound — CM never
+    underestimates, so no true heavy hitter is dropped), the exact
+    count runs only on survivors. Returns (col, cnt) EXACT rows."""
+    sk = cm_sketch(df, col, width=width, depth=depth)
+    est = cm_estimate(sk, df.select(col), col, width=width, depth=depth)
+    candidates = est.filter(F.col("approx_cnt") >= min_count).select(col)
+    return (
+        df.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

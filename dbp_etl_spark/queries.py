@@ -2800,3 +2800,60 @@ def zorder_multidim_scan(spark, sf_dir):
     if not len(t.candidate_files(where=where)) < len(t.manifest["files"]):
         raise RuntimeError("z-order clustering pruned no files on the second dimension")
     return t.read(where=where).select("url", "user_id", "val")
+
+
+@q(
+    "hll_distinct_prefilter",
+    """
+    SELECT user_id, CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS distinct_cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(DISTINCT strftime(ts, '%Y-%m-%d')) >= 27
+    """,
+)
+def hll_distinct_prefilter(spark, sf_dir):
+    """Sketch-pruned exact distinct-count threshold
+    (operators/sketches.py, Flajolet HyperLogLog 2007): users active on
+    >= 27 distinct days. The HLL pass (2^13 mergeable registers per
+    group, built map-side with one max-combine shuffle) prunes groups
+    whose approx distinct is below the 6-sigma envelope; the exact
+    countDistinct then runs only on the survivors — at 100 TB the
+    exact pass touches a fraction of the keys while the answer stays
+    exact (the canonical two-pass HAVING-distinct plan). The engine's
+    analog of the reference's per-fileset completeness checks
+    (/root/reference/load/UpdateDBPFilesetTables.py:60-78) at a scale
+    where exact-first is unaffordable."""
+    from dbp_etl_spark.operators.sketches import hll_prefilter_groups
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return hll_prefilter_groups(ev, "user_id", "day", min_distinct=27, p=13).select(
+        "user_id", F.col("distinct_cnt").cast("long").alias("distinct_cnt")
+    )
+
+
+@q(
+    "cm_heavy_hitters",
+    """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def cm_heavy_hitters(spark, sf_dir):
+    """Sketch-pruned exact heavy hitters (operators/sketches.py,
+    Cormode-Muthukrishnan Count-Min 2005): customers with >= 12 orders.
+    The CM pass folds the whole table into depth x width counters
+    (bounded reduce state regardless of input size); because CM NEVER
+    underestimates, no true heavy hitter can be pruned — the follow-up
+    exact count runs only on candidates, so the result is provably
+    exact at any scale. Collisions only admit extra candidates (extra
+    work, never wrong rows)."""
+    from dbp_etl_spark.operators.sketches import cm_heavy_hitters_exact
+
+    orders = _t(spark, sf_dir, "orders")
+    return cm_heavy_hitters_exact(orders, "o_custkey", min_count=12).select(
+        "o_custkey", F.col("cnt").cast("long").alias("cnt")
+    )
