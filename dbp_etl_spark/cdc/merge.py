@@ -137,6 +137,7 @@ def _assemble_new_state(
     new_ts: Column,
     new_html: Column,
     new_payload,
+    include_carried: bool = True,
 ) -> DataFrame:
     """Build the complete new contents of the dirty buckets from the
     action-tagged join: carried rows by reference, ts-guarded
@@ -145,7 +146,11 @@ def _assemble_new_state(
     straight into the partitioned write (no post-UDF exchange). The
     event-stream and snapshot-compare paths differ only in the
     expressions they pass in (which actions carry, which instant
-    guards a tombstone, how a changed column resolves)."""
+    guards a tombstone, how a changed column resolves).
+
+    ``include_carried=False`` — the merge-on-read write shape: emit
+    ONLY the changed rows and tombstones (the delta file contents);
+    unchanged rows survive as base-file bytes that were never read."""
     key = table.key
     carried = in_dirty.filter(F.col("_action").isin(*carried_actions)).select(
         F.col(key),
@@ -183,6 +188,10 @@ def _assemble_new_state(
         *schema_names, "_bucket"
     )
     out_cols = [*schema_names, "_bucket"]
+    if not include_carried:
+        return tombstones.select(*out_cols).repartition(n_part, "_bucket").unionByName(
+            changed
+        )
     return (
         carried.select(*out_cols)
         .unionByName(tombstones.select(*out_cols))
@@ -526,6 +535,7 @@ def merge_batch(
             else F.col("_s_ts")
         )
 
+        mor = bool(table.manifest.get("merge_on_read"))
         new_state = _assemble_new_state(
             table,
             in_dirty,
@@ -539,6 +549,7 @@ def merge_batch(
             new_ts=new_ts,
             new_html=new_html,
             new_payload=_new_payload,
+            include_carried=not mor,
         )
         observed: dict = {}
 
@@ -554,7 +565,12 @@ def merge_batch(
             return dict(observed)
 
         _pre(counts, lineage_rows)
-        table.overwrite_buckets(
+        # merge-on-read: commit the churn as delta files (O(churn)
+        # bytes written); copy-on-write: rewrite the dirty buckets
+        # whole (O(dirty-bucket bytes)). Same new_state pipeline up to
+        # the carried branch; same atomic ledger-keyed commit.
+        writer = table.write_deltas if mor else table.overwrite_buckets
+        writer(
             new_state,
             dirty,
             batch_id,
@@ -718,6 +734,7 @@ def snapshot_batch(
         # inferred delete: tombstone guarded at the REPLACED row's ts —
         # late events older than what the snapshot superseded stay dead,
         # a strictly newer event resurrects (same rule as merge_batch)
+        mor = bool(table.manifest.get("merge_on_read"))
         new_state = _assemble_new_state(
             table,
             in_dirty,
@@ -733,11 +750,11 @@ def snapshot_batch(
             new_payload=lambda c: (
                 F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
             ),
+            include_carried=not mor,
         )
         _pre()
-        table.overwrite_buckets(
-            new_state, dirty, batch_id, summary=summary, pre_partitioned=True
-        )
+        writer = table.write_deltas if mor else table.overwrite_buckets
+        writer(new_state, dirty, batch_id, summary=summary, pre_partitioned=True)
         return MergeResult(
             batch_id=batch_id,
             counts=counts,

@@ -112,8 +112,21 @@ class LakeTable:
         num_buckets: int = 16,
         bloom_key: bool = False,
         stats_columns: list[str] | None = None,
+        merge_on_read: bool = False,
     ) -> "LakeTable":
         """Create an empty table.
+
+        ``merge_on_read=True``: MERGE commits write only the CHANGED
+        rows (upserts + tombstones) as sequence-numbered DELTA files
+        instead of rewriting whole dirty buckets — the Hudi-MOR /
+        Iceberg-v2 write path. Reads resolve per key (newest delta
+        wins, base rows shadowed) so results are identical to
+        copy-on-write; ``compact()`` folds deltas back into base files.
+        The trade at 100 TB: per-batch write cost drops from
+        O(dirty-bucket bytes) to O(churn) — with multi-GB buckets and
+        1%-churn batches that is a ~100x write-amplification cut — paid
+        for by a churn-sized merge at read time until the next
+        compaction. Default off: read-heavy tables want copy-on-write.
 
         ``stats_columns``: record per-file min/max/null-count bounds
         for these columns in the manifest at every write (Iceberg's
@@ -160,6 +173,8 @@ class LakeTable:
             "summary": {},
             "bloom_key": bloom_key,
         }
+        if merge_on_read:
+            manifest["merge_on_read"] = True
         if stats_columns:
             manifest["stats_col_ids"] = cls._resolve_stats_cols(schema, stats_columns)
         fs.create_text_exclusive(
@@ -355,12 +370,39 @@ class LakeTable:
                 empty = empty.drop("_deleted")
             return empty
 
-        # group files by the schema version they were written under,
-        # project each group to the current schema by column id
+        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
+        if delta_buckets:
+            # merge-on-read resolution, confined to buckets that hold
+            # delta files; every other bucket scans exactly as before
+            plain = [f for f in files if f["bucket"] not in delta_buckets]
+            out = self._resolve_mor(
+                manifest,
+                current,
+                cur_struct,
+                plain=plain,
+                base=[f for f in files if f["bucket"] in delta_buckets and not f.get("delta")],
+                deltas=[f for f in files if f.get("delta")],
+            )
+        else:
+            out = self._project_to_current(manifest, current, cur_struct, files)
+        if not include_deleted and "_deleted" in out.columns:
+            out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        if where:
+            out = out.filter(self._where_condition(where))
+        return out
+
+    def _project_to_current(
+        self, manifest: dict, current: TableSchema, cur_struct, files: list[dict]
+    ) -> DataFrame | None:
+        """Scan ``files`` projected to the current schema: files are
+        grouped by the schema version they were written under, each
+        group's columns mapped by COLUMN ID (rename/widen-safe), added
+        columns null-filled. Returns None for an empty file list."""
+        if not files:
+            return None
         by_ver: dict[int, list[str]] = {}
         for f in files:
             by_ver.setdefault(f["schema_version"], []).append(os.path.join(self.root, f["path"]))
-
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
             written = TableSchema.from_json(manifest["schemas"][str(ver)])
@@ -381,11 +423,65 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if not include_deleted and "_deleted" in out.columns:
-            out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
-        if where:
-            out = out.filter(self._where_condition(where))
         return out
+
+    def _resolve_mor(
+        self,
+        manifest: dict,
+        current: TableSchema,
+        cur_struct,
+        plain: list[dict],
+        base: list[dict],
+        deltas: list[dict],
+    ) -> DataFrame:
+        """Merge-on-read row resolution for delta-bearing buckets.
+
+        Invariant (maintained by the writers): base files of a bucket
+        are only ever written by operations that REPLACE the bucket
+        (merge copy-on-write, compact, rebucket, DML), which clears its
+        deltas — so within a bucket every delta row is newer than every
+        base row, and among deltas the commit sequence number orders
+        writes. Resolution is therefore: newest delta per key wins;
+        base rows survive only if no delta touches their key.
+
+        Physical shape: the per-key window runs over the DELTA rows
+        only (churn-sized, not table-sized); the base side then
+        anti-joins the resolved delta keys — with a compaction cadence
+        keeping deltas small, AQE turns that into a broadcast hash
+        anti-join, so the read adds no table-sized shuffle.
+        """
+        from pyspark.sql import Window
+
+        key = manifest["key"]
+        by_seq: dict[int, list[dict]] = {}
+        for f in deltas:
+            by_seq.setdefault(int(f["seq"]), []).append(f)
+        parts = [
+            self._project_to_current(manifest, current, cur_struct, group).withColumn(
+                "_mor_seq", F.lit(seq)
+            )
+            for seq, group in sorted(by_seq.items())
+        ]
+        delta_df = parts[0]
+        for p in parts[1:]:
+            delta_df = delta_df.unionByName(p)
+        w = Window.partitionBy(key).orderBy(F.col("_mor_seq").desc())
+        latest = (
+            delta_df.withColumn("_mor_rn", F.row_number().over(w))
+            .filter(F.col("_mor_rn") == 1)
+            .drop("_mor_seq", "_mor_rn")
+        )
+        base_df = self._project_to_current(manifest, current, cur_struct, base)
+        resolved = (
+            latest
+            if base_df is None
+            else base_df.join(latest.select(key), key, "left_anti").unionByName(latest)
+        )
+        plain_df = self._project_to_current(manifest, current, cur_struct, plain)
+        out = resolved if plain_df is None else plain_df.unionByName(resolved)
+        # the anti-join puts the key first; normalize to schema order so
+        # both read() branches present identical column order
+        return out.select(*current.names())
 
     # ---------------------------------------------------- file skipping
 
@@ -422,7 +518,20 @@ class LakeTable:
                     raise ValueError(f"unknown column in where: {col!r}")
                 preds_by_id.setdefault(name_to_id[col], []).append((op, val))
             tz = self._session_tz()
-            files = [f for f in files if file_may_match(f, preds_by_id, tz)]
+            # merge-on-read: per-file bounds cannot prune inside a
+            # delta-bearing bucket — a delta row SHADOWS its base row,
+            # so dropping the delta file (whose new value is out of
+            # range) while keeping the base file would resurrect the
+            # old value. Keep every file of such buckets; the residual
+            # filter after resolution keeps the result exact. Bucket-
+            # level key pruning below is unaffected (key -> bucket maps
+            # base and delta rows alike).
+            mor_buckets = {f["bucket"] for f in manifest["files"] if f.get("delta")}
+            files = [
+                f
+                for f in files
+                if f["bucket"] in mor_buckets or file_may_match(f, preds_by_id, tz)
+            ]
             key_buckets = self._key_buckets_from_where(where, manifest["num_buckets"], current)
             if key_buckets is not None:
                 buckets = (
@@ -880,6 +989,59 @@ class LakeTable:
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)
 
+    def write_deltas(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        batch_id,
+        summary: dict | None = None,
+        pre_partitioned: bool = False,
+        summary_fn=None,
+    ) -> "LakeTable":
+        """Merge-on-read commit: append ``df`` — the CHANGED rows only
+        (full-row upserts plus ``_deleted=True`` tombstones) — as
+        sequence-numbered DELTA files of ``buckets``. Existing files
+        carry forward by reference; nothing is rewritten.
+
+        The Hudi-MOR / Iceberg-v2 write primitive: per-batch write cost
+        is O(churn) instead of O(dirty-bucket bytes). ``read()``
+        resolves per key (newest delta wins, base rows shadowed — see
+        ``_resolve_mor``); any whole-bucket write (``compact``, DML,
+        ``rebucket``) folds the bucket's deltas back into base files.
+
+        The delta's sequence number is the commit's snapshot id —
+        within one commit the dedup invariant (one row per key) makes
+        finer ordering unnecessary, across commits snapshot ids are the
+        total order.
+        """
+        if not self.manifest.get("merge_on_read"):
+            raise ValueError("write_deltas requires a merge_on_read=True table")
+        if self.is_committed(batch_id):
+            return self
+        snap_id = self.snapshot_id + 1
+        ver = self.manifest["schema_version"]
+        new_files = self._write_data(df, snap_id, ver, pre_partitioned=pre_partitioned)
+        if summary_fn is not None:
+            summary = {**(summary or {}), **summary_fn()}
+        bset = set(buckets)
+        stray = {e["bucket"] for e in new_files} - bset
+        if stray:
+            raise ValueError(f"df contains rows for undeclared buckets {sorted(stray)}")
+        for e in new_files:
+            e["delta"] = True
+            e["seq"] = snap_id
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = snap_id
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["files"] = self.manifest["files"] + new_files
+        ledger = dict(self.manifest["committed_batches"])
+        ids = batch_id if isinstance(batch_id, (list, tuple)) else [batch_id]
+        for b in ids:
+            ledger[str(b)] = {"snapshot_id": snap_id, **(summary or {})}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = summary or {}
+        return self._commit(new_manifest)
+
     def append(self, df: DataFrame, batch_id, summary: dict | None = None) -> "LakeTable":
         """Append-only commit (bulk load path; no key semantics)."""
         if self.is_committed(batch_id):
@@ -1095,12 +1257,17 @@ class LakeTable:
         by_bucket: dict[int, int] = {}
         for f in self.manifest["files"]:
             by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        # a delta-bearing bucket always qualifies: folding its deltas
+        # into a base file removes the per-read merge, even if the file
+        # count alone would not justify a rewrite
+        delta_buckets = {f["bucket"] for f in self.manifest["files"] if f.get("delta")}
         cluster = sort_by or zorder_by
         min_files = 0 if cluster else 1
         targets = sorted(
             b
             for b, n in by_bucket.items()
-            if n > min_files and (buckets is None or b in buckets)
+            if (n > min_files or b in delta_buckets)
+            and (buckets is None or b in buckets)
         )
         if not targets:
             return self

@@ -1,0 +1,199 @@
+"""Merge-on-read: delta-file commits resolve identically to copy-on-write.
+
+The MOR table (Hudi-MOR / Iceberg-v2 analog) writes only the CHANGED
+rows per MERGE as sequence-numbered delta files; reads resolve per key
+(newest delta wins, base rows shadowed). These tests pin the contract:
+byte-identical visible state to a copy-on-write table fed the same
+batches, O(churn) write amplification, compaction folding, CDF over
+delta commits, and pruning safety (a delta must shadow its base row
+even when file bounds would prune the delta file).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbp_etl_spark.cdc import merge_batch
+from dbp_etl_spark.cdc.merge import snapshot_batch
+from dbp_etl_spark.lake import LakeTable, TableSchema
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def mk(spark, tmp_path, name, mor, **kw):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        TableSchema.from_struct(PAGES),
+        key="url",
+        num_buckets=8,
+        merge_on_read=mor,
+        **kw,
+    )
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op")
+
+
+BATCHES = [
+    [
+        ("u1", 100, b"<p>one</p>", "insert"),
+        ("u2", 100, b"<p>two</p>", "insert"),
+        ("u3", 100, b"<p>three</p>", "insert"),
+        ("u4", 100, b"<p>four</p>", "insert"),
+    ],
+    [
+        ("u1", 200, b"<p>one-v2</p>", "update"),
+        ("u2", 200, None, "delete"),
+        ("u5", 200, b"<p>five</p>", "insert"),
+    ],
+    [
+        ("u1", 150, b"<p>stale</p>", "update"),  # late: must stay suppressed
+        ("u2", 150, b"<p>zombie</p>", "insert"),  # older than tombstone
+        ("u3", 300, b"<p>three-v2</p>", "update"),
+    ],
+]
+
+
+def apply_all(spark, t, batches=BATCHES):
+    for i, rows in enumerate(batches):
+        merge_batch(t, ev(spark, rows), f"b{i}")
+        t = t.refresh()
+    return t
+
+
+def delta_entries(t):
+    return [f for f in t.manifest["files"] for _ in [0] if f.get("delta")]
+
+
+def test_mor_state_matches_cow(spark, tmp_path):
+    cow = apply_all(spark, mk(spark, tmp_path, "cow", mor=False))
+    mor = apply_all(spark, mk(spark, tmp_path, "mor", mor=True))
+    assert mor.state_hash() == cow.state_hash()
+    assert delta_entries(mor) and not delta_entries(cow)
+    # resolved read agrees row-for-row, deleted keys stay hidden
+    urls = {r["url"] for r in mor.read().collect()}
+    assert urls == {"u1", "u3", "u4", "u5"}
+    row = {r["url"]: bytes(r["html"]) for r in mor.read().collect()}
+    assert row["u1"] == b"<p>one-v2</p>"  # late b2 event lost
+    assert row["u3"] == b"<p>three-v2</p>"
+
+
+def test_mor_write_amplification_is_churn_sized(spark, tmp_path):
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True), BATCHES[:1])
+    base_paths = {f["path"] for f in t.manifest["files"]}
+    t = t.refresh()
+    merge_batch(t, ev(spark, BATCHES[1]), "b-churn")
+    t = t.refresh()
+    # every pre-existing file carried forward untouched; only deltas added
+    assert base_paths <= {f["path"] for f in t.manifest["files"]}
+    added = [f for f in t.manifest["files"] if f["path"] not in base_paths]
+    assert added and all(f.get("delta") and f["seq"] == t.snapshot_id for f in added)
+    # the delta bytes hold exactly the churn: 2 upserts + 1 tombstone
+    n = sum(
+        t.spark.read.parquet(str(tmp_path / "t" / f["path"])).count() for f in added
+    )
+    assert n == 3
+
+
+def test_mor_compact_folds_deltas(spark, tmp_path):
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True))
+    before = t.state_hash()
+    assert delta_entries(t)
+    t = t.compact("compact-1")
+    assert not delta_entries(t)
+    assert t.state_hash() == before
+    # post-compaction merge starts a fresh delta generation
+    t = t.refresh()
+    merge_batch(t, ev(spark, [("u9", 400, b"<p>nine</p>", "insert")]), "b9")
+    t = t.refresh()
+    assert delta_entries(t)
+    assert {r["url"] for r in t.read().collect()} >= {"u9"}
+
+
+def test_mor_where_does_not_resurrect_shadowed_base(spark, tmp_path):
+    # stats-pruning trap: u1's update moves warc_ts out of the base
+    # file's bounds — pruning the delta file while keeping the base
+    # would resurrect the OLD row inside the predicate range
+    t = mk(spark, tmp_path, "t", mor=True, stats_columns=["warc_ts"])
+    t = apply_all(spark, t)
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in t.read(where=[("warc_ts", "<=", __import__("datetime").datetime.utcfromtimestamp(150))]).collect()
+    }
+    # u1 was updated to ts=200: it must NOT appear in a <=150 scan
+    assert "u1" not in got
+    assert set(got) == {"u4"}  # u2 deleted, u3 updated to 300, u5 at 200
+
+
+def test_mor_cdf_matches_cow(spark, tmp_path):
+    cow = apply_all(spark, mk(spark, tmp_path, "cow", mor=False))
+    mor = apply_all(spark, mk(spark, tmp_path, "mor", mor=True))
+
+    def feed(t):
+        rows = t.read_changes(1, t.snapshot_id).collect()
+        return sorted(
+            (r["url"], r["_change_type"], bytes(r["html"]) if r["html"] else None)
+            for r in rows
+        )
+
+    assert feed(mor) == feed(cow)
+
+
+def test_mor_dml_and_vacuum_fold_buckets(spark, tmp_path):
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True))
+    t = t.delete_where(F.col("url") == "u4", "dml-1")
+    assert {r["url"] for r in t.read().collect()} == {"u1", "u3", "u5"}
+    # the rewritten bucket's deltas folded; others may keep theirs
+    b_u4 = t.read(include_deleted=True)  # sanity: tombstone present
+    assert b_u4.filter((F.col("url") == "u4") & F.col("_deleted")).count() == 1
+
+
+def test_mor_replay_and_empty_batch(spark, tmp_path):
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True))
+    h = t.state_hash()
+    snap = t.snapshot_id
+    r = merge_batch(t, ev(spark, BATCHES[1]), "b1")  # same batch id: replay
+    assert r.skipped and t.snapshot_id == snap
+    # late-only batch: no delta file written, still ledger-committed
+    r2 = merge_batch(t, ev(spark, [("u1", 90, b"<p>old</p>", "update")]), "b-late")
+    t = t.refresh()
+    assert t.is_committed("b-late")
+    assert t.state_hash() == h
+
+
+def test_mor_snapshot_compare(spark, tmp_path):
+    t = mk(spark, tmp_path, "t", mor=True)
+    t = apply_all(spark, t, BATCHES[:1])
+
+    snap = spark.createDataFrame(
+        [("u1", 500, b"<p>one-snap</p>"), ("u2", 100, b"<p>two</p>")],
+        "url string, ts long, html binary",
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html")
+    t = t.refresh()
+    snapshot_batch(t, snap, "s1")
+    t = t.refresh()
+    assert {r["url"] for r in t.read().collect()} == {"u1", "u2"}
+    assert delta_entries(t)  # snapshot churn landed as deltas
+    # idempotent re-apply: empty diff, no new snapshot files
+    files_before = len(t.manifest["files"])
+    snapshot_batch(t, snap, "s2")
+    t = t.refresh()
+    assert len(t.manifest["files"]) == files_before
+
+
+def test_write_deltas_rejects_cow_table(spark, tmp_path):
+    t = mk(spark, tmp_path, "t", mor=False)
+    with pytest.raises(ValueError, match="merge_on_read"):
+        t.write_deltas(t.read().limit(0), [], "x")
