@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     # Round-4 rotation: new-this-round queries first, then the 13 whose
     # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
     # #2), so the driver's 50-query prefix re-verifies all of them.
+    "mor_delta_merge_state",
     "hll_distinct_prefilter",
     "cm_heavy_hitters",
     "stats_pruned_range_scan",

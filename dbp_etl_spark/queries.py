@@ -2857,3 +2857,103 @@ def cm_heavy_hitters(spark, sf_dir):
     return cm_heavy_hitters_exact(orders, "o_custkey", min_count=12).select(
         "o_custkey", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+@q(
+    "mor_delta_merge_state",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT 'https://m.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val,
+           CAST(length('<html><body><p>m' || CAST(event_id AS VARCHAR)
+                       || '</p></body></html>') AS BIGINT) AS html_len
+    FROM latest WHERE op <> 'delete'
+    """,
+)
+def mor_delta_merge_state(spark, sf_dir):
+    """Merge-on-read END-TO-END (lake/table.py write_deltas/_resolve_mor;
+    the Hudi-MOR / Iceberg-v2 write path vs. the reference's full
+    row-rewrite updates, /root/reference/load/UpdateDBPFilesetTables.py:306-377):
+    apply the events log as weekly CDC batches onto a
+    ``merge_on_read=True`` table — every MERGE commits only the churn
+    as sequence-numbered delta files — then read the final state
+    through per-key delta resolution (newest delta wins, base rows
+    shadowed). The query RAISES unless delta files were actually
+    written, and RAISES if compacting them back into base files changes
+    the state hash — the driver's green row therefore certifies the
+    delta write path, the read-time resolution, AND compaction folding
+    against the plain latest-state-per-key oracle. At 10^10 rows this
+    is the write path where a 1%-churn batch costs O(churn) instead of
+    O(dirty-bucket bytes)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("update")
+    changes = ev.select(
+        F.concat(F.lit("https://m.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            op != "delete",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>m"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ).alias("html"),
+        F.when(op != "delete", F.round("value", 2)).alias("val"),
+        op.alias("op"),
+        # ts-aligned weekly batches: batch order == event-time order, so
+        # sequential batch apply equals the global ts-order fold
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="mor_merge_")
+    table = LakeTable.create(
+        spark, f"{root}/pages", schema, key="url", num_buckets=8, merge_on_read=True
+    )
+    CDCRunner(table).run(changes)
+    if not any(f.get("delta") for f in table.manifest["files"]):
+        raise RuntimeError("merge-on-read path not engaged: no delta files written")
+    out = table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
+    resolved = out.persist()
+    resolved.count()  # pin the MOR-resolved result before compaction
+    pre_hash = table.state_hash()
+    table.compact("mor-fold")
+    if any(f.get("delta") for f in table.manifest["files"]):
+        raise RuntimeError("compact() left delta files unfolded")
+    if table.state_hash() != pre_hash:
+        raise RuntimeError("compaction changed table contents")
+    return resolved
