@@ -245,6 +245,12 @@ def bench_default() -> dict:
     fused = run_cdc_pipeline(spark, CDC_EVENTS, work_dir=tmpfs, fuse=CDC_BATCHES)
     assert fused["state_hash"] == cdc["state_hash"], "fused apply diverged"
 
+    # merge-on-read vs copy-on-write on a low-churn batch (the regime
+    # the per-batch leg above cannot show: its batches touch ~every key)
+    mor_ab = None
+    if os.environ.get("BENCH_SKIP_MOR") != "1":
+        mor_ab = run_mor_ab(spark, work_dir=tmpfs)
+
     total = round(time.time() - t_all, 3)
     out = {
         "metric": "bench_total_wall",
@@ -265,8 +271,106 @@ def bench_default() -> dict:
         "host_probe_sec_before_cdc": probe_before,
         "host_probe_sec_after_cdc": probe_after,
     }
+    if mor_ab is not None:
+        out["mor_ab"] = mor_ab
     spark.stop()
     return out
+
+
+def run_mor_ab(
+    spark,
+    work_dir: str | None = None,
+    n_urls: int = 200_000,
+    churn_events: int = 2_000,
+    num_buckets: int = 32,
+) -> dict:
+    """Write-amplification A/B: the SAME 1%-churn MERGE batch applied
+    to two identically seeded+compacted tables — copy-on-write rewrites
+    every dirty bucket (~the whole table at 32 buckets), merge-on-read
+    commits only the churn as delta files. Final resolved state must be
+    byte-identical. Bytes-written is the scale-relevant figure: at the
+    100 TB design point (multi-GB buckets, 1%-churn batches) that ratio
+    IS the per-batch write-IO cut; wall-clock at test scale understates
+    it because the join/planning floor dominates tiny writes. The read
+    walls show the other side of the trade: the MOR read pays the
+    per-key delta resolution until the next compaction."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bench_mor_", dir=work_dir)
+    try:
+        seed_ev = CDCRunner.stage_by_batch(
+            generate_changes(
+                spark, 2 * n_urls, n_urls, n_batches=1, hot_fraction_pct=0, seed=7
+            ),
+            f"{root}/seed",
+        )
+        # churn batch: same url space, every event strictly newer than
+        # the seed window so each becomes a real update/delete
+        churn = (
+            generate_changes(
+                spark,
+                churn_events,
+                n_urls,
+                n_batches=1,
+                update_pct=90,
+                delete_pct=5,
+                hot_fraction_pct=0,
+                seed=8,
+            )
+            .withColumn(
+                "warc_ts",
+                F.timestamp_seconds(F.unix_timestamp("warc_ts") + F.lit(10_000_000)),
+            )
+            .withColumn("batch_id", F.lit(1))
+        )
+        churn_ev = CDCRunner.stage_by_batch(churn, f"{root}/churn")
+        out: dict = {"churn_events": churn_events, "seeded_urls": n_urls}
+        hashes = {}
+        for mode, mor in (("cow", False), ("mor", True)):
+            t = LakeTable.create(
+                spark,
+                f"{root}/{mode}",
+                schema,
+                key="url",
+                num_buckets=num_buckets,
+                merge_on_read=mor,
+            )
+            runner = CDCRunner(t, salt_buckets=32, lineage_mode="global")
+            runner.run(seed_ev)
+            t.compact("seed-fold")  # production cadence: seed lands as base files
+            before = {f_["path"] for f_ in t.manifest["files"]}
+            t0 = time.time()
+            runner.run(churn_ev)
+            out[f"{mode}_churn_batch_sec"] = round(time.time() - t0, 3)
+            added = [f_ for f_ in t.manifest["files"] if f_["path"] not in before]
+            out[f"{mode}_churn_bytes_written"] = sum(
+                os.path.getsize(os.path.join(t.root, f_["path"])) for f_ in added
+            )
+            t0 = time.time()
+            hashes[mode] = t.state_hash()
+            out[f"{mode}_read_sec"] = round(time.time() - t0, 3)
+        assert hashes["cow"] == hashes["mor"], "merge-on-read diverged from copy-on-write"
+        out["write_amplification_ratio"] = round(
+            out["cow_churn_bytes_written"] / max(out["mor_churn_bytes_written"], 1), 1
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def bench_scaling(levels=(4, 16), n_events: int | None = None) -> dict:
