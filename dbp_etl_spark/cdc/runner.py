@@ -67,6 +67,7 @@ class CDCRunner:
         expire_keep_last: int = 8,
         patch_ops: bool = False,
         retry_conflicts: int = 0,
+        compact_every: int | None = None,
     ):
         self.table = table
         self.errors_path = errors_path
@@ -94,7 +95,16 @@ class CDCRunner:
         # ``table.lock = FileLockService(...)`` on stores whose
         # exclusive create is check-then-act.
         self.retry_conflicts = retry_conflicts
+        # ``compact_every=N``: compact after every N applied groups —
+        # the maintenance cadence that keeps merge-on-read deltas (and
+        # copy-on-write small files) bounded on a long tail. compact()
+        # folds delta files into base and is ledger-keyed per head, so
+        # a crash mid-compaction replays as a no-op. On MOR tables this
+        # IS the knob that bounds read-time resolution cost: between
+        # compactions a read merges at most N batches' churn.
+        self.compact_every = compact_every
         self._applied_since_expiry = 0
+        self._applied_since_compact = 0
 
     @staticmethod
     def stage_by_batch(
@@ -243,11 +253,7 @@ class CDCRunner:
             )
         )
         report.results.append(res)
-        if self.expire_every is not None and not res.skipped:
-            self._applied_since_expiry += 1
-            if self._applied_since_expiry >= self.expire_every:
-                self.table.expire_snapshots(keep_last=self.expire_keep_last)
-                self._applied_since_expiry = 0
+        self._maintenance(res)
 
     def apply_snapshot(self, snapshot: DataFrame, batch_id) -> MergeResult:
         """Snapshot-compare mode: make the table equal a FULL dimension
@@ -271,13 +277,24 @@ class CDCRunner:
                 pre_commit=self._side_outputs,
             )
         )
-        if not res.skipped:
-            if self.expire_every is not None:
-                self._applied_since_expiry += 1
-                if self._applied_since_expiry >= self.expire_every:
-                    self.table.expire_snapshots(keep_last=self.expire_keep_last)
-                    self._applied_since_expiry = 0
+        self._maintenance(res)
         return res
+
+    def _maintenance(self, res: MergeResult) -> None:
+        """Post-apply cadences: compaction first (its commit is then
+        covered by the same expiry window), snapshot expiry second."""
+        if res.skipped:
+            return
+        if self.compact_every is not None:
+            self._applied_since_compact += 1
+            if self._applied_since_compact >= self.compact_every:
+                self.table.compact(f"auto-compact-{self.table.snapshot_id}")
+                self._applied_since_compact = 0
+        if self.expire_every is not None:
+            self._applied_since_expiry += 1
+            if self._applied_since_expiry >= self.expire_every:
+                self.table.expire_snapshots(keep_last=self.expire_keep_last)
+                self._applied_since_expiry = 0
 
     def _with_conflict_retry(self, apply_fn):
         """Run ``apply_fn``, retrying up to ``retry_conflicts`` times on

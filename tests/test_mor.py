@@ -197,3 +197,49 @@ def test_write_deltas_rejects_cow_table(spark, tmp_path):
     t = mk(spark, tmp_path, "t", mor=False)
     with pytest.raises(ValueError, match="merge_on_read"):
         t.write_deltas(t.read().limit(0), [], "x")
+
+
+def test_runner_auto_compact_bounds_deltas(spark, tmp_path):
+    """compact_every=N: between compactions a MOR read resolves at most
+    N batches' deltas; the cadence commit is ledger-keyed and content-
+    invariant. Final state matches an uncompacted COW apply."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+
+    events = generate_changes(spark, 3000, 150, n_batches=4, seed=13)
+    mor = mk(spark, tmp_path, "mor", mor=True)
+    CDCRunner(mor, compact_every=2).run(events)
+    # 4 batches, compaction after batch 2 and 4: nothing left unfolded
+    assert not delta_entries(mor)
+    assert any(
+        k.startswith("auto-compact-") for k in mor.committed_batches()
+    )
+    cow = mk(spark, tmp_path, "cow", mor=False)
+    CDCRunner(cow).run(events)
+    assert mor.state_hash() == cow.state_hash()
+
+
+def test_stream_onto_mor_table_matches_cow(spark, tmp_path):
+    """The streaming tail shares merge_batch, so a MOR sink composes:
+    microbatch epochs land as delta commits, resolved state equals the
+    batch COW apply of the same log."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+    from dbp_etl_spark.streaming import run_stream
+
+    events = generate_changes(spark, 2000, 100, n_batches=3, seed=17)
+    src = str(tmp_path / "changes")
+    events.repartition(3, "batch_id").write.parquet(src)
+
+    mor = mk(spark, tmp_path, "mor_stream", mor=True)
+    q = run_stream(
+        spark,
+        src,
+        mor,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert delta_entries(mor)  # epochs committed through the delta path
+
+    cow = mk(spark, tmp_path, "cow_batch", mor=False)
+    CDCRunner(cow).run(events.withColumn("batch_id", F.lit(0)))
+    assert mor.state_hash() == cow.state_hash()
