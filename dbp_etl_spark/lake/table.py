@@ -978,6 +978,7 @@ class LakeTable:
         new_manifest["snapshot_id"] = snap_id
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["files"] = kept + new_files
+        self._unmigrate(new_manifest, bset)
         ledger = dict(self.manifest["committed_batches"])
         # a list batch_id = fused group commit: every member id is
         # recorded in the SAME atomic manifest swing, so replay of any
@@ -1034,6 +1035,9 @@ class LakeTable:
         new_manifest["snapshot_id"] = snap_id
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["files"] = self.manifest["files"] + new_files
+        # a delta under the old spec re-dirties its bucket's migration
+        # (the flip needs every file new-spec-tagged)
+        self._unmigrate(new_manifest, {e["bucket"] for e in new_files})
         ledger = dict(self.manifest["committed_batches"])
         ids = batch_id if isinstance(batch_id, (list, tuple)) else [batch_id]
         for b in ids:
@@ -1052,6 +1056,7 @@ class LakeTable:
         new_manifest["snapshot_id"] = snap_id
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["files"] = self.manifest["files"] + new_files
+        self._unmigrate(new_manifest, {e["bucket"] for e in new_files})
         ledger = dict(self.manifest["committed_batches"])
         ledger[str(batch_id)] = {"snapshot_id": snap_id, **(summary or {})}
         new_manifest["committed_batches"] = ledger
@@ -1261,12 +1266,27 @@ class LakeTable:
         # into a base file removes the per-read merge, even if the file
         # count alone would not justify a rewrite
         delta_buckets = {f["bucket"] for f in self.manifest["files"] if f.get("delta")}
+        # an in-flight incremental rebucket deliberately splits each
+        # migrated bucket into k new-spec files — folding them back to
+        # one old-spec file would undo the migration, so skip buckets
+        # whose files are ALL new-spec-tagged (a delta or old-spec file
+        # in the mix makes the bucket eligible again)
+        migrated_clean = set()
+        mig = self.manifest.get("migration")
+        if mig:
+            tagged: dict[int, bool] = {}
+            for f in self.manifest["files"]:
+                tagged[f["bucket"]] = tagged.get(f["bucket"], True) and f.get(
+                    "new_spec"
+                ) == mig["to"]
+            migrated_clean = {b for b, ok in tagged.items() if ok}
         cluster = sort_by or zorder_by
         min_files = 0 if cluster else 1
         targets = sorted(
             b
             for b, n in by_bucket.items()
             if (n > min_files or b in delta_buckets)
+            and b not in migrated_clean
             and (buckets is None or b in buckets)
         )
         if not targets:
@@ -1347,6 +1367,8 @@ class LakeTable:
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["num_buckets"] = new_num_buckets
         new_manifest["files"] = new_files
+        # a full rewrite supersedes any in-flight incremental migration
+        new_manifest.pop("migration", None)
         ledger = dict(self.manifest["committed_batches"])
         ledger[str(batch_id)] = {"snapshot_id": snap_id}
         new_manifest["committed_batches"] = ledger
@@ -1354,6 +1376,133 @@ class LakeTable:
             "rebucket": {"from": self.num_buckets, "to": new_num_buckets}
         }
         return self._commit(new_manifest)
+
+    # ------------------------------------------- incremental rebucket
+
+    def migrate_to_buckets(
+        self, new_num_buckets: int, batch_id, max_buckets: int | None = None
+    ) -> "LakeTable":
+        """One step of an ONLINE bucket-count migration B -> k*B.
+
+        ``rebucket`` rewrites the whole table in one commit — at the
+        100 TB design point that is a single job no commit window can
+        hold. This is the incremental form, built on the pigeonhole
+        property of growing by an integer factor: with ``new = k*B``
+        and ``bucket = hash % n``, old bucket ``b`` is exactly the
+        union of new buckets ``{b + i*B : i < k}``. Each step rewrites
+        up to ``max_buckets`` not-yet-migrated old buckets, SPLITTING
+        their rows by the new spec into k files each; the file entries
+        keep the OLD bucket id (so every reader, MERGE candidate probe
+        and pruning path is untouched mid-migration) plus a
+        ``new_bucket`` tag recording the file's new-spec home. Any
+        write to a bucket (MERGE copy-on-write, deltas, DML, compact)
+        un-migrates it — migration converges while ingestion continues
+        as long as the migration rate outpaces churn. When every old
+        bucket is migrated, the SAME step flips ``num_buckets`` by
+        metadata alone: each file entry's bucket becomes its
+        ``new_bucket``. Per-file stats tighten immediately per step
+        (k smaller files = tighter bounds), the pruning/rewrite gain
+        lands at the flip.
+
+        Idempotent per ``batch_id`` (ledger-keyed); call repeatedly
+        (e.g. one step per maintenance window) until
+        ``migration_status()`` reports done.
+        """
+        B = self.num_buckets
+        if new_num_buckets == B and self.manifest.get("migration") is None:
+            return self  # already at target: repeated maintenance calls no-op
+        if new_num_buckets <= B or new_num_buckets % B != 0:
+            raise ValueError(
+                f"incremental migration requires an integer multiple > current "
+                f"({B}); got {new_num_buckets} (use rebucket() for arbitrary counts)"
+            )
+        mig = self.manifest.get("migration")
+        if mig is not None and mig["to"] != new_num_buckets:
+            raise ValueError(
+                f"migration to {mig['to']} already in progress; finish or rebucket()"
+            )
+        if self.is_committed(batch_id):
+            return self
+        done = set(mig["done"]) if mig else set()
+        all_buckets = sorted({f["bucket"] for f in self.manifest["files"]})
+        todo = [b for b in all_buckets if b not in done]
+        if max_buckets is not None:
+            todo = todo[: max(1, max_buckets)]
+        snap_id = self.snapshot_id + 1
+        new_entries: list[dict] = []
+        if todo:
+            new_bucket = F.pmod(F.xxhash64(F.col(self.key)), F.lit(new_num_buckets)).cast(
+                "int"
+            )
+            rows = (
+                self.read(buckets=todo, include_deleted=True)
+                .withColumn("_bucket", new_bucket)
+                .repartition("_bucket")
+            )
+            ver = self.manifest["schema_version"]
+            new_entries = self._write_data(rows, snap_id, ver, pre_partitioned=True)
+            for e in new_entries:
+                e["new_bucket"] = e["bucket"]
+                e["new_spec"] = new_num_buckets  # guards the flip against
+                e["bucket"] = e["new_bucket"] % B  # stale tags of an old run
+        tset = set(todo)
+        kept = [f for f in self.manifest["files"] if f["bucket"] not in tset]
+        done = done | tset
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = snap_id
+        new_manifest["parent_id"] = self.snapshot_id
+        files = kept + new_entries
+        # migration complete when every CURRENT bucket's files are
+        # new-spec-tagged (buckets written since their migration were
+        # un-migrated by the writer and re-enter todo on a later step)
+        complete = all(f.get("new_spec") == new_num_buckets for f in files)
+        if complete:
+            files = [dict(f) for f in files]
+            for f in files:
+                f["bucket"] = f.pop("new_bucket")
+                f.pop("new_spec", None)
+            new_manifest["num_buckets"] = new_num_buckets
+            new_manifest.pop("migration", None)
+            new_manifest["summary"] = {
+                "migration_flip": {"from": B, "to": new_num_buckets}
+            }
+        else:
+            new_manifest["migration"] = {
+                "to": new_num_buckets,
+                "done": sorted(done),
+            }
+            new_manifest["summary"] = {
+                "migration_step": {"buckets": sorted(tset), "to": new_num_buckets}
+            }
+        new_manifest["files"] = files
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(batch_id)] = {"snapshot_id": snap_id, **new_manifest["summary"]}
+        new_manifest["committed_batches"] = ledger
+        return self._commit(new_manifest)
+
+    def migration_status(self) -> dict | None:
+        """Progress of an in-flight incremental rebucket, else None."""
+        mig = self.manifest.get("migration")
+        if mig is None:
+            return None
+        all_buckets = {f["bucket"] for f in self.manifest["files"]}
+        done = set(mig["done"]) & all_buckets
+        return {
+            "to": mig["to"],
+            "migrated": len(done),
+            "total": len(all_buckets),
+            "remaining": sorted(all_buckets - done),
+        }
+
+    @staticmethod
+    def _unmigrate(new_manifest: dict, written_buckets: set) -> None:
+        """A write under the OLD spec re-dirties a migrated bucket: drop
+        it from the migration's done set so a later step re-splits it."""
+        mig = new_manifest.get("migration")
+        if mig and written_buckets:
+            mig = dict(mig)
+            mig["done"] = [b for b in mig["done"] if b not in written_buckets]
+            new_manifest["migration"] = mig
 
     def vacuum_tombstones(self, older_than_ts, batch_id) -> "LakeTable":
         """Drop tombstone rows whose warc_ts < older_than_ts (the
@@ -1758,8 +1907,14 @@ class LakeTable:
         new_manifest["schema_version"] = old["schema_version"]
         # layout is part of the restored state: the target's files carry
         # bucket ids assigned under ITS bucket function — pairing them
-        # with a later rebucket's count would corrupt pruning and merges
+        # with a later rebucket's count would corrupt pruning and merges.
+        # Ditto any in-flight incremental migration: its progress set
+        # describes the target's files, not the head's
         new_manifest["num_buckets"] = old["num_buckets"]
+        if "migration" in old:
+            new_manifest["migration"] = old["migration"]
+        else:
+            new_manifest.pop("migration", None)
         ledger = dict(old["committed_batches"])
         ledger[str(bid)] = {"snapshot_id": snap_id}
         new_manifest["committed_batches"] = ledger

@@ -53,6 +53,12 @@ def main() -> int:
     s = sub.add_parser("rebucket")
     s.add_argument("--num-buckets", type=int, required=True)
 
+    # one step of the online B -> k*B migration; run once per
+    # maintenance window until the reported status flips to done
+    s = sub.add_parser("migrate")
+    s.add_argument("--num-buckets", type=int, required=True)
+    s.add_argument("--max-buckets", type=int, default=None, help="buckets per step")
+
     s = sub.add_parser("rollback")
     s.add_argument("--to", type=int, required=True, help="target snapshot id")
 
@@ -111,6 +117,17 @@ def main() -> int:
             batch_id=bid or f"rebucket-{args.num_buckets}-from-{t.snapshot_id}",
         )
         out = {"snapshot_id": t.snapshot_id, "num_buckets": t.num_buckets}
+    elif args.cmd == "migrate":
+        t = t.migrate_to_buckets(
+            args.num_buckets,
+            batch_id=bid or f"migrate-{args.num_buckets}-from-{t.snapshot_id}",
+            max_buckets=args.max_buckets,
+        )
+        out = {
+            "snapshot_id": t.snapshot_id,
+            "num_buckets": t.num_buckets,
+            "status": t.migration_status() or "done",
+        }
     elif args.cmd == "rollback":
         t = t.rollback_to(args.to, batch_id=bid)
         out = {"snapshot_id": t.snapshot_id, "rolled_back_to": args.to}
