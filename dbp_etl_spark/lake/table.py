@@ -449,6 +449,15 @@ class LakeTable:
         anti-joins the resolved delta keys — with a compaction cadence
         keeping deltas small, AQE turns that into a broadcast hash
         anti-join, so the read adds no table-sized shuffle.
+
+        Plan audit (.explain on a 5000-base/50-delta table): base =
+        Scan + BroadcastHashJoin LeftAnti (zero base shuffle); delta
+        window gets WindowGroupLimit partial+final (top-1 trimmed
+        BEFORE its churn-sized exchange); the anti-join key branch
+        column-prunes its delta scan to the key alone. The window is
+        evaluated once per consuming branch (key branch reads 1
+        column, resolved branch reads all) — cheaper than persisting
+        full resolved rows at churn scale.
         """
         from pyspark.sql import Window
 
@@ -542,6 +551,21 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if where:
+            # mid-migration bonus pruning: a migrated file also records
+            # its NEW-spec bucket, so a key-equality scan narrows inside
+            # the old bucket to the exact 1-of-k sub-file — the finer
+            # layout pays off per step, before the flip
+            specs = sorted({f["new_spec"] for f in files if f.get("new_spec")})
+            for spec in specs:
+                nb = self._key_buckets_from_where(where, spec, current)
+                if nb is not None:
+                    nbs = set(nb)
+                    files = [
+                        f
+                        for f in files
+                        if f.get("new_spec") != spec or f["new_bucket"] in nbs
+                    ]
         return files
 
     def _session_tz(self):

@@ -160,3 +160,23 @@ def test_rollback_restores_migration_progress(spark, tmp_path):
             break
         t = t.migrate_to_buckets(8, f"r{i}", max_buckets=2)
     assert t.num_buckets == 8
+
+
+def test_point_lookup_prunes_to_subbucket_mid_migration(spark, tmp_path):
+    """Before the flip, a key-equality read on a migrated bucket scans
+    exactly its 1-of-k new-spec file (plus nothing else); unmigrated
+    buckets still scan whole. Result identical either way."""
+    t = seed(spark, mk(spark, tmp_path), n=80)
+    t = t.migrate_to_buckets(8, "m0", max_buckets=2)
+    migrated = set(t.manifest["migration"]["done"])
+    probe = spark.createDataFrame([(f"u{i}",) for i in range(80)], "url string")
+    key_rows = probe.withColumn("b", t.bucket_expr("url")).collect()
+    url = next(r["url"] for r in key_rows if r["b"] in migrated)
+    cand = t.candidate_files(where=[("url", "=", url)])
+    assert len(cand) == 1 and "new_bucket" in cand[0]
+    got = t.read(where=[("url", "=", url)]).collect()
+    assert len(got) == 1 and got[0]["url"] == url
+    # an unmigrated bucket's lookup is old-spec-wide, still correct
+    url2 = next(r["url"] for r in key_rows if r["b"] not in migrated)
+    got2 = t.read(where=[("url", "=", url2)]).collect()
+    assert len(got2) == 1 and got2[0]["url"] == url2
