@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
     # #2), so the driver's 50-query prefix re-verifies all of them.
     "mor_delta_merge_state",
+    "migrate_online_rebucket",
     "hll_distinct_prefilter",
     "cm_heavy_hitters",
     "stats_pruned_range_scan",

@@ -2957,3 +2957,102 @@ def mor_delta_merge_state(spark, sf_dir):
     if table.state_hash() != pre_hash:
         raise RuntimeError("compaction changed table contents")
     return resolved
+
+
+@q(
+    "migrate_online_rebucket",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT 'https://g.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val,
+           CAST(length('<html><body><p>g' || CAST(event_id AS VARCHAR)
+                       || '</p></body></html>') AS BIGINT) AS html_len
+    FROM latest WHERE op <> 'delete'
+    """,
+)
+def migrate_online_rebucket(spark, sf_dir):
+    """Online incremental rebucket END-TO-END (lake/table.py
+    migrate_to_buckets; the commit-window-sized sibling of rebucket()'s
+    atomic full rewrite): seed a table at 8 buckets from the pre-cutoff
+    events, run two 3-bucket migration steps toward 32, apply the
+    post-cutoff events as a live MERGE IN THE MIDDLE of the migration
+    (its writes un-migrate the buckets they touch), then keep stepping
+    until the metadata-only flip lands. The query RAISES unless the
+    table actually flipped to 32 buckets through incremental steps, and
+    the returned state — read under the NEW spec — must equal the plain
+    latest-state fold of the whole log. At 100 TB this is how a table
+    outgrows its create-time layout without a single un-commitable
+    rewrite job."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    cutoff = "2024-01-30 12:00:00"
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("update")
+    changes = ev.select(
+        F.concat(F.lit("https://g.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            op != "delete",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>g"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ).alias("html"),
+        F.when(op != "delete", F.round("value", 2)).alias("val"),
+        op.alias("op"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="migrate_q_")
+    table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
+    runner = CDCRunner(table)
+    runner.run(changes.filter(F.col("warc_ts") < cutoff))
+    table.migrate_to_buckets(32, "mig-0", max_buckets=3)
+    table.migrate_to_buckets(32, "mig-1", max_buckets=3)
+    if table.migration_status() is None:
+        raise RuntimeError("incremental migration did not engage")
+    # live ingestion mid-migration: this MERGE un-migrates what it touches
+    runner.run(
+        changes.filter(F.col("warc_ts") >= cutoff).withColumn("batch_id", F.lit(1))
+    )
+    for i in range(2, 40):
+        if table.num_buckets == 32:
+            break
+        table.migrate_to_buckets(32, f"mig-{i}", max_buckets=3)
+    if table.num_buckets != 32 or table.migration_status() is not None:
+        raise RuntimeError("migration failed to converge to the flip")
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
