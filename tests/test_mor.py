@@ -243,3 +243,41 @@ def test_stream_onto_mor_table_matches_cow(spark, tmp_path):
     cow = mk(spark, tmp_path, "cow_batch", mor=False)
     CDCRunner(cow).run(events.withColumn("batch_id", F.lit(0)))
     assert mor.state_hash() == cow.state_hash()
+
+
+def test_mor_patch_ops_parity_with_cow(spark, tmp_path):
+    """Sparse patch events onto a MOR table: the ladder reads the
+    RESOLVED target (base shadowed by deltas), overlays per column, and
+    writes the full resolved row as a new delta — identical final state
+    to a COW apply of the same log, including an untouched column
+    surviving two generations of deltas."""
+    from dbp_etl_spark.cdc import CDCRunner
+
+    def pev(rows):
+        return spark.createDataFrame(
+            rows, "url string, ts long, html binary, score double, op string, batch_id long"
+        ).select(
+            "url",
+            F.timestamp_seconds("ts").alias("warc_ts"),
+            "html",
+            "score",
+            "op",
+            "batch_id",
+        )
+
+    log = [
+        ("u1", 100, b"<p>a</p>", 1.5, "insert", 0),
+        ("u2", 100, b"<p>b</p>", 2.5, "insert", 0),
+        ("u1", 200, None, 9.9, "patch", 1),  # score only
+        ("u1", 300, b"<p>a-v2</p>", None, "patch", 2),  # html only
+        ("u2", 250, None, None, "delete", 2),
+    ]
+    mor = mk(spark, tmp_path, "mor", mor=True)
+    mor = LakeTable.load(spark, mor.root).add_column("score", "double")
+    CDCRunner(mor, patch_ops=True).run(pev(log))
+    cow = mk(spark, tmp_path, "cow", mor=False).add_column("score", "double")
+    CDCRunner(cow, patch_ops=True).run(pev(log))
+    assert delta_entries(mor) and not delta_entries(cow)
+    assert mor.state_hash() == cow.state_hash()
+    s = {r["url"]: (r["text"], r["score"]) for r in mor.read().collect()}
+    assert s == {"u1": ("a-v2", 9.9)}
