@@ -115,11 +115,22 @@ def test_cdc_split_invariance_fuzzed(spark, tmp_path):
         tf = LakeTable.create(
             spark, str(tmp_path / f"f{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
         )
+        tm = LakeTable.create(
+            spark,
+            str(tmp_path / f"m{idx}"),
+            TableSchema.from_struct(PAGES),
+            num_buckets=4,
+            merge_on_read=True,
+        )
         CDCRunner(t1, salt_buckets=4).run(one)
         CDCRunner(tk, salt_buckets=0).run(df)  # also vary salting
         CDCRunner(tf, salt_buckets=4).run(df, fuse=2)  # fused pairs
+        # merge-on-read with a mid-tail compaction cadence: delta write
+        # path + per-key resolution + folding must realize the same fold
+        CDCRunner(tm, salt_buckets=4, compact_every=2).run(df)
         assert t1.state_hash() == tk.state_hash(), f"case {idx}: split divergence"
         assert t1.state_hash() == tf.state_hash(), f"case {idx}: fused divergence"
+        assert t1.state_hash() == tm.state_hash(), f"case {idx}: MOR divergence"
         # replay both -> unchanged
         h = tk.state_hash()
         CDCRunner(tk).run(df)
