@@ -323,11 +323,20 @@ class LakeTable:
         include_deleted: bool = False,
         tag: str | None = None,
         where: list[tuple] | None = None,
+        read_optimized: bool = False,
     ) -> DataFrame:
         """Read current (or time-travel) state, optionally pruned to buckets.
 
         ``tag``: read the named snapshot (see ``tag_snapshot``) —
         mutually exclusive with ``snapshot_id``.
+
+        ``read_optimized``: on a merge-on-read table, scan BASE files
+        only — Hudi's read-optimized (vs real-time) view. Skips the
+        per-key delta resolution entirely; the result is the state as
+        of each bucket's last base write (compaction/DML), i.e. stale
+        by at most the un-compacted churn. The dashboard/bulk-export
+        trade: plain-scan speed for bounded staleness. No-op on
+        copy-on-write tables.
 
         Bucket pruning is file-level: only manifest entries whose bucket
         is in ``buckets`` are scanned — the Iceberg-partition-pruning
@@ -370,6 +379,13 @@ class LakeTable:
                 empty = empty.drop("_deleted")
             return empty
 
+        if read_optimized:
+            files = [f for f in files if not f.get("delta")]
+            if not files:
+                empty = self.spark.createDataFrame([], cur_struct)
+                if not include_deleted and "_deleted" in empty.columns:
+                    empty = empty.drop("_deleted")
+                return empty
         delta_buckets = {f["bucket"] for f in files if f.get("delta")}
         if delta_buckets:
             # merge-on-read resolution, confined to buckets that hold
@@ -1069,6 +1085,50 @@ class LakeTable:
         new_manifest["committed_batches"] = ledger
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)
+
+    def delete_keys(self, keys: DataFrame, as_of_ts, batch_id) -> "LakeTable":
+        """Equality-delete fast path (merge-on-read tables): tombstone
+        the given keys WITHOUT reading the target — the Iceberg-v2
+        equality-delete-file analog. ``keys`` is a one-column DataFrame
+        of merge-key values; each becomes a ``_deleted`` delta row.
+        Unlike a MERGE delete (ts-guarded against current state), this
+        is UNCONDITIONAL, sequence-ordered like Iceberg's equality
+        deletes: the tombstone shadows whatever is current, whatever
+        its warc_ts; ``as_of_ts`` guards only FUTURE events (a late
+        event older than it stays suppressed, a strictly newer one
+        resurrects). Cost is O(keys): no join, no bucket read — vs
+        merge_batch's candidate-bucket scan.
+        A key that never existed writes a harmless tombstone that
+        shadows nothing and vacuums away with the watermark.
+        """
+        if not self.manifest.get("merge_on_read"):
+            raise ValueError("delete_keys requires a merge_on_read=True table")
+        if self.is_committed(batch_id):
+            return self
+        key = self.key
+        cur_struct = self.schema.to_struct()
+        kcol = keys.columns[0]
+        rows = keys.select(
+            F.col(kcol).cast(cur_struct[key].dataType).alias(key),
+            F.lit(as_of_ts).cast(cur_struct["warc_ts"].dataType).alias("warc_ts"),
+            F.lit(True).alias("_deleted"),
+            *[
+                F.lit(None).cast(cur_struct[c].dataType).alias(c)
+                for c in self.schema.names()
+                if c not in (key, "warc_ts", "_deleted")
+            ],
+        ).dropDuplicates([key])
+        buckets = sorted(
+            r["b"] for r in rows.select(self.bucket_expr(key).alias("b")).distinct().collect()
+        )
+        rows = rows.withColumn("_bucket", self.bucket_expr(key)).repartition("_bucket")
+        return self.write_deltas(
+            rows,
+            buckets,
+            batch_id,
+            summary={"equality_delete": True},
+            pre_partitioned=True,
+        )
 
     def append(self, df: DataFrame, batch_id, summary: dict | None = None) -> "LakeTable":
         """Append-only commit (bulk load path; no key semantics)."""

@@ -281,3 +281,60 @@ def test_mor_patch_ops_parity_with_cow(spark, tmp_path):
     assert mor.state_hash() == cow.state_hash()
     s = {r["url"]: (r["text"], r["score"]) for r in mor.read().collect()}
     assert s == {"u1": ("a-v2", 9.9)}
+
+
+def test_delete_keys_equality_fast_path(spark, tmp_path):
+    """Equality deletes: tombstone deltas by key, no target read.
+    Unconditional against current state; as_of_ts guards future late
+    events; unknown keys are harmless; replay no-ops."""
+    import datetime
+
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True), BATCHES[:1])
+    t = t.refresh()
+    keys = spark.createDataFrame([("u2",), ("u3",), ("ghost",)], "url string")
+    t = t.delete_keys(keys, datetime.datetime(2024, 1, 1), "eqdel-1")
+    assert {r["url"] for r in t.read().collect()} == {"u1", "u4"}
+    # the commit wrote only tombstone deltas (no base rewrite)
+    last = [f for f in t.manifest["files"] if f.get("seq") == t.snapshot_id]
+    assert last and all(f.get("delta") for f in last)
+    # replay no-ops
+    snap = t.snapshot_id
+    t = t.delete_keys(keys, datetime.datetime(2024, 1, 1), "eqdel-1")
+    assert t.snapshot_id == snap
+    # a strictly newer event resurrects; an older one stays suppressed
+    merge_batch(
+        t,
+        ev(
+            spark,
+            [
+                ("u2", int(datetime.datetime(2024, 1, 2).timestamp()), b"<p>back</p>", "update"),
+                ("u3", 50, b"<p>too-old</p>", "update"),
+            ],
+        ),
+        "resurrect",
+    )
+    t = t.refresh()
+    s = {r["url"] for r in t.read().collect()}
+    assert "u2" in s and "u3" not in s
+    # COW tables refuse the fast path
+    cow = mk(spark, tmp_path, "cow", mor=False)
+    with pytest.raises(ValueError, match="merge_on_read"):
+        cow.delete_keys(keys, datetime.datetime(2024, 1, 1), "x")
+
+
+def test_read_optimized_view_is_base_only(spark, tmp_path):
+    """Hudi RO-vs-RT split: read_optimized scans base files only (the
+    state as of the last compaction), the default read resolves deltas.
+    After compaction the two converge."""
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True), BATCHES[:1])
+    t = t.refresh()
+    t = t.compact("fold-seed")
+    merge_batch(t, ev(spark, BATCHES[1]), "churn")
+    t = t.refresh()
+    rt = {r["url"]: bytes(r["html"]) for r in t.read().collect()}
+    ro = {r["url"]: bytes(r["html"]) for r in t.read(read_optimized=True).collect()}
+    assert rt["u1"] == b"<p>one-v2</p>" and "u2" not in rt and "u5" in rt
+    assert ro["u1"] == b"<p>one</p>" and "u2" in ro and "u5" not in ro  # stale view
+    t = t.compact("fold-churn")
+    ro2 = {r["url"]: bytes(r["html"]) for r in t.read(read_optimized=True).collect()}
+    assert ro2 == rt
