@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     # #2), so the driver's 50-query prefix re-verifies all of them.
     "mor_delta_merge_state",
     "migrate_online_rebucket",
+    "debezium_tail_apply",
     "hll_distinct_prefilter",
     "cm_heavy_hitters",
     "stats_pruned_range_scan",

@@ -3056,3 +3056,92 @@ def migrate_online_rebucket(spark, sf_dir):
         "val",
         F.octet_length("html").cast("long").alias("html_len"),
     )
+
+
+@q(
+    "debezium_tail_apply",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT 'https://d.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val,
+           CAST(length('<html><body><p>d' || CAST(event_id AS VARCHAR)
+                       || '</p></body></html>') AS BIGINT) AS html_len
+    FROM latest WHERE op <> 'delete'
+    """,
+)
+def debezium_tail_apply(spark, sf_dir):
+    """Debezium WAL-envelope ingestion END-TO-END (sources/debezium.py;
+    the modern form of the reference's tail-the-database signal,
+    /root/reference/load/DBPLoadController.py:118-141): render the
+    events log as Debezium JSON envelopes (op c/u/d, ts_ms, base64
+    binary in the after/before images — exactly what a Kafka topic
+    fed by the MySQL/Postgres connector carries), adapt them with
+    from_debezium (pure JVM from_json + column ops) and apply through
+    the standard CDCRunner in weekly batches. Final state must equal
+    the plain latest-state fold — proving a user can point an existing
+    Debezium topic at this engine unchanged."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.sources import from_debezium
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op_dbz = F.when(F.col("event_type") == "error", "d").otherwise("u")
+    img = F.struct(
+        F.concat(F.lit("https://d.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>d"),
+                F.col("event_id").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.round("value", 2).alias("val"),
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    op_dbz.alias("op"),
+                    F.unix_millis(F.col("ts")).alias("ts_ms"),
+                    F.when(op_dbz == "d", img).alias("before"),
+                    F.when(op_dbz != "d", img).alias("after"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    changes = from_debezium(envelopes, row_schema, batch_col="batch_id")
+    schema = TableSchema.from_struct(row_schema)
+    root = tempfile.mkdtemp(prefix="dbz_tail_")
+    table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
+    CDCRunner(table).run(changes)
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )

@@ -1,5 +1,9 @@
 """Source/sink helpers for the formats the reference ingests."""
 
+from dbp_etl_spark.sources.debezium import (  # noqa: F401
+    debezium_envelope_schema,
+    from_debezium,
+)
 from dbp_etl_spark.sources.readers import (  # noqa: F401
     read_binary_files,
     read_change_csv,
