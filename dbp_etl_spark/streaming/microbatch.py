@@ -104,8 +104,19 @@ def run_stream(
     expire_keep_last: int = 8,
     patch_ops: bool = False,
     changes_schema=None,
+    source_format: str = "parquet",
+    source_adapter=None,
 ):
     """Tail ``changes_path`` (parquet change events) into ``table``.
+
+    ``source_format="text"`` + ``source_adapter``: tail a line-oriented
+    envelope feed instead — each line lands in a ``value`` column and
+    ``source_adapter`` (a DataFrame->DataFrame of pure expressions,
+    e.g. ``lambda df: from_debezium(df, row_schema)``) maps it to the
+    change-event columns before the MERGE. This is the file-based
+    stand-in for a Kafka value stream: swap the reader for
+    ``readStream.format("kafka")`` and the same adapter applies
+    unchanged. An adapter may also wrap a parquet source.
 
     ``available_now=True`` drains everything currently in the source
     and stops (the test/replay mode); False runs continuously.
@@ -124,9 +135,21 @@ def run_stream(
     # reads a fixed schema, so pass ``changes_schema`` when the event
     # log carries evolution columns beyond the core five (they would
     # otherwise be silently dropped before the MERGE ever sees them)
-    stream = _changes_reader(
-        spark, max_files_per_trigger, schema=changes_schema
-    ).parquet(changes_path)
+    if source_format == "parquet":
+        stream = _changes_reader(
+            spark, max_files_per_trigger, schema=changes_schema
+        ).parquet(changes_path)
+    elif source_format == "text":
+        reader = spark.readStream
+        if max_files_per_trigger is not None:
+            if max_files_per_trigger <= 0:
+                raise ValueError("max_files_per_trigger must be positive")
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.text(changes_path)
+    else:
+        raise ValueError(f"unsupported source_format {source_format!r}")
+    if source_adapter is not None:
+        stream = source_adapter(stream)
     stream_id = _stream_identity(spark, checkpoint_path)
     applied = [0]  # microbatches since last expiry (foreachBatch closure state)
     side = CDCRunner(

@@ -58,3 +58,42 @@ def test_debezium_binary_roundtrip_exact(spark, tmp_path):
     got = changes.collect()[0]
     assert bytes(got["html"]) == payload
     assert got["op"] == "update" and got["warc_ts"].timestamp() == 100.0
+
+
+def test_debezium_text_stream_tail(spark, tmp_path):
+    """Streaming composition: a line-oriented Debezium feed tails into
+    the table through run_stream(source_format='text') + the adapter —
+    the file-based stand-in for a Kafka value stream."""
+    from dbp_etl_spark.streaming import run_stream
+
+    src = tmp_path / "dbz"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                env("c", 100_000, {"url": "u1", "html": b64(b"<p>one</p>")})[0],
+                env("c", 100_000, {"url": "u2", "html": b64(b"<p>two</p>")})[0],
+            ]
+        )
+    )
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                env("u", 200_000, {"url": "u1", "html": b64(b"<p>one-v2</p>")})[0],
+                env("d", 200_000, {"url": "u2"})[0],
+            ]
+        )
+    )
+    t = mk_table(spark, tmp_path)
+    q = run_stream(
+        spark,
+        str(src),
+        t,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        source_format="text",
+        source_adapter=lambda df: from_debezium(df, ROW),
+    )
+    q.awaitTermination(120)
+    s = {r["url"]: bytes(r["html"]) for r in t.read().collect()}
+    assert s == {"u1": b"<p>one-v2</p>"}
