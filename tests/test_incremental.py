@@ -169,3 +169,83 @@ def test_rollup_crash_between_state_and_pointer(spark, sales_table, tmp_path):
     prev = roll.refresh()
     assert prev == snap
     assert state_of(roll) == full_rollup(t)
+
+
+def test_incremental_rollup_over_mor_source(spark, tmp_path):
+    """IVM over a merge-on-read source: the change feed is computed
+    from DELTA-resolved snapshots on both sides, so the maintained
+    rollup must still land exactly on the full recompute — including a
+    window where churn sits un-compacted as deltas."""
+    from dbp_etl_spark.cdc import merge_batch
+
+    pages = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "mor_src"),
+        TableSchema.from_struct(pages),
+        key="url",
+        num_buckets=4,
+        merge_on_read=True,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url string, ts long, html binary, score double, op string"
+        ).select(
+            "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "score", "op"
+        )
+
+    t = LakeTable.load(spark, t.root)
+    merge_batch(
+        t,
+        batch(
+            [
+                ("u1", 100, b"<p>a</p>", 1.0, "insert"),
+                ("u2", 100, b"<p>b</p>", 2.0, "insert"),
+                ("u3", 100, b"<p>c</p>", 4.0, "insert"),
+            ]
+        ),
+        "w1",
+    )
+    t = t.refresh()
+    roll = IncrementalRollup(t, str(tmp_path / "state_mor"), ["lang"], "score")
+    roll.refresh()
+
+    # window 2: updates + a delete land as un-compacted deltas
+    merge_batch(
+        t,
+        batch(
+            [
+                ("u1", 200, b"<p>a2</p>", 10.0, "update"),
+                ("u2", 200, None, None, "delete"),
+                ("u4", 200, b"<p>d</p>", 8.0, "insert"),
+            ]
+        ),
+        "w2",
+    )
+    t = t.refresh()
+    assert any(f.get("delta") for f in t.manifest["files"])  # still unfolded
+    roll.source = t
+    roll.refresh()
+
+    want = {
+        r["lang"]: (r["n"], round(r["total"], 9))
+        for r in t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    got = {r["lang"]: (r["n"], round(r["total"], 9)) for r in roll.read().collect()}
+    assert got == want
