@@ -159,10 +159,23 @@ def test_retention_invariance_fuzzed(spark, tmp_path):
         te = LakeTable.create(
             spark, str(tmp_path / f"e{idx}"), TableSchema.from_struct(PAGES), num_buckets=4
         )
+        tme = LakeTable.create(
+            spark,
+            str(tmp_path / f"me{idx}"),
+            TableSchema.from_struct(PAGES),
+            num_buckets=4,
+            merge_on_read=True,
+        )
         CDCRunner(tp, salt_buckets=4).run(df)
         CDCRunner(te, salt_buckets=4, expire_every=1, expire_keep_last=1).run(df)
+        # merge-on-read under the same aggressive expiry: delta files of
+        # RETAINED manifests must survive the per-commit file GC
+        CDCRunner(tme, salt_buckets=4, expire_every=1, expire_keep_last=1).run(df)
         te = te.refresh()
         assert tp.state_hash() == te.state_hash(), f"case {idx}: expiry changed state"
+        assert tp.state_hash() == tme.refresh().state_hash(), (
+            f"case {idx}: expiry broke merge-on-read state"
+        )
         h = te.state_hash()
         rep = CDCRunner(te).run(df)
         assert rep.n_skipped == rep.n_batches, f"case {idx}: pruned replay re-applied"
