@@ -338,3 +338,30 @@ def test_read_optimized_view_is_base_only(spark, tmp_path):
     t = t.compact("fold-churn")
     ro2 = {r["url"]: bytes(r["html"]) for r in t.read(read_optimized=True).collect()}
     assert ro2 == rt
+
+
+def test_mor_schema_evolution_lands_as_deltas(spark, tmp_path):
+    """A batch carrying a new payload column on a MOR table: the
+    add_column commit is metadata-only, the churn lands as deltas under
+    the NEW schema version, and resolution projects old base files
+    (null-filled) and new delta files by column id."""
+    t = apply_all(spark, mk(spark, tmp_path, "t", mor=True), BATCHES[:1])
+    t = t.refresh()
+    batch = spark.createDataFrame(
+        [("u1", 200, b"<p>one-v2</p>", 7.5, "update"), ("u9", 200, b"<p>nine</p>", 1.0, "insert")],
+        "url string, ts long, html binary, rank double, op string",
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "rank", "op")
+    merge_batch(t, batch, "evolve")
+    t = t.refresh()
+    assert "rank" in t.schema.names()
+    rows = {r["url"]: r["rank"] for r in t.read().collect()}
+    assert rows["u1"] == 7.5 and rows["u9"] == 1.0
+    assert rows["u2"] is None and rows["u3"] is None  # base rows null-fill
+    # the evolved churn is delta files, base files untouched
+    last = [f for f in t.manifest["files"] if f.get("seq") == t.snapshot_id]
+    assert last and all(f.get("delta") for f in last)
+    # compaction folds across schema versions
+    h = t.state_hash()
+    t = t.compact("fold")
+    assert not any(f.get("delta") for f in t.manifest["files"])
+    assert t.state_hash() == h
