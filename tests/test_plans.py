@@ -145,3 +145,60 @@ def test_ivf_assignment_is_map_only(spark):
     assigned = _assign_nearest(corpus, cents, "embedding")
     assert count_exchanges(assigned) == 0
     assert assigned.count() == 100
+
+
+def test_mor_read_plan_no_base_shuffle(spark, tmp_path):
+    """Merge-on-read resolution physical shape: the table-sized base
+    side must NOT shuffle — delta keys broadcast into a hash anti-join;
+    the only exchanges are the churn-sized delta window's. The
+    read-optimized view must be a plain scan (no window, no join)."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import merge_batch
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    pages = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        TableSchema.from_struct(pages),
+        key="url",
+        num_buckets=4,
+        merge_on_read=True,
+    )
+    rows = [(f"u{i}", 100, f"<p>{i}</p>".encode(), "insert") for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op")
+    merge_batch(t, df, "seed")
+    t = t.refresh()
+    t.compact("fold")
+    churn = spark.createDataFrame(
+        [("u1", 200, b"<p>v2</p>", "update")], "url string, ts long, html binary, op string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op")
+    merge_batch(t, churn, "churn")
+    t = t.refresh()
+
+    resolved = t.read()
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # base never shuffles into a join
+    # shuffle exchanges belong to the delta window only (tiny side, one
+    # per consuming branch); the base feeds the anti-join directly via
+    # a single BroadcastExchange of the resolved delta keys
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2
+    assert plan.count("BroadcastExchange") == 1
+
+    ro = t.read(read_optimized=True)
+    ro_plan = ro._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in ro_plan and "Join" not in ro_plan
+    assert count_exchanges(ro) == 0
