@@ -251,3 +251,43 @@ def test_cdc_runner_inside_txn(spark, pair):
     a2, b2 = a.refresh(), b.refresh()
     assert a2.read().count() == 8 and b2.read().count() == 2
     assert a2.is_committed(0) and b2.is_committed("side")
+
+
+def test_mor_merge_inside_txn(spark, tmp_path):
+    """A merge-on-read MERGE (delta-file commit) stages inside a
+    transaction like a copy-on-write one: nothing visible on abort,
+    the delta commit and a sibling-table write publish together."""
+    from dbp_etl_spark.cdc.merge import merge_batch
+
+    m = LakeTable.create(
+        spark,
+        str(tmp_path / "m"),
+        TableSchema.from_struct(PAGES),
+        key="url",
+        num_buckets=4,
+        merge_on_read=True,
+    )
+    b = LakeTable.create(
+        spark, str(tmp_path / "b"), TableSchema.from_struct(PAGES), key="url", num_buckets=4
+    )
+    coord = TxnCoordinator(str(tmp_path / "_txn"))
+    batch = mk_rows(spark, 5).withColumn("op", F.lit("insert"))
+
+    # abort path: the staged delta commit must vanish
+    with pytest.raises(TxnAborted):
+        with coord.transaction([m, b]) as txn:
+            tm, tb = txn.tables
+            merge_batch(tm, batch, batch_id="b1", salt_buckets=4)
+            raise TxnAborted("audit failed")
+    m = m.refresh()
+    assert m.read().count() == 0 and not m.is_committed("b1")
+
+    # commit path: delta files + sibling append publish atomically
+    with coord.transaction([m, b]) as txn:
+        tm, tb = txn.tables
+        merge_batch(tm, batch, batch_id="b1", salt_buckets=4)
+        tb.append(mk_rows(spark, 3), batch_id="b-side")
+    m, b = m.refresh(), b.refresh()
+    assert m.read().count() == 5 and m.is_committed("b1")
+    assert any(f.get("delta") for f in m.manifest["files"])
+    assert b.read().count() == 3
