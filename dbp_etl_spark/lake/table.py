@@ -113,6 +113,7 @@ class LakeTable:
         bloom_key: bool = False,
         stats_columns: list[str] | None = None,
         merge_on_read: bool = False,
+        max_delta_commits: int | None = None,
     ) -> "LakeTable":
         """Create an empty table.
 
@@ -127,6 +128,19 @@ class LakeTable:
         1%-churn batches that is a ~100x write-amplification cut — paid
         for by a churn-sized merge at read time until the next
         compaction. Default off: read-heavy tables want copy-on-write.
+
+        ``max_delta_commits`` (merge-on-read only): per-bucket bound on
+        accumulated delta commits. A merge-on-read read unions one
+        frame per delta sequence group, so unbounded delta accumulation
+        bloats the read plan linearly; this property makes the bound
+        STRUCTURAL instead of advisory — after any delta commit, every
+        bucket that reached the bound is immediately folded back into
+        base files (an auto-compaction commit keyed
+        ``autocompact-{snapshot}`` in the batch ledger, so a replayed
+        crash is a no-op). Reads then merge at most
+        ``max_delta_commits`` commits' churn per bucket. Maintenance
+        cost is O(hot-bucket bytes), only where churn concentrated —
+        cold buckets are never rewritten.
 
         ``stats_columns``: record per-file min/max/null-count bounds
         for these columns in the manifest at every write (Iceberg's
@@ -175,6 +189,12 @@ class LakeTable:
         }
         if merge_on_read:
             manifest["merge_on_read"] = True
+            if max_delta_commits is not None:
+                if max_delta_commits < 1:
+                    raise ValueError("max_delta_commits must be >= 1")
+                manifest["max_delta_commits"] = int(max_delta_commits)
+        elif max_delta_commits is not None:
+            raise ValueError("max_delta_commits requires merge_on_read=True")
         if stats_columns:
             manifest["stats_col_ids"] = cls._resolve_stats_cols(schema, stats_columns)
         fs.create_text_exclusive(
@@ -1084,7 +1104,37 @@ class LakeTable:
             ledger[str(b)] = {"snapshot_id": snap_id, **(summary or {})}
         new_manifest["committed_batches"] = ledger
         new_manifest["summary"] = summary or {}
-        return self._commit(new_manifest)
+        out = self._commit(new_manifest)
+        bound = out.manifest.get("max_delta_commits")
+        if bound is not None and out._txn_collector is None:
+            hot = out.hot_buckets(bound)
+            if hot:
+                # fold the buckets that reached the bound back into base
+                # files right away — ledger-keyed by the snapshot that
+                # tripped the bound, so a crash-and-replay is a no-op.
+                # (A crash BETWEEN the delta commit and this compaction
+                # leaves the bound exceeded by one until the next delta
+                # write re-trips it — bounded staleness, not a leak.)
+                out = out.compact(f"autocompact-{out.snapshot_id}", buckets=hot)
+        return out
+
+    def delta_commit_counts(self) -> dict[int, int]:
+        """Per-bucket count of distinct un-compacted delta commits
+        (sequence groups) — the number of frames a merge-on-read read
+        must union for that bucket. Metadata-only."""
+        seqs: dict[int, set] = {}
+        for f in self.manifest["files"]:
+            if f.get("delta"):
+                seqs.setdefault(f["bucket"], set()).add(int(f["seq"]))
+        return {b: len(s) for b, s in seqs.items()}
+
+    def hot_buckets(self, max_delta_commits: int) -> list[int]:
+        """Buckets whose accumulated delta commits reached the bound."""
+        return sorted(
+            b
+            for b, n in self.delta_commit_counts().items()
+            if n >= max_delta_commits
+        )
 
     def delete_keys(self, keys: DataFrame, as_of_ts, batch_id) -> "LakeTable":
         """Equality-delete fast path (merge-on-read tables): tombstone

@@ -218,6 +218,38 @@ def test_runner_auto_compact_bounds_deltas(spark, tmp_path):
     assert mor.state_hash() == cow.state_hash()
 
 
+def test_max_delta_commits_bound_is_structural(spark, tmp_path):
+    """max_delta_commits=2: a bucket that accumulates 2 delta commits is
+    folded back into base files inside the same write_deltas call — the
+    read-plan union width is bounded by the table property, not by an
+    external maintenance cadence. State stays byte-identical to COW."""
+    t = mk(spark, tmp_path, "bounded", mor=True, max_delta_commits=2)
+    cow = mk(spark, tmp_path, "cow", mor=False)
+    rows = [
+        [("u1", 100 + i, f"<p>v{i}</p>".encode(), "update" if i else "insert")]
+        for i in range(5)
+    ]
+    for i, batch in enumerate(rows):
+        merge_batch(t, ev(spark, batch), f"b{i}")
+        t = t.refresh()
+        counts = t.delta_commit_counts()
+        # the bound held after EVERY commit, not just at the end
+        assert all(n < 2 for n in counts.values()), counts
+        merge_batch(cow, ev(spark, batch), f"b{i}")
+        cow = cow.refresh()
+    assert t.state_hash() == cow.state_hash()
+    assert any(k.startswith("autocompact-") for k in t.committed_batches())
+    [r] = t.read().collect()
+    assert bytes(r["html"]) == b"<p>v4</p>"
+
+
+def test_max_delta_commits_requires_mor(spark, tmp_path):
+    with pytest.raises(ValueError, match="merge_on_read"):
+        mk(spark, tmp_path, "bad", mor=False, max_delta_commits=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        mk(spark, tmp_path, "bad2", mor=True, max_delta_commits=0)
+
+
 def test_stream_onto_mor_table_matches_cow(spark, tmp_path):
     """The streaming tail shares merge_batch, so a MOR sink composes:
     microbatch epochs land as delta commits, resolved state equals the
