@@ -896,6 +896,13 @@ class LakeTable:
                         }
                     )
         stat_ids = set(self.manifest.get("stats_col_ids") or [])
+        if stat_ids and "_deleted" in schema.names():
+            # always bound the tombstone flag alongside the configured
+            # columns: it costs nothing extra (same footer read) and
+            # makes per-file LIVE row counts provable from metadata —
+            # the basis of count_rows()/column_bounds() answering
+            # without a scan (Iceberg's aggregate-pushdown analog)
+            stat_ids.add(next(c.col_id for c in schema.columns if c.name == "_deleted"))
         if entries and stat_ids:
             # footer-only reads (no row bytes), one per new file — the
             # Iceberg-writer analog of emitting lower/upper bounds into
@@ -1878,6 +1885,213 @@ class LakeTable:
             _drop_if_hidden_only(sd)
 
     # ------------------------------------------------------------ diagnostics
+
+    # ------------------------------------------------- metadata aggregates
+
+    def _del_col_id(self) -> int | None:
+        return next(
+            (c.col_id for c in self.schema.columns if c.name == "_deleted"), None
+        )
+
+    @staticmethod
+    def _file_live_rows(f: dict, del_id: int | None) -> int | None:
+        """Live (non-tombstone) row count of a data file, from manifest
+        stats alone — None when not provable (then the caller scans).
+
+        Provable when the file records row count + ``_deleted`` bounds:
+        all-False (or all-null) => every row live; all-True => only the
+        null-flag rows live; mixed => indecisive."""
+        st = f.get("stats")
+        if not st:
+            return None
+        rows = st.get("rows")
+        if rows is None:
+            return None
+        if rows == 0:
+            return 0
+        if del_id is None:
+            return None
+        d = st.get("cols", {}).get(str(del_id))
+        if d is None:
+            return None
+        nulls = d.get("nulls", 0)
+        if "min" not in d:  # no non-null flags recorded
+            return rows if nulls == rows else None
+        if d["min"] == d["max"]:
+            # bool bounds are stored normalized to 0/1 (lake/stats.py)
+            return nulls if d["min"] == 1 else rows
+        return None
+
+    def count_rows(self, detail: bool = False):
+        """Exact live-row count, answered from manifest metadata where
+        provable — the Iceberg aggregate-pushdown analog of
+        ``SELECT count(*)``.
+
+        Files whose stats record row count + decisive ``_deleted``
+        bounds are summed driver-side with ZERO I/O; only indecisive
+        files (no stats, or mixed tombstones) and merge-on-read delta
+        buckets (per-key resolution needed) fall back to a scan — and
+        that scan reads just those files, column-pruned to the
+        tombstone flag. At the 100 TB design point a count over a
+        stats-enabled copy-on-write table is a pure manifest walk: no
+        executor even launches.
+
+        ``detail=True`` additionally returns
+        ``{"metadata_files", "metadata_rows", "scanned_files",
+        "scanned_delta_buckets"}`` so callers (and tests) can assert
+        how much was metadata-only.
+        """
+        manifest = self.manifest
+        current = self.schema
+        cur_struct = current.to_struct()
+        del_id = self._del_col_id()
+        files = manifest["files"]
+        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
+        meta_rows = meta_files = 0
+        scan_files: list[dict] = []
+        for f in files:
+            if f["bucket"] in delta_buckets:
+                continue
+            live = self._file_live_rows(f, del_id)
+            if live is None:
+                scan_files.append(f)
+            else:
+                meta_rows += live
+                meta_files += 1
+        scanned = 0
+        if delta_buckets:
+            scanned += self.read(buckets=sorted(delta_buckets)).count()
+        if scan_files:
+            df = self._project_to_current(manifest, current, cur_struct, scan_files)
+            if "_deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            scanned += df.count()
+        total = meta_rows + scanned
+        if detail:
+            return total, {
+                "metadata_files": meta_files,
+                "metadata_rows": meta_rows,
+                "scanned_files": len(scan_files),
+                "scanned_delta_buckets": len(delta_buckets),
+            }
+        return total
+
+    def column_bounds(self, col: str, detail: bool = False):
+        """Exact ``(min, max)`` of a column over LIVE rows, from
+        manifest bounds where provable, scanning only the rest.
+
+        A file contributes its manifest bounds only when it provably
+        holds no tombstones (a tombstoned row's values must not widen
+        live bounds) and records bounds for the column; all-null files
+        contribute nothing. Everything else — statless files, mixed
+        files, merge-on-read delta buckets — is aggregated by a real
+        (column-pruned) scan and merged in.
+
+        Values are returned in storage-normal form: numbers/strings as
+        is, booleans as bool, dates as ``datetime.date``, timestamps as
+        tz-aware UTC ``datetime`` (manifest bounds are UTC-epoch
+        micros; scan-side values are localized from the session
+        timezone before merging). ``(None, None)`` when no live rows.
+        """
+        import datetime as _dt
+
+        current = self.schema
+        spec = next((c for c in current.columns if c.name == col), None)
+        if spec is None:
+            raise ValueError(f"column {col!r} not in schema")
+        manifest = self.manifest
+        cur_struct = current.to_struct()
+        del_id = self._del_col_id()
+        files = manifest["files"]
+        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
+        kind = None
+        lo = hi = None
+        meta_files = 0
+        scan_files: list[dict] = []
+        for f in files:
+            if f["bucket"] in delta_buckets:
+                continue
+            st = f.get("stats")
+            live = self._file_live_rows(f, del_id)
+            s = (st or {}).get("cols", {}).get(str(spec.col_id))
+            if live is None or s is None:
+                scan_files.append(f)
+                continue
+            if "min" not in s:  # column all-null here: nothing to add
+                meta_files += 1
+                continue
+            if live != st.get("rows"):
+                scan_files.append(f)  # tombstones present — bounds unsafe
+                continue
+            if kind is None:
+                kind = s["t"]
+            if s["t"] != kind:
+                scan_files.append(f)  # mixed stat kinds — be conservative
+                continue
+            lo = s["min"] if lo is None else min(lo, s["min"])
+            hi = s["max"] if hi is None else max(hi, s["max"])
+            meta_files += 1
+
+        def _norm_scan(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return int(v)
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=self._session_tz() or _dt.timezone.utc)
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+            if isinstance(v, _dt.date):
+                return v.toordinal()
+            return v
+
+        scan_srcs = []
+        if delta_buckets:
+            scan_srcs.append(self.read(buckets=sorted(delta_buckets)).select(col))
+        if scan_files:
+            df = self._project_to_current(manifest, current, cur_struct, scan_files)
+            if "_deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            scan_srcs.append(df.select(col))
+        n_scanned = len(scan_files)
+        if scan_srcs:
+            src = scan_srcs[0]
+            for s in scan_srcs[1:]:
+                src = src.unionByName(s)
+            [r] = src.agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).collect()
+            smn, smx = _norm_scan(r["mn"]), _norm_scan(r["mx"])
+            if smn is not None:
+                if kind is None:
+                    from .stats import _kind_of
+
+                    kind = _kind_of(r["mn"])
+                lo = smn if lo is None else min(lo, smn)
+                hi = smx if hi is None else max(hi, smx)
+
+        def _denorm(v):
+            if v is None:
+                return None
+            if kind == "bool":
+                return bool(v)
+            if kind == "ts":
+                return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+                    microseconds=v
+                )
+            if kind == "date":
+                return _dt.date.fromordinal(v)
+            return v
+
+        out = (_denorm(lo), _denorm(hi))
+        if detail:
+            return out, {
+                "metadata_files": meta_files,
+                "scanned_files": n_scanned,
+                "scanned_delta_buckets": len(delta_buckets),
+            }
+        return out
 
     def state_hash(self) -> str:
         """Order-independent content hash of current state (replay tests).
