@@ -99,6 +99,9 @@ class LakeTable:
         # set by TxnCoordinator.transaction(): commits are COLLECTED
         # (staged) instead of published — see lake/txn.py
         self._txn_collector = None
+        # set by wap_branch(): commits are STAGED to the named
+        # write-audit-publish branch instead of the main chain
+        self._wap_id: str | None = None
 
     # ------------------------------------------------------------- lifecycle
 
@@ -265,6 +268,8 @@ class LakeTable:
         return fs_for(root, spark).exists(os.path.join(root, _META, "VERSION"))
 
     def refresh(self) -> "LakeTable":
+        if self._wap_id is not None:
+            return LakeTable.load(self.spark, self.root).wap_branch(self._wap_id)
         return LakeTable.load(self.spark, self.root)
 
     # ------------------------------------------------------------ properties
@@ -943,6 +948,13 @@ class LakeTable:
         coordinator already holds the group mutex, so no per-table lock
         is taken.
         """
+        if self._wap_id is not None:
+            if self._txn_collector is not None:
+                raise RuntimeError(
+                    "a WAP branch handle cannot commit inside a multi-table "
+                    "transaction (publish the branch, then include the table)"
+                )
+            return self._commit_wap(new_manifest)
         if self._txn_collector is not None:
             head, _ = LakeTable._head(self._fs, self.root)
             staged_ahead = sum(
@@ -1488,6 +1500,9 @@ class LakeTable:
         then migrate bucket-by-bucket; this one-shot API is the
         simple, always-correct form of the same move.
         """
+        if self._wap_id is not None:
+            raise RuntimeError("rebucket operates on the main chain, not a WAP branch")
+
         if new_num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
         if new_num_buckets == self.num_buckets or self.is_committed(batch_id):
@@ -1549,6 +1564,9 @@ class LakeTable:
         (e.g. one step per maintenance window) until
         ``migration_status()`` reports done.
         """
+        if self._wap_id is not None:
+            raise RuntimeError("migrate_to_buckets operates on the main chain, not a WAP branch")
+
         B = self.num_buckets
         if new_num_buckets == B and self.manifest.get("migration") is None:
             return self  # already at target: repeated maintenance calls no-op
@@ -1701,6 +1719,9 @@ class LakeTable:
         window the deployment needs (same contract as Iceberg's
         expire_snapshots retention).
         """
+        if self._wap_id is not None:
+            raise RuntimeError("expire_snapshots operates on the main chain, not a WAP branch")
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         if self._txn_collector is not None:
@@ -1768,7 +1789,7 @@ class LakeTable:
         self._commit(new_manifest)
 
         # physical cleanup (idempotent; a crash anywhere re-runs cleanly)
-        live: set[str] = set()
+        live: set[str] = self._wap_live_paths()  # staged branches pin files
         for i in range(min_retained, head + 2):
             p = os.path.join(meta, f"v{i}.json")
             if self._fs.exists(p):
@@ -1816,7 +1837,10 @@ class LakeTable:
         files older than the grace window are candidates — the same
         contract as Iceberg's remove_orphan_files(olderThan).
         """
-        live: set[str] = set()
+        if self._wap_id is not None:
+            raise RuntimeError("remove_orphan_files operates on the main chain, not a WAP branch")
+
+        live: set[str] = self._wap_live_paths()  # staged branches pin files
         meta = os.path.join(self.root, _META)
         head, _ = LakeTable._head(self._fs, self.root)
         for i in range(self.min_retained_snapshot, head + 1):
@@ -2137,6 +2161,9 @@ class LakeTable:
         release marks; the reference's analog is a dated LPTS metadata
         extract kept for reproducibility). Metadata-only commit; a tag
         name is immutable while it exists (untag first to move it)."""
+        if self._wap_id is not None:
+            raise RuntimeError("tag_snapshot operates on the main chain, not a WAP branch")
+
         snap = self.snapshot_id if snapshot_id is None else snapshot_id
         if snap > self.snapshot_id:
             raise ValueError(f"snapshot {snap} is beyond head {self.snapshot_id}")
@@ -2177,6 +2204,9 @@ class LakeTable:
     def untag_snapshot(self, name: str, batch_id=None) -> "LakeTable":
         """Drop a tag (releases its retention pin). Unknown names are a
         no-op, so replays and double-drops are harmless."""
+        if self._wap_id is not None:
+            raise RuntimeError("untag_snapshot operates on the main chain, not a WAP branch")
+
         cur = self.manifest.get("tags") or {}
         if name not in cur:
             return self
@@ -2197,6 +2227,237 @@ class LakeTable:
         new_manifest["committed_batches"] = ledger
         new_manifest["summary"] = {"untag": name}
         return self._commit(new_manifest)
+
+    # ------------------------------------------------ write-audit-publish
+
+    @staticmethod
+    def _bucket_sig(files: list[dict]) -> dict[str, str]:
+        """Per-bucket content signature (hash of the sorted file list,
+        delta sequence included) — compact enough to store in a staged
+        manifest, sufficient to detect 'this bucket's file set changed
+        between two manifests'."""
+        import hashlib
+
+        by: dict[str, list[str]] = {}
+        for f in files:
+            tag = f["path"] + (f"#d{f['seq']}" if f.get("delta") else "")
+            by.setdefault(str(f["bucket"]), []).append(tag)
+        return {
+            b: hashlib.md5("\n".join(sorted(p)).encode()).hexdigest()
+            for b, p in by.items()
+        }
+
+    def _wap_path(self, wap_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", wap_id or ""):
+            raise ValueError(f"invalid wap id {wap_id!r}")
+        return os.path.join(self.root, _META, "wap", f"{wap_id}.json")
+
+    def wap_ids(self) -> list[str]:
+        """Currently staged write-audit-publish branch ids."""
+        d = os.path.join(self.root, _META, "wap")
+        if not self._fs.exists(d):
+            return []
+        return sorted(
+            n[: -len(".json")] for n in self._fs.list_names(d) if n.endswith(".json")
+        )
+
+    def _wap_live_paths(self) -> set[str]:
+        """Data files referenced by any staged WAP branch — pinned
+        against expiry and orphan GC until published or abandoned."""
+        out: set[str] = set()
+        d = os.path.join(self.root, _META, "wap")
+        if not self._fs.exists(d):
+            return out
+        for n in self._fs.list_names(d):
+            if not n.endswith(".json"):
+                continue
+            try:
+                m = json.loads(self._fs.read_text(os.path.join(d, n)))
+            except (ValueError, OSError):
+                continue  # torn staging file pins nothing
+            out.update(f["path"] for f in m.get("files", []))
+        return out
+
+    def wap_branch(self, wap_id: str) -> "LakeTable":
+        """Open a write-audit-publish branch handle — the Iceberg
+        WAP-branch pattern, the lake's staging area for auditable
+        ingest.
+
+        The handle is a full ``LakeTable``: every write path (MERGE,
+        append, delta commits, compaction, DML) works unchanged, but
+        its commits land in ``_meta/wap/<id>.json`` instead of the main
+        chain — main readers never see them. Audit queries run against
+        ``branch.read()``; when they pass, ``publish_wap`` lands the
+        branch on main atomically (squashed to one snapshot); when they
+        fail, ``abandon_wap`` drops it and orphan GC reclaims the data.
+        Staged branches pin their data files against ``expire_snapshots``
+        and ``remove_orphan_files`` until resolved.
+
+        Branch staging is single-owner by convention (one auditing
+        pipeline per id): branch commits take no chain lock and
+        last-writer-wins within the id. The fork point and per-bucket
+        content signatures are recorded at first open so publish can
+        fast-forward (main unmoved) or REBASE — main moved, but only
+        buckets disjoint from the branch's — without re-reading any
+        expired fork manifest.
+        """
+        if self._wap_id is not None:
+            raise RuntimeError("already a WAP branch handle")
+        p = self._wap_path(wap_id)
+        if self._fs.exists(p):
+            manifest = json.loads(self._fs.read_text(p))
+        else:
+            manifest = dict(self.manifest)
+            manifest["wap_id"] = wap_id
+            manifest["wap_base"] = self.snapshot_id
+            manifest["wap_base_num_buckets"] = self.num_buckets
+            manifest["wap_base_schema_version"] = self.manifest["schema_version"]
+            manifest["wap_base_bucket_sig"] = self._bucket_sig(self.manifest["files"])
+            manifest["wap_base_ledger_keys"] = sorted(self.manifest["committed_batches"])
+        h = LakeTable(self.spark, self.root, manifest, fs=self._fs)
+        h._wap_id = wap_id
+        return h
+
+    def _commit_wap(self, new_manifest: dict) -> "LakeTable":
+        d = os.path.join(self.root, _META, "wap")
+        self._fs.mkdirs(d)
+        # atomic replace: a crash mid-stage leaves the previous staged
+        # state (or nothing); a torn file is never adopted
+        self._fs.write_text(
+            self._wap_path(self._wap_id), json.dumps(new_manifest, indent=1)
+        )
+        self.manifest = new_manifest
+        return self
+
+    def abandon_wap(self, wap_id: str) -> None:
+        """Drop a staged branch (audit failed). Metadata-only: the
+        branch's data files become orphans and are reclaimed by
+        ``remove_orphan_files`` after its grace window."""
+        p = self._wap_path(wap_id)
+        if self._fs.exists(p):
+            self._fs.delete(p)
+
+    def publish_wap(self, wap_id: str, batch_id=None, max_retries: int = 3) -> "LakeTable":
+        """Land a staged branch on the main chain as ONE snapshot.
+
+        Fast-forward when main has not moved since the fork; otherwise
+        a REBASE: allowed iff the branch's touched buckets are disjoint
+        from main's touched-since-fork buckets and neither side changed
+        schema or bucket layout — then main's files are kept for its
+        buckets and the branch's for the branch's. Any overlap raises
+        ``CommitConflict`` (re-stage from fresh state to resolve).
+
+        Exactly-once: the publish itself is ledger-keyed (default id
+        ``wap-publish-<id>``), and the branch's own batch ids merge
+        into main's ledger — a tail that replays a batch already
+        published via WAP no-ops, exactly as if it had committed
+        directly. A crash between the publish commit and the staging-
+        file cleanup is healed on replay (committed => just delete).
+        """
+        if self._wap_id is not None:
+            raise RuntimeError("publish from a main-chain handle, not a branch")
+        bid = str(batch_id) if batch_id is not None else f"wap-publish-{wap_id}"
+        p = self._wap_path(wap_id)
+        t = self
+        last: CommitConflict | None = None
+        for attempt in range(max_retries):
+            if attempt:
+                t = t.refresh()
+            if t.is_committed(bid):
+                if t._fs.exists(p):
+                    t._fs.delete(p)
+                return t
+            if not t._fs.exists(p):
+                raise ValueError(f"no staged WAP branch {wap_id!r}")
+            staged = json.loads(t._fs.read_text(p))
+            try:
+                out = t._publish_wap_once(staged, wap_id, bid)
+                out._fs.delete(p)
+                return out
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _publish_wap_once(self, staged: dict, wap_id: str, bid: str) -> "LakeTable":
+        head_m = self.manifest
+        head_id = self.snapshot_id
+        new_id = head_id + 1
+        base_id = staged["wap_base"]
+        base_sig = staged["wap_base_bucket_sig"]
+        branch_sig = self._bucket_sig(staged["files"])
+        base_keys = set(staged["wap_base_ledger_keys"])
+        new_batches = {
+            k: {**v, "snapshot_id": new_id}
+            for k, v in staged["committed_batches"].items()
+            if k not in base_keys and k not in head_m["committed_batches"]
+        }
+        touched_branch = {
+            b
+            for b in set(base_sig) | set(branch_sig)
+            if branch_sig.get(b) != base_sig.get(b)
+        }
+        if head_id == base_id:
+            mode = "fast_forward"
+            new_manifest = {
+                k: v for k, v in staged.items() if not k.startswith("wap_")
+            }
+            ledger = dict(new_manifest["committed_batches"])
+            ledger.update(new_batches)
+        else:
+            mode = "rebase"
+            base_sv = staged["wap_base_schema_version"]
+            if staged["schema_version"] != base_sv or head_m["schema_version"] != base_sv:
+                raise CommitConflict(
+                    "schema evolved since the WAP fork — publish requires "
+                    "fast-forward (re-stage from fresh state)"
+                )
+            if (
+                head_m["num_buckets"] != staged["wap_base_num_buckets"]
+                or staged["num_buckets"] != staged["wap_base_num_buckets"]
+                or head_m.get("migration")
+                or staged.get("migration")
+            ):
+                raise CommitConflict(
+                    "bucket layout changed since the WAP fork — publish "
+                    "requires fast-forward"
+                )
+            head_sig = self._bucket_sig(head_m["files"])
+            touched_main = {
+                b
+                for b in set(base_sig) | set(head_sig)
+                if head_sig.get(b) != base_sig.get(b)
+            }
+            overlap = touched_branch & touched_main
+            if overlap:
+                raise CommitConflict(
+                    "WAP branch and main both modified buckets "
+                    f"{sorted(int(b) for b in overlap)} since the fork"
+                )
+            new_manifest = dict(head_m)
+            new_manifest["files"] = [
+                f for f in head_m["files"] if str(f["bucket"]) not in touched_branch
+            ] + [f for f in staged["files"] if str(f["bucket"]) in touched_branch]
+            ledger = dict(head_m["committed_batches"])
+            ledger.update(new_batches)
+        ledger[bid] = {"snapshot_id": new_id, "wap_id": wap_id}
+        new_manifest["snapshot_id"] = new_id
+        new_manifest["parent_id"] = head_id
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = {
+            "wap_publish": {
+                "wap_id": wap_id,
+                "mode": mode,
+                "buckets": sorted(int(b) for b in touched_branch),
+                "batches": sorted(new_batches),
+            }
+        }
+        out = self._commit(new_manifest)
+        bound = out.manifest.get("max_delta_commits")
+        if bound is not None and out._txn_collector is None:
+            hot = out.hot_buckets(bound)
+            if hot:
+                out = out.compact(f"autocompact-{out.snapshot_id}", buckets=hot)
+        return out
 
     def rollback_to(self, snapshot_id: int, batch_id=None) -> "LakeTable":
         """Restore the table's LOGICAL state to ``snapshot_id`` as a
@@ -2224,6 +2485,9 @@ class LakeTable:
         Metadata-only: cost is one manifest write, independent of
         table size. Idempotent under ``batch_id`` like any commit.
         """
+        if self._wap_id is not None:
+            raise RuntimeError("rollback_to operates on the main chain, not a WAP branch")
+
         if snapshot_id > self.snapshot_id:
             raise ValueError(
                 f"cannot roll forward: target {snapshot_id} is beyond head "
