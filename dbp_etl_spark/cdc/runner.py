@@ -36,6 +36,16 @@ class DriftError(RuntimeError):
     accidentally tailing a truncated source."""
 
 
+class AuditFailed(RuntimeError):
+    """The audit callback rejected a staged batch group.
+
+    The WAP branch holding the group is already abandoned and main is
+    untouched; the group's batch ids remain uncommitted, so a resume
+    after fixing the input re-applies exactly from this group (ST6
+    ordered-apply is preserved — nothing after the rejected group was
+    applied)."""
+
+
 @dataclass
 class RunReport:
     results: list[MergeResult] = field(default_factory=list)
@@ -68,6 +78,7 @@ class CDCRunner:
         patch_ops: bool = False,
         retry_conflicts: int = 0,
         compact_every: int | None = None,
+        audit=None,
     ):
         self.table = table
         self.errors_path = errors_path
@@ -95,6 +106,18 @@ class CDCRunner:
         # ``table.lock = FileLockService(...)`` on stores whose
         # exclusive create is check-then-act.
         self.retry_conflicts = retry_conflicts
+        # ``audit=callable``: write-audit-publish ingest. Each batch
+        # group is MERGEd onto a WAP branch (invisible to main
+        # readers), the callable receives the staged branch handle and
+        # returns truthy to publish; falsy raises AuditFailed with the
+        # branch abandoned and main untouched — the reference's
+        # validate-before-update gate (DBPLoadController.py:229-283)
+        # made atomic: a half-validated batch can never be half-
+        # visible. Halting (not skipping) on rejection preserves the
+        # ordered-apply contract; resume re-applies from the rejected
+        # group. Exactly-once is unchanged: publish merges the group's
+        # batch ids into main's ledger atomically.
+        self.audit = audit
         # ``compact_every=N``: compact after every N applied groups —
         # the maintenance cadence that keeps merge-on-read deltas (and
         # copy-on-write small files) bounded on a long tail. compact()
@@ -238,22 +261,62 @@ class CDCRunner:
             batch = changes.filter(F.col(batch_col).isin(*group))
             bid = list(group)
         cand = sorted({c for b in group for c in cand_by_batch.get(b, [])})
-        res = self._with_conflict_retry(
-            lambda: merge_batch(
-                self.table,
-                batch,
-                bid,
-                transform=self.transform,
-                salt_buckets=self.salt_buckets,
-                lineage=self.lineage_mode,
-                candidates=cand,
-                batch_col=batch_col,
-                pre_commit=self._side_outputs,
-                patch_ops=self.patch_ops,
+        if self.audit is not None:
+            res = self._with_conflict_retry(
+                lambda: self._apply_audited(batch, bid, cand, batch_col)
             )
-        )
+        else:
+            res = self._with_conflict_retry(
+                lambda: merge_batch(
+                    self.table,
+                    batch,
+                    bid,
+                    transform=self.transform,
+                    salt_buckets=self.salt_buckets,
+                    lineage=self.lineage_mode,
+                    candidates=cand,
+                    batch_col=batch_col,
+                    pre_commit=self._side_outputs,
+                    patch_ops=self.patch_ops,
+                )
+            )
         report.results.append(res)
         self._maintenance(res)
+
+    def _apply_audited(self, batch: DataFrame, bid, cand: list, batch_col: str):
+        """Stage the group on a WAP branch, audit, publish-or-abandon."""
+        import re as _re
+
+        first = bid[0] if isinstance(bid, list) else bid
+        wap_id = "audit-" + _re.sub(r"[^A-Za-z0-9._-]+", "-", str(first))
+        # a crashed prior run may have left a stale staging forked from
+        # an older head — staging is side-effect-free until publish, so
+        # always re-fork fresh
+        self.table.abandon_wap(wap_id)
+        br = self.table.wap_branch(wap_id)
+        res = merge_batch(
+            br,
+            batch,
+            bid,
+            transform=self.transform,
+            salt_buckets=self.salt_buckets,
+            lineage=self.lineage_mode,
+            candidates=cand,
+            batch_col=batch_col,
+            patch_ops=self.patch_ops,
+        )
+        if not self.audit(br):
+            self.table.abandon_wap(wap_id)
+            raise AuditFailed(
+                f"audit rejected batch group {bid!r}; staged branch abandoned, "
+                "main untouched — fix the input and resume"
+            )
+        # side outputs land before the publish commit (same ordering
+        # contract as the direct path's pre_commit hook)
+        self._side_outputs(res)
+        self.table = self.table.publish_wap(wap_id)
+        res.snapshot_id = self.table.snapshot_id
+        return res
 
     def apply_snapshot(self, snapshot: DataFrame, batch_id) -> MergeResult:
         """Snapshot-compare mode: make the table equal a FULL dimension

@@ -13,6 +13,9 @@ so an operator can run them the same way the CDC job runs
     table_admin.py --table /lake/pages tag --name audit-2026-08 [--snapshot 41]
     table_admin.py --table /lake/pages untag --name audit-2026-08
     table_admin.py --table /lake/pages tags
+    table_admin.py --table /lake/pages wap-list
+    table_admin.py --table /lake/pages wap-publish --wap-id audit-b17
+    table_admin.py --table /lake/pages wap-abandon --wap-id audit-b17
     table_admin.py --table /lake/pages check        # integrity report
 
 Every mutating subcommand is ledger-keyed (``--batch-id`` overrides
@@ -68,6 +71,14 @@ def main() -> int:
 
     s = sub.add_parser("untag")
     s.add_argument("--name", required=True)
+
+    sub.add_parser("wap-list")
+
+    s = sub.add_parser("wap-publish")
+    s.add_argument("--wap-id", required=True)
+
+    s = sub.add_parser("wap-abandon")
+    s.add_argument("--wap-id", required=True)
 
     args = p.parse_args()
 
@@ -137,6 +148,14 @@ def main() -> int:
     elif args.cmd == "untag":
         t = t.untag_snapshot(args.name, batch_id=bid)
         out = {"tags": t.tags}
+    elif args.cmd == "wap-list":
+        out = {"staged": t.wap_ids()}
+    elif args.cmd == "wap-publish":
+        t = t.publish_wap(args.wap_id, batch_id=bid)
+        out = {"snapshot_id": t.snapshot_id, "published": args.wap_id}
+    elif args.cmd == "wap-abandon":
+        t.abandon_wap(args.wap_id)
+        out = {"staged": t.wap_ids()}
     else:  # pragma: no cover
         raise SystemExit(f"unknown cmd {args.cmd}")
 

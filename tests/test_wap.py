@@ -227,6 +227,62 @@ def test_expire_pins_staged_branch_files(spark, tmp_path):
     assert {r["url"] for r in br.read().collect()} == expect
 
 
+def test_runner_audited_ingest_publishes_on_pass(spark, tmp_path):
+    """audit=callable: every group stages to a WAP branch, the audit
+    sees the staged state, and publish lands it — final state and
+    ledger identical to the direct (unaudited) run."""
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+
+    events = generate_changes(spark, 2000, 80, n_batches=3, seed=7)
+    audited_tables = []
+
+    def audit(br):
+        audited_tables.append(br.snapshot_id)
+        # a real audit: no live row may have null extracted text
+        return br.read().filter(F.col("text").isNull()).count() == 0
+
+    ta = mk(spark, tmp_path, "audited")
+    ra = CDCRunner(ta, audit=audit)
+    ra.run(events)
+    tc = mk(spark, tmp_path, "ctl")
+    CDCRunner(tc).run(events)
+    ta = ra.table.refresh()
+    assert ta.state_hash() == tc.refresh().state_hash()
+    assert len(audited_tables) == 3
+    assert ta.wap_ids() == []  # nothing left staged
+    # replay: everything committed, nothing re-staged
+    r2 = CDCRunner(ta, audit=lambda br: (_ for _ in ()).throw(AssertionError))
+    rep = r2.run(events)
+    assert rep.n_skipped == 3
+
+
+def test_runner_audit_rejection_halts_with_main_untouched(spark, tmp_path):
+    from dbp_etl_spark.cdc import AuditFailed, CDCRunner, generate_changes
+
+    events = generate_changes(spark, 1500, 60, n_batches=3, seed=11)
+    t = mk(spark, tmp_path, "t")
+    calls = []
+
+    def audit(br):
+        calls.append(1)
+        return len(calls) < 2  # pass group 1, reject group 2
+
+    r = CDCRunner(t, audit=audit)
+    with pytest.raises(AuditFailed, match="audit rejected"):
+        r.run(events)
+    t = r.table.refresh()
+    assert t.wap_ids() == []  # rejected branch abandoned
+    ids = sorted(events.select("batch_id").distinct().toPandas()["batch_id"])
+    assert t.is_committed(ids[0])
+    assert not t.is_committed(ids[1]) and not t.is_committed(ids[2])
+    # resume with the issue "fixed": applies exactly the remaining two
+    rep = CDCRunner(t, audit=lambda br: True).run(events)
+    assert rep.n_skipped == 1
+    ctl = mk(spark, tmp_path, "ctl")
+    CDCRunner(ctl).run(events)
+    assert t.refresh().state_hash() == ctl.refresh().state_hash()
+
+
 def test_chain_ops_rejected_on_branch_handles(spark, tmp_path):
     t = seeded(spark, tmp_path, "t")
     br = t.wap_branch("a")
