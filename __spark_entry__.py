@@ -75,6 +75,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
+    "wap_audit_publish",
+    "metadata_agg_pushdown",
     # Round-4 rotation: new-this-round queries first, then the 13 whose
     # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
     # #2), so the driver's 50-query prefix re-verifies all of them.

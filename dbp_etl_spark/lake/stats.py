@@ -221,3 +221,78 @@ def file_may_match(
             ):
                 return False
     return True
+
+
+# ---------------------------------------------------------------- key blooms
+#
+# Per-file bloom filters over the MERGE KEY — the Iceberg-puffin analog.
+# Bucket pruning narrows a point lookup to ~1/B of files and min/max
+# bounds rarely help on high-cardinality hashed keys; a per-file bloom
+# answers "does this file possibly contain key X" from a few KB of
+# sidecar, so the lookup opens only the file(s) that can match. The
+# filter bytes live in a SIDECAR next to the data file (manifest entries
+# carry only {m, k, path}) so the manifest stays O(files), not O(rows).
+# No false negatives: a "definitely absent" verdict is always safe; a
+# false positive merely scans one extra file.
+
+_BLOOM_K = 7
+
+
+def _bloom_bytes_of(value) -> bytes | None:
+    """Normalize a key value for bloom hashing (must match between the
+    write side, which sees storage values, and the read side, which
+    sees predicate literals)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):  # no sane key is boolean; exclude
+        return None
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, int):
+        return str(value).encode("ascii")
+    if isinstance(value, bytes):
+        return value
+    return None  # float/timestamp keys: not supported for blooms
+
+
+def _bloom_positions(data: bytes, m_bits: int):
+    import hashlib
+
+    d = hashlib.md5(data).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    for i in range(_BLOOM_K):
+        yield (h1 + i * h2) % m_bits
+
+
+def build_key_bloom(abs_path: str, key_name: str) -> tuple[bytes, int] | None:
+    """Read one parquet file's key column and build its bloom bits.
+    Returns (filter_bytes, m_bits), or None when the column is missing
+    or holds unsupported values. Sized ~10 bits/row (≈1% fpp at k=7)."""
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pq.read_table(abs_path, columns=[key_name])
+    except Exception:  # noqa: BLE001 — blooms are an optimization
+        return None
+    vals = tbl.column(0).to_pylist()
+    m_bits = max(1024, ((len(vals) * 10 + 7) // 8) * 8)
+    bits = bytearray(m_bits // 8)
+    for v in vals:
+        b = _bloom_bytes_of(v)
+        if b is None:
+            if v is not None:
+                return None  # unsupported key type — no bloom for this file
+            continue
+        for pos in _bloom_positions(b, m_bits):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bytes(bits), m_bits
+
+
+def bloom_may_contain(bits: bytes, m_bits: int, value) -> bool:
+    """True unless the filter PROVES the key is absent (conservative:
+    un-normalizable values never prune)."""
+    b = _bloom_bytes_of(value)
+    if b is None:
+        return True
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(b, m_bits))

@@ -80,6 +80,15 @@ class CommitConflict(RuntimeError):
     """Another writer committed since this table handle loaded its snapshot."""
 
 
+def _entry_paths(f: dict):
+    """All storage paths a manifest entry references (data file +
+    optional bloom sidecar) — the unit of GC liveness."""
+    yield f["path"]
+    kb = f.get("kbloom")
+    if kb:
+        yield kb["path"]
+
+
 class LakeTable:
     def __init__(
         self,
@@ -117,6 +126,7 @@ class LakeTable:
         stats_columns: list[str] | None = None,
         merge_on_read: bool = False,
         max_delta_commits: int | None = None,
+        manifest_bloom_key: bool = False,
     ) -> "LakeTable":
         """Create an empty table.
 
@@ -160,6 +170,16 @@ class LakeTable:
         tails with small files the build cost is measurable (A/B'd at
         4-25% of the CDC leg at test file sizes).
 
+        ``manifest_bloom_key=True`` additionally keeps a per-FILE key
+        bloom in a sidecar referenced from the manifest (the Iceberg
+        puffin analog): a point lookup then drops files that provably
+        lack the key at PLAN time, before any footer or row is read —
+        the layer between bucket pruning (~1/B of files) and the
+        parquet bloom (skips row groups inside an opened file). Min/max
+        bounds cannot do this for high-cardinality hashed keys. Cost:
+        one key-column read per new file at commit (churn-sized), ~10
+        bits/row of sidecar.
+
         ``num_buckets`` sizing: aim for bucket data size of a few GB so
         a MERGE rewrite task is neither tiny nor spill-prone — 16-32 for
         test scale, ~4096 at the 10^10-row / 100 TB design point (then
@@ -190,6 +210,8 @@ class LakeTable:
             "summary": {},
             "bloom_key": bloom_key,
         }
+        if manifest_bloom_key:
+            manifest["manifest_bloom_key"] = True
         if merge_on_read:
             manifest["merge_on_read"] = True
             if max_delta_commits is not None:
@@ -607,7 +629,50 @@ class LakeTable:
                         for f in files
                         if f.get("new_spec") != spec or f["new_bucket"] in nbs
                     ]
+            # per-file key blooms (manifest_bloom_key): drop files that
+            # provably lack EVERY queried key value. Runs last so the
+            # sidecar reads are bounded by the already-bucket-pruned
+            # candidate set. Key-membership pruning is safe even in
+            # merge-on-read buckets: a file the bloom excludes holds no
+            # row of the queried key, so per-key resolution is
+            # unaffected (unlike value-range pruning, which must keep
+            # whole delta buckets — see above).
+            key_vals = []
+            for col, op, val in where:
+                if col != manifest["key"]:
+                    continue
+                if op == "=":
+                    key_vals.append(val)
+                elif op == "in":
+                    key_vals.extend(val)
+                else:
+                    key_vals = None
+                    break
+            if key_vals:
+                files = self._bloom_prune(files, key_vals)
         return files
+
+    def _bloom_prune(self, files: list[dict], key_vals: list) -> list[dict]:
+        import base64
+
+        from dbp_etl_spark.lake.stats import bloom_may_contain
+
+        out = []
+        for f in files:
+            kb = f.get("kbloom")
+            if not kb:
+                out.append(f)
+                continue
+            try:
+                bits = base64.b64decode(
+                    self._fs.read_text(os.path.join(self.root, kb["path"]))
+                )
+            except (OSError, ValueError):
+                out.append(f)  # unreadable sidecar never prunes
+                continue
+            if any(bloom_may_contain(bits, kb["m"], v) for v in key_vals):
+                out.append(f)
+        return out
 
     def _session_tz(self):
         """Session timezone as a tzinfo — what ``F.lit(naive_dt)``
@@ -921,6 +986,25 @@ class LakeTable:
                     )
                 except Exception:  # noqa: BLE001 — stats are an optimization;
                     pass  # a file without bounds is merely never pruned
+        if entries and self.manifest.get("manifest_bloom_key"):
+            from dbp_etl_spark.lake.stats import build_key_bloom
+
+            import base64
+
+            for e in entries:
+                built = build_key_bloom(os.path.join(self.root, e["path"]), self.key)
+                if built is None:
+                    continue  # no bloom => the file is simply never skipped
+                bits, m_bits = built
+                rel = e["path"] + ".kbloom"
+                try:
+                    self._fs.write_text(
+                        os.path.join(self.root, rel),
+                        base64.b64encode(bits).decode("ascii"),
+                    )
+                except OSError:
+                    continue
+                e["kbloom"] = {"m": m_bits, "path": rel}
         return entries
 
     def _commit(self, new_manifest: dict) -> "LakeTable":
@@ -1794,7 +1878,7 @@ class LakeTable:
             p = os.path.join(meta, f"v{i}.json")
             if self._fs.exists(p):
                 m = json.loads(self._fs.read_text(p))
-                live.update(f["path"] for f in m["files"])
+                live.update(p for f in m["files"] for p in _entry_paths(f))
         # scan DOWNWARD from the horizon while manifests exist: a crash
         # between a previous expiry's commit and its deletion loop left
         # expired manifests BELOW that run's (already-persisted)
@@ -1810,7 +1894,7 @@ class LakeTable:
                 break
             expired_ids.append(i)
             m = json.loads(self._fs.read_text(p))
-            dead.update(f["path"] for f in m["files"])
+            dead.update(p for f in m["files"] for p in _entry_paths(f))
             i -= 1
         expired_ids.reverse()
         dead -= live
@@ -1847,7 +1931,7 @@ class LakeTable:
             p = os.path.join(meta, f"v{i}.json")
             if self._fs.exists(p):
                 m = json.loads(self._fs.read_text(p))
-                live.update(f["path"] for f in m["files"])
+                live.update(p for f in m["files"] for p in _entry_paths(f))
         cutoff = time.time() - grace_sec
         data_root = os.path.join(self.root, _DATA)
         removed = 0
@@ -2275,7 +2359,7 @@ class LakeTable:
                 m = json.loads(self._fs.read_text(os.path.join(d, n)))
             except (ValueError, OSError):
                 continue  # torn staging file pins nothing
-            out.update(f["path"] for f in m.get("files", []))
+            out.update(p for f in m.get("files", []) for p in _entry_paths(f))
         return out
 
     def wap_branch(self, wap_id: str) -> "LakeTable":

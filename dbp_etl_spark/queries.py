@@ -3145,3 +3145,135 @@ def debezium_tail_apply(spark, sf_dir):
         "val",
         F.octet_length("html").cast("long").alias("html_len"),
     )
+
+
+@q(
+    "wap_audit_publish",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val
+    FROM ranked WHERE rn = 1
+    """,
+)
+def wap_audit_publish(spark, sf_dir):
+    """Write-audit-publish END-TO-END (reference validate-before-update
+    gate, /root/reference/load/DBPLoadController.py:229-283, made
+    atomic): the pre-cutoff state commits directly; the post-cutoff
+    refresh is STAGED on a WAP branch — provably invisible to main
+    (state hash unchanged) — audited, then published as one snapshot.
+    The oracle is the plain whole-log latest-state fold: publication
+    must be exactly equivalent to having applied the batch directly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    cutoff = "2024-01-30 12:00:00"
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+                F.col("ts").alias("warc_ts"),
+                F.round("value", 2).alias("val"),
+            )
+        )
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="wap_q_")
+    t = LakeTable.create(spark, f"{root}/t", schema, key="url", num_buckets=8)
+    t = t.append(latest(ev.filter(F.col("ts") < cutoff)), batch_id="w1")
+    before = t.state_hash()
+
+    br = t.wap_branch("audit-q")
+    br = br.delete_where(F.col("url").isNotNull(), batch_id="w2-del")
+    br = br.append(latest(ev), batch_id="w2-add")
+    # audit: staged state is fully extracted (no null vals) and main is
+    # byte-untouched while the branch carries the whole refresh
+    assert br.read().filter(F.col("val").isNull()).count() == 0
+    assert t.refresh().state_hash() == before
+    t = t.refresh().publish_wap("audit-q")
+    assert t.manifest["summary"]["wap_publish"]["mode"] == "fast_forward"
+    assert t.is_committed("w2-add") and not t.wap_ids()
+    return t.read().select(
+        "url", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"), "val"
+    )
+
+
+@q(
+    "metadata_agg_pushdown",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_live,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer WHERE c_acctbal >= 0
+    """,
+)
+def metadata_agg_pushdown(spark, sf_dir):
+    """Metadata-only aggregation END-TO-END (Iceberg aggregate-pushdown
+    analog; manifest stats from lake/stats.py): load customers into a
+    stats-enabled lake table, tombstone the negative balances, vacuum
+    the tombstones past the watermark, then answer count(*)/min/max
+    from the MANIFEST ALONE — the query self-asserts that zero files
+    and zero delta buckets were scanned. The oracle recomputes the same
+    aggregates relationally over the surviving rows."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.lit(datetime.datetime(2024, 1, 1)).cast("timestamp").alias("warc_ts"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="meta_agg_q_")
+    t = LakeTable.create(
+        spark,
+        f"{root}/t",
+        schema,
+        key="c_custkey",
+        num_buckets=8,
+        stats_columns=["c_acctbal"],
+    )
+    t = t.append(cust, batch_id="load")
+    t = t.delete_where(F.col("c_acctbal") < 0, batch_id="drop-neg")
+    t = t.vacuum_tombstones(datetime.datetime(2024, 6, 1), batch_id="vac")
+    n, nd = t.count_rows(detail=True)
+    (lo, hi), bd = t.column_bounds("c_acctbal", detail=True)
+    # the point of the operator: pure manifest walk, no scan at all
+    assert nd["scanned_files"] == 0 and nd["scanned_delta_buckets"] == 0, nd
+    assert bd["scanned_files"] == 0 and nd["metadata_files"] > 0, bd
+    return spark.createDataFrame(
+        [(n, round(lo, 2), round(hi, 2))],
+        "n_live long, min_bal double, max_bal double",
+    )
