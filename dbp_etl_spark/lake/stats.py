@@ -223,6 +223,52 @@ def file_may_match(
     return True
 
 
+def file_must_match(
+    file_entry: dict,
+    preds_by_id: dict[int, list[tuple]],
+    tz: _dt.tzinfo | None = None,
+) -> bool:
+    """True only when this file's bounds PROVE that EVERY row satisfies
+    the AND of all predicates — the inverse of ``file_may_match``, and
+    the basis of predicate-aware metadata aggregation: a must-match
+    file contributes its (live) row count without being opened.
+
+    Conservative in the opposite direction: missing stats, missing
+    bounds, any nulls in a predicate column (NULL never satisfies a
+    comparison), or an un-normalizable literal all return False — the
+    caller then scans the file, which is always exact.
+    """
+    stats = file_entry.get("stats")
+    if not stats:
+        return False
+    cols = stats.get("cols", {})
+    for col_id, preds in preds_by_id.items():
+        s = cols.get(str(col_id))
+        if s is None or "min" not in s or s.get("nulls", 0) != 0:
+            return False
+        kind, lo, hi = s["t"], s["min"], s["max"]
+        for op, value in preds:
+            if op == "in":
+                vals = [_norm(v, kind, tz) for v in value]
+                # provable only when the file is constant on this column
+                # and that constant is in the list
+                if not (lo == hi and any(v == lo for v in vals)):
+                    return False
+                continue
+            v = _norm(value, kind, tz)
+            if v is None:
+                return False
+            if not (
+                (op == "=" and lo == hi == v)
+                or (op == "<" and hi < v)
+                or (op == "<=" and hi <= v)
+                or (op == ">" and lo > v)
+                or (op == ">=" and lo >= v)
+            ):
+                return False
+    return True
+
+
 # ---------------------------------------------------------------- key blooms
 #
 # Per-file bloom filters over the MERGE KEY — the Iceberg-puffin analog.

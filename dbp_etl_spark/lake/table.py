@@ -58,6 +58,7 @@ from dbp_etl_spark.lake.schema import TableSchema, spark_type
 from dbp_etl_spark.lake.stats import (
     collect_file_stats,
     file_may_match,
+    file_must_match,
     validate_predicates,
 )
 
@@ -2030,19 +2031,32 @@ class LakeTable:
             return nulls if d["min"] == 1 else rows
         return None
 
-    def count_rows(self, detail: bool = False):
-        """Exact live-row count, answered from manifest metadata where
-        provable — the Iceberg aggregate-pushdown analog of
-        ``SELECT count(*)``.
+    @staticmethod
+    def _preds_by_id(current: TableSchema, where: list[tuple]) -> dict[int, list[tuple]]:
+        validate_predicates(where)
+        name_to_id = {c.name: c.col_id for c in current.columns}
+        out: dict[int, list[tuple]] = {}
+        for col, op, val in where:
+            if col not in name_to_id:
+                raise ValueError(f"unknown column in where: {col!r}")
+            out.setdefault(name_to_id[col], []).append((op, val))
+        return out
 
-        Files whose stats record row count + decisive ``_deleted``
-        bounds are summed driver-side with ZERO I/O; only indecisive
-        files (no stats, or mixed tombstones) and merge-on-read delta
-        buckets (per-key resolution needed) fall back to a scan — and
-        that scan reads just those files, column-pruned to the
-        tombstone flag. At the 100 TB design point a count over a
-        stats-enabled copy-on-write table is a pure manifest walk: no
-        executor even launches.
+    def count_rows(self, where: list[tuple] | None = None, detail: bool = False):
+        """Exact live-row count — optionally under ``where`` predicates
+        (same ``(col, op, value)`` grammar as ``read``) — answered from
+        manifest metadata where provable: the Iceberg aggregate-
+        pushdown analog of ``SELECT count(*) [WHERE ...]``.
+
+        Three-way file classification, all from the manifest: files
+        whose bounds prove NO row matches contribute zero (pruning);
+        files whose bounds prove EVERY row matches (``file_must_match``
+        — zero nulls, range fully inside the predicate) contribute
+        their provable live count; only the straddling remainder plus
+        merge-on-read delta buckets (per-key resolution) are scanned,
+        and that scan reads just those files. At the 100 TB design
+        point a time-range count over a warc_ts-clustered table opens
+        only the boundary files of the range.
 
         ``detail=True`` additionally returns
         ``{"metadata_files", "metadata_rows", "scanned_files",
@@ -2053,7 +2067,12 @@ class LakeTable:
         current = self.schema
         cur_struct = current.to_struct()
         del_id = self._del_col_id()
-        files = manifest["files"]
+        if where:
+            files = self._prune_entries(manifest, current, None, where)
+            preds_by_id = self._preds_by_id(current, where)
+            tz = self._session_tz()
+        else:
+            files = manifest["files"]
         delta_buckets = {f["bucket"] for f in files if f.get("delta")}
         meta_rows = meta_files = 0
         scan_files: list[dict] = []
@@ -2061,18 +2080,24 @@ class LakeTable:
             if f["bucket"] in delta_buckets:
                 continue
             live = self._file_live_rows(f, del_id)
-            if live is None:
-                scan_files.append(f)
-            else:
+            if live is not None and (
+                not where or file_must_match(f, preds_by_id, tz)
+            ):
                 meta_rows += live
                 meta_files += 1
+            else:
+                scan_files.append(f)
         scanned = 0
         if delta_buckets:
-            scanned += self.read(buckets=sorted(delta_buckets)).count()
+            scanned += self.read(
+                buckets=sorted(delta_buckets), where=where or None
+            ).count()
         if scan_files:
             df = self._project_to_current(manifest, current, cur_struct, scan_files)
             if "_deleted" in df.columns:
                 df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            if where:
+                df = df.filter(self._where_condition(where))
             scanned += df.count()
         total = meta_rows + scanned
         if detail:

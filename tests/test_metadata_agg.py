@@ -122,6 +122,51 @@ def test_mor_delta_buckets_resolve_exactly(spark, tmp_path):
     assert t.column_bounds("score") == (-5.0, 1000.0)
 
 
+def test_predicate_count_pure_metadata_when_files_decide(spark, tmp_path):
+    """Per-file ranges don't straddle the predicate: January files are
+    pruned (no-match), February files are must-match — the filtered
+    count is a pure manifest walk."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t = t.append(_batch(spark, 1, 40, 0), batch_id="jan")
+    t = t.append(_batch(spark, 2, 40, 100), batch_id="feb")
+    n, d = t.count_rows(
+        where=[("warc_ts", ">=", datetime.datetime(2024, 2, 1))], detail=True
+    )
+    assert n == 40
+    assert d["scanned_files"] == 0 and d["metadata_files"] > 0
+    # and the inverse predicate too
+    n2, d2 = t.count_rows(
+        where=[("warc_ts", "<", datetime.datetime(2024, 2, 1))], detail=True
+    )
+    assert n2 == 40 and d2["scanned_files"] == 0
+
+
+def test_predicate_count_scans_only_straddling_files(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t = t.append(_batch(spark, 1, 40, 0), batch_id="jan")
+    t = t.append(_batch(spark, 2, 40, 100), batch_id="feb")
+    # score spans 0..39 in jan files and 100..139 in feb files; a cut
+    # at 120 prunes jan, straddles feb
+    n, d = t.count_rows(where=[("score", ">=", 120.0)], detail=True)
+    expect = t.read().filter(F.col("score") >= 120.0).count()
+    assert n == expect == 20
+    assert 0 < d["scanned_files"] < len(t.manifest["files"])
+
+
+def test_predicate_count_exact_with_tombstones_and_mor(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), merge_on_read=True)
+    t = t.append(_batch(spark, 1, 40, 0), batch_id="b1")
+    t = t.delete_keys(
+        spark.createDataFrame([("https://x/3",), ("https://x/7",)], "url string"),
+        datetime.datetime(2024, 6, 1),
+        "del",
+    )
+    for cut in (0.0, 10.0, 35.0, 200.0):
+        got = t.count_rows(where=[("score", ">=", cut)])
+        expect = t.read().filter(F.col("score") >= cut).count()
+        assert got == expect, (cut, got, expect)
+
+
 def test_empty_table_bounds(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     assert t.count_rows() == 0
