@@ -2109,16 +2109,24 @@ class LakeTable:
             }
         return total
 
-    def column_bounds(self, col: str, detail: bool = False):
-        """Exact ``(min, max)`` of a column over LIVE rows, from
-        manifest bounds where provable, scanning only the rest.
+    def column_bounds(
+        self, col: str, where: list[tuple] | None = None, detail: bool = False
+    ):
+        """Exact ``(min, max)`` of a column over LIVE rows — optionally
+        under ``where`` predicates (same ``(col, op, value)`` grammar
+        as ``read``) — from manifest bounds where provable, scanning
+        only the rest.
 
         A file contributes its manifest bounds only when it provably
         holds no tombstones (a tombstoned row's values must not widen
-        live bounds) and records bounds for the column; all-null files
-        contribute nothing. Everything else — statless files, mixed
-        files, merge-on-read delta buckets — is aggregated by a real
-        (column-pruned) scan and merged in.
+        live bounds), records bounds for the column, and — under
+        ``where`` — provably matches the predicate on EVERY row
+        (``file_must_match``; a partial match could source the min/max
+        from excluded rows). Files whose bounds prove no row matches
+        are pruned outright. Everything else — statless files, mixed
+        files, straddlers, merge-on-read delta buckets — is aggregated
+        by a real (column-pruned, predicate-filtered) scan and merged
+        in.
 
         Values are returned in storage-normal form: numbers/strings as
         is, booleans as bool, dates as ``datetime.date``, timestamps as
@@ -2135,7 +2143,12 @@ class LakeTable:
         manifest = self.manifest
         cur_struct = current.to_struct()
         del_id = self._del_col_id()
-        files = manifest["files"]
+        if where:
+            files = self._prune_entries(manifest, current, None, where)
+            preds_by_id = self._preds_by_id(current, where)
+            tz = self._session_tz()
+        else:
+            files = manifest["files"]
         delta_buckets = {f["bucket"] for f in files if f.get("delta")}
         kind = None
         lo = hi = None
@@ -2150,6 +2163,9 @@ class LakeTable:
             if live is None or s is None:
                 scan_files.append(f)
                 continue
+            if where and not file_must_match(f, preds_by_id, tz):
+                scan_files.append(f)  # straddler — bounds could come
+                continue  # from rows the predicate excludes
             if "min" not in s:  # column all-null here: nothing to add
                 meta_files += 1
                 continue
@@ -2181,11 +2197,15 @@ class LakeTable:
 
         scan_srcs = []
         if delta_buckets:
-            scan_srcs.append(self.read(buckets=sorted(delta_buckets)).select(col))
+            scan_srcs.append(
+                self.read(buckets=sorted(delta_buckets), where=where or None).select(col)
+            )
         if scan_files:
             df = self._project_to_current(manifest, current, cur_struct, scan_files)
             if "_deleted" in df.columns:
                 df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            if where:
+                df = df.filter(self._where_condition(where))
             scan_srcs.append(df.select(col))
         n_scanned = len(scan_files)
         if scan_srcs:

@@ -167,6 +167,60 @@ def test_predicate_count_exact_with_tombstones_and_mor(spark, tmp_path):
         assert got == expect, (cut, got, expect)
 
 
+def test_predicate_bounds_pure_metadata_when_files_decide(spark, tmp_path):
+    """Filtered min/max is a pure manifest walk when every surviving
+    file must-matches the predicate (and is pruned otherwise)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t = t.append(_batch(spark, 1, 40, 0), batch_id="jan")
+    t = t.append(_batch(spark, 2, 40, 100), batch_id="feb")
+    (lo, hi), d = t.column_bounds(
+        "score", where=[("warc_ts", ">=", datetime.datetime(2024, 2, 1))], detail=True
+    )
+    assert (lo, hi) == (100.0, 139.0)
+    assert d["scanned_files"] == 0 and d["metadata_files"] > 0
+
+
+def test_predicate_bounds_scan_straddlers_only_and_stay_exact(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t = t.append(_batch(spark, 1, 40, 0), batch_id="jan")
+    t = t.append(_batch(spark, 2, 40, 100), batch_id="feb")
+    # jan pruned (no-match), feb files straddle the 120 cut: the min
+    # must come from a real scan, NOT the feb file bounds (min 100 is
+    # outside the predicate)
+    (lo, hi), d = t.column_bounds("score", where=[("score", ">=", 120.0)], detail=True)
+    assert (lo, hi) == (120.0, 139.0)
+    assert 0 < d["scanned_files"] < len(t.manifest["files"])
+    # no matching rows at all -> (None, None)
+    assert t.column_bounds("score", where=[("score", ">", 999.0)]) == (None, None)
+
+
+def test_predicate_bounds_exact_with_tombstones_and_mor(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), merge_on_read=True)
+    t = t.append(_batch(spark, 1, 40, 0), batch_id="b1")
+    up = spark.createDataFrame(
+        [("https://x/5", datetime.datetime(2024, 3, 1), "upd", 500.0, False)],
+        "url string, warc_ts timestamp, text string, score double, _deleted boolean",
+    )
+    touched = sorted(
+        r["b"] for r in up.select(t.bucket_expr("url").alias("b")).distinct().collect()
+    )
+    t = t.write_deltas(up, touched, "b2")
+    t = t.delete_keys(
+        spark.createDataFrame([("https://x/39",)], "url string"),
+        datetime.datetime(2024, 6, 1),
+        "del",
+    )
+    for cut in (0.0, 10.0, 35.0, 600.0):
+        got = t.column_bounds("score", where=[("score", ">=", cut)])
+        [r] = (
+            t.read()
+            .filter(F.col("score") >= cut)
+            .agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+            .collect()
+        )
+        assert got == (r["mn"], r["mx"]), (cut, got)
+
+
 def test_empty_table_bounds(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     assert t.count_rows() == 0
