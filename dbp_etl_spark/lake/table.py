@@ -2471,10 +2471,14 @@ class LakeTable:
 
         Fast-forward when main has not moved since the fork; otherwise
         a REBASE: allowed iff the branch's touched buckets are disjoint
-        from main's touched-since-fork buckets and neither side changed
-        schema or bucket layout — then main's files are kept for its
-        buckets and the branch's for the branch's. Any overlap raises
-        ``CommitConflict`` (re-stage from fresh state to resolve).
+        from main's touched-since-fork buckets, neither side changed
+        bucket layout, and at most ONE side evolved the schema (schema
+        evolution is metadata-only and per-file schema versions project
+        forward, so a one-sided change rebases cleanly; both-sided
+        changes could collide on column ids) — then main's files are
+        kept for its buckets and the branch's for the branch's. Any
+        overlap raises ``CommitConflict`` (re-stage from fresh state to
+        resolve).
 
         Exactly-once: the publish itself is ledger-keyed (default id
         ``wap-publish-<id>``), and the branch's own batch ids merge
@@ -2535,10 +2539,15 @@ class LakeTable:
         else:
             mode = "rebase"
             base_sv = staged["wap_base_schema_version"]
-            if staged["schema_version"] != base_sv or head_m["schema_version"] != base_sv:
+            branch_evolved = staged["schema_version"] != base_sv
+            main_evolved = head_m["schema_version"] != base_sv
+            if branch_evolved and main_evolved:
+                # BOTH sides evolved: their independently-assigned column
+                # ids could collide, so the schema maps cannot be merged
                 raise CommitConflict(
-                    "schema evolved since the WAP fork — publish requires "
-                    "fast-forward (re-stage from fresh state)"
+                    "schema evolved on both main and the WAP branch since "
+                    "the fork — publish requires fast-forward (re-stage "
+                    "from fresh state)"
                 )
             if (
                 head_m["num_buckets"] != staged["wap_base_num_buckets"]
@@ -2566,6 +2575,19 @@ class LakeTable:
             new_manifest["files"] = [
                 f for f in head_m["files"] if str(f["bucket"]) not in touched_branch
             ] + [f for f in staged["files"] if str(f["bucket"]) in touched_branch]
+            if branch_evolved:
+                # ONE-sided evolution rebases cleanly: schema changes are
+                # metadata-only (no files move), every file records the
+                # schema_version it was written under, and the other
+                # side's since-fork files use the base version — still
+                # present in the evolving side's append-only schema map.
+                # Branch evolved => adopt its schema chain over head's.
+                new_manifest["schemas"] = staged["schemas"]
+                new_manifest["schema_version"] = staged["schema_version"]
+                if "last_column_id" in staged:
+                    new_manifest["last_column_id"] = staged["last_column_id"]
+            # main_evolved: dict(head_m) already carries main's chain and
+            # the branch's files project forward by column id as usual
             ledger = dict(head_m["committed_batches"])
             ledger.update(new_batches)
         ledger[bid] = {"snapshot_id": new_id, "wap_id": wap_id}

@@ -197,14 +197,51 @@ def test_multi_commit_branch_squashes_to_one_snapshot(spark, tmp_path):
     assert t.is_committed("b1") and t.is_committed("b2")
 
 
-def test_branch_schema_change_blocks_rebase(spark, tmp_path):
+def test_branch_only_schema_change_rebases(spark, tmp_path):
+    """One-sided evolution (branch side) publishes over moved main:
+    the branch's schema chain is adopted and main's since-fork files —
+    written under the base version — project forward by column id."""
     t = mk(spark, tmp_path, "t")
     ua, ub = _urls_in_distinct_buckets(t, 2)
     br = t.wap_branch("a")
     br = br.add_column("rank", "double")
+    merge_batch(br, ev(spark, [(ua, 100, b"<p>a</p>", "insert")]), "b-branch")
     merge_batch(t.refresh(), ev(spark, [(ub, 100, b"<p>b</p>", "insert")]), "b-main")
+    t = t.refresh().publish_wap("a")
+    assert t.manifest["summary"]["wap_publish"]["mode"] == "rebase"
+    assert "rank" in t.schema.names()
+    rows = {r["url"]: r["rank"] for r in t.read().collect()}
+    assert set(rows) == {ua, ub}
+    assert rows[ua] is None and rows[ub] is None  # new col backfills null
+    # the adopted chain keeps evolving without id collisions
+    t = t.add_column("grade", "string")
+    assert "grade" in t.schema.names()
+
+
+def test_main_only_schema_change_rebases(spark, tmp_path):
+    """One-sided evolution (main side): the branch's since-fork files
+    project into main's evolved schema on publish."""
+    t = mk(spark, tmp_path, "t")
+    ua, ub = _urls_in_distinct_buckets(t, 2)
+    br = t.wap_branch("a")
+    merge_batch(br, ev(spark, [(ua, 100, b"<p>a</p>", "insert")]), "b-branch")
+    t = t.refresh().add_column("rank", "double")
+    merge_batch(t, ev(spark, [(ub, 100, b"<p>b</p>", "insert")]), "b-main")
+    t = t.refresh().publish_wap("a")
+    assert t.manifest["summary"]["wap_publish"]["mode"] == "rebase"
+    assert "rank" in t.schema.names()
+    assert {r["url"] for r in t.read().collect()} == {ua, ub}
+
+
+def test_both_sides_schema_change_blocks_rebase(spark, tmp_path):
+    t = mk(spark, tmp_path, "t")
+    _, ub = _urls_in_distinct_buckets(t, 2)
+    br = t.wap_branch("a")
+    br = br.add_column("rank", "double")
+    t = t.refresh().add_column("grade", "string")
+    merge_batch(t, ev(spark, [(ub, 100, b"<p>b</p>", "insert")]), "b-main")
     t = t.refresh()
-    with pytest.raises(CommitConflict, match="schema evolved"):
+    with pytest.raises(CommitConflict, match="both main and the WAP branch"):
         t.publish_wap("a")
 
 
