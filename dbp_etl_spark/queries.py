@@ -3277,3 +3277,101 @@ def metadata_agg_pushdown(spark, sf_dir):
         [(n, round(lo, 2), round(hi, 2))],
         "n_live long, min_bal double, max_bal double",
     )
+
+
+@q(
+    "replica_filtered_sync",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT 'https://r.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val
+    FROM latest WHERE op <> 'delete' AND val >= 30
+    """,
+)
+def replica_filtered_sync(spark, sf_dir):
+    """Incremental table-to-table replication END-TO-END
+    (cdc/replicate.py TableReplicator; the changes-OUT path that lets
+    one lake table feed the next pipeline stage — the incremental
+    generalization of the reference's load-then-serve split,
+    /root/reference/load/DBPLoadController.py:96-141): apply the events
+    log to a SOURCE table in weekly batches, and after each half of the
+    log sync a FILTERED merge-on-read replica (``val >= 30``) from the
+    source's change feed. The second sync must be a pure CDF apply
+    (cursor recovered from the replica's own ledger) landing as
+    O(churn) delta commits, and rows whose latest value left the
+    predicate must be DELETED from the replica (move-out semantics) —
+    so the final replica equals the plain filtered latest-state oracle.
+    The query RAISES if any of those structural facts does not hold."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, TableReplicator
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("update")
+    changes = ev.select(
+        F.concat(F.lit("https://r.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            op != "delete",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>r"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ).alias("html"),
+        F.when(op != "delete", F.round("value", 2)).alias("val"),
+        op.alias("op"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="replica_q_")
+    src = LakeTable.create(spark, f"{root}/src", schema, key="url", num_buckets=8)
+    tgt = LakeTable.create(
+        spark, f"{root}/tgt", schema, key="url", num_buckets=4, merge_on_read=True
+    )
+    runner = CDCRunner(src)
+    runner.run(changes.filter(F.col("batch_id") < 2))
+    rep = TableReplicator(runner.table, tgt, name="q", where=F.col("val") >= 30)
+    r1 = rep.sync()
+    runner = CDCRunner(rep.source.refresh())
+    runner.run(changes.filter(F.col("batch_id") >= 2))
+    r2 = rep.sync()
+    if r1.skipped or r2.skipped or r2.mode != "cdf":
+        raise RuntimeError(f"replication did not run incrementally: {r1} / {r2}")
+    if r2.from_snapshot != r1.to_snapshot:
+        raise RuntimeError("second sync did not resume from the first's cursor")
+    if not any(f.get("delta") for f in rep.target.manifest["files"]):
+        raise RuntimeError("MOR replica target wrote no delta files")
+    if rep.cursor() != rep.source.snapshot_id:
+        raise RuntimeError("replica cursor did not reach the source head")
+    return rep.target.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+    )
