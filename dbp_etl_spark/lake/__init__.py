@@ -8,6 +8,10 @@ pruning, column-id-based schema evolution (add / rename / widen)
 without data rewrite, and time travel over snapshot history.
 """
 
-from dbp_etl_spark.lake.table import LakeTable, SnapshotExpired  # noqa: F401
+from dbp_etl_spark.lake.table import (  # noqa: F401
+    ConstraintViolation,
+    LakeTable,
+    SnapshotExpired,
+)
 from dbp_etl_spark.lake.schema import ColumnSpec, TableSchema  # noqa: F401
 from dbp_etl_spark.lake.txn import TxnAborted, TxnCoordinator  # noqa: F401

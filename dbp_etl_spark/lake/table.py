@@ -77,6 +77,12 @@ class SnapshotExpired(RuntimeError):
     """Time-travel target was removed by expire_snapshots."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write contained rows failing a table CHECK constraint; the
+    commit was aborted (no manifest published — the attempt's data
+    files are unreferenced orphans, reclaimed by remove_orphan_files)."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed since this table handle loaded its snapshot."""
 
@@ -128,8 +134,13 @@ class LakeTable:
         merge_on_read: bool = False,
         max_delta_commits: int | None = None,
         manifest_bloom_key: bool = False,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create an empty table.
+
+        ``constraints``: named CHECK expressions (``{name: sql_expr}``,
+        Delta-constraint analog) enforced on EVERY write path — see
+        ``add_constraint`` for semantics and cost.
 
         ``merge_on_read=True``: MERGE commits write only the CHANGED
         rows (upserts + tombstones) as sequence-numbered DELTA files
@@ -223,6 +234,10 @@ class LakeTable:
             raise ValueError("max_delta_commits requires merge_on_read=True")
         if stats_columns:
             manifest["stats_col_ids"] = cls._resolve_stats_cols(schema, stats_columns)
+        if constraints:
+            for name, expr in constraints.items():
+                cls._check_constraint_expr(spark, schema, name, expr)
+            manifest["constraints"] = dict(constraints)
         fs.create_text_exclusive(
             os.path.join(root, _META, "v0.json"), json.dumps(manifest, indent=1)
         )
@@ -243,6 +258,110 @@ class LakeTable:
                 )
             ids.append(c.col_id)
         return ids
+
+    # ------------------------------------------------------- constraints
+
+    @staticmethod
+    def _check_constraint_expr(
+        spark: SparkSession, schema: TableSchema, name: str, expr: str
+    ) -> None:
+        """Validate a constraint at declaration time: name shape, SQL
+        parse, column resolution against the schema, boolean type."""
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name or ""):
+            raise ValueError(
+                f"constraint name {name!r} must be [A-Za-z0-9_.-]+ (it is "
+                "used as a metric column and a ledger-id component)"
+            )
+        from pyspark.sql.types import BooleanType
+
+        probe = spark.createDataFrame([], schema.to_struct())
+        try:
+            dt = probe.select(F.expr(expr).alias("c")).schema["c"].dataType
+        except Exception as e:  # noqa: BLE001 — surface parse/resolution errors
+            raise ValueError(f"constraint {name!r} invalid: {e}") from e
+        if not isinstance(dt, BooleanType):
+            raise ValueError(
+                f"constraint {name!r} must be a boolean expression, got {dt.simpleString()}"
+            )
+
+    @property
+    def constraints(self) -> dict:
+        """name -> CHECK expression currently enforced on writes."""
+        return dict(self.manifest.get("constraints") or {})
+
+    def add_constraint(self, name: str, expr: str, batch_id=None) -> "LakeTable":
+        """Declare a CHECK constraint (Delta ``ADD CONSTRAINT`` analog).
+
+        Existing LIVE rows are validated first (one bucket-parallel
+        scan; fails with ``ConstraintViolation`` listing the count),
+        then the constraint lands as a metadata-only commit. From then
+        on EVERY write path (MERGE, append, deltas, DML, compaction)
+        counts violations DURING its own write job via
+        ``DataFrame.observe`` — zero extra scans — and aborts before
+        the manifest commit if any live row fails.
+
+        Semantics are Delta's: a row passes only when the expression
+        evaluates to TRUE; NULL fails (so ``col IS NOT NULL`` is the
+        not-null constraint, and a nullable check must say so:
+        ``col IS NULL OR col >= 0``). Tombstone rows are exempt — a
+        delete nulls its payload columns by design.
+
+        Main-chain only (like tags); a WAP rebase adopts MAIN's
+        constraint set without re-validating branch data (same race
+        Delta has — audit in the branch if that matters)."""
+        if self._wap_id is not None:
+            raise RuntimeError("add_constraint operates on the main chain, not a WAP branch")
+        self._check_constraint_expr(self.spark, self.schema, name, expr)
+        cur = self.constraints
+        if name in cur:
+            if cur[name] == expr:
+                return self
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                "expression; drop it first"
+            )
+        n_bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)))
+            .count()
+        )
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: {n_bad} existing live rows "
+                f"violate ({expr})"
+            )
+        bid = batch_id if batch_id is not None else f"add-constraint-{name}-at-{self.snapshot_id}"
+        if self.is_committed(bid):
+            return self
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = self.snapshot_id + 1
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["constraints"] = {**cur, name: expr}
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(bid)] = {"snapshot_id": new_manifest["snapshot_id"]}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = {"add_constraint": {name: expr}}
+        return self._commit(new_manifest)
+
+    def drop_constraint(self, name: str, batch_id=None) -> "LakeTable":
+        """Remove a CHECK constraint. Unknown names no-op (replay-safe)."""
+        if self._wap_id is not None:
+            raise RuntimeError("drop_constraint operates on the main chain, not a WAP branch")
+        cur = self.constraints
+        if name not in cur:
+            return self
+        bid = batch_id if batch_id is not None else f"drop-constraint-{name}-at-{self.snapshot_id}"
+        if self.is_committed(bid):
+            return self
+        new_manifest = dict(self.manifest)
+        new_manifest["snapshot_id"] = self.snapshot_id + 1
+        new_manifest["parent_id"] = self.snapshot_id
+        new_manifest["constraints"] = {k: v for k, v in cur.items() if k != name}
+        ledger = dict(self.manifest["committed_batches"])
+        ledger[str(bid)] = {"snapshot_id": new_manifest["snapshot_id"]}
+        new_manifest["committed_batches"] = ledger
+        new_manifest["summary"] = {"drop_constraint": name}
+        return self._commit(new_manifest)
 
     def set_stats_columns(self, cols: list[str]) -> "LakeTable":
         """Start recording per-file bounds for ``cols`` on future
@@ -930,6 +1049,35 @@ class LakeTable:
                 .withColumn("_bucket", self.bucket_expr())
                 .repartition("_bucket")
             )
+        cons = self.manifest.get("constraints") or {}
+        obs = None
+        if cons:
+            # CHECK enforcement rides the write job itself (observe =
+            # accumulator-style metrics, zero extra scans): violations
+            # are counted as the files stream out, and a non-zero count
+            # aborts BEFORE the manifest commit — the attempt's files
+            # are unreferenced orphans, so nothing bad ever becomes
+            # visible. Live rows only: tombstones null their payload.
+            from pyspark.sql import Observation
+
+            live = (
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+                if "_deleted" in out.columns
+                else F.lit(True)
+            )
+            obs = Observation()
+            out = out.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(
+                            live & ~F.coalesce(F.expr(e).cast("boolean"), F.lit(False)),
+                            1,
+                        ).otherwise(0)
+                    ).alias(n)
+                    for n, e in cons.items()
+                ],
+            )
         writer = out.write.partitionBy("_bucket").mode("append")
         if self.manifest.get("bloom_key", False):
             # parquet bloom filter on the merge key: a point lookup
@@ -952,6 +1100,13 @@ class LakeTable:
             writer.parquet(snap_dir)
         finally:
             conf.set("spark.sql.parquet.outputTimestampType", ts_prev)
+        if obs is not None:
+            bad = {k: v for k, v in obs.get.items() if v}  # None/0 = clean
+            if bad:
+                raise ConstraintViolation(
+                    "write aborted, CHECK constraint(s) violated by live rows: "
+                    + ", ".join(f"{k}={v} rows ({cons[k]})" for k, v in sorted(bad.items()))
+                )
         entries: list[dict] = []
         for bucket_dir in self._fs.list_names(snap_dir):
             if not bucket_dir.startswith("_bucket="):
@@ -2678,6 +2833,12 @@ class LakeTable:
             new_manifest["migration"] = old["migration"]
         else:
             new_manifest.pop("migration", None)
+        # constraints are logical state too: the restored rows were
+        # validated under the TARGET's constraint set, not the head's
+        if "constraints" in old:
+            new_manifest["constraints"] = old["constraints"]
+        else:
+            new_manifest.pop("constraints", None)
         ledger = dict(old["committed_batches"])
         ledger[str(bid)] = {"snapshot_id": snap_id}
         new_manifest["committed_batches"] = ledger

@@ -3375,3 +3375,129 @@ def replica_filtered_sync(spark, sf_dir):
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         "val",
     )
+
+
+@q(
+    "constraint_gated_ingest",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT 'https://c.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val
+    FROM latest WHERE op <> 'delete'
+    """,
+)
+def constraint_gated_ingest(spark, sf_dir):
+    """Write-time CHECK constraints END-TO-END (lake/table.py
+    add_constraint/_write_data observe gate; Delta-constraint analog of
+    the reference's pre-update validation pass,
+    /root/reference/load/Validate.py and
+    /root/reference/load/DBPLoadController.py:229-283): ingest the
+    events log into a table declaring ``text IS NOT NULL AND val IS
+    NOT NULL`` for live rows — the violation counters ride the write
+    job itself (zero extra scans) — then prove the gate is REAL by
+    applying a poisoned batch whose transform nulls ``text``: it must
+    abort with ConstraintViolation, leave the head unmoved and the
+    batch id uncommitted. The returned state must equal the plain
+    latest-state oracle, i.e. enforcement never perturbed a valid
+    ingest. RAISES if the poisoned batch slips through."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.cdc.merge import merge_batch
+    from dbp_etl_spark.lake import ConstraintViolation, LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("update")
+    changes = ev.select(
+        F.concat(F.lit("https://c.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            op != "delete",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>c"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ).alias("html"),
+        F.when(op != "delete", F.round("value", 2)).alias("val"),
+        op.alias("op"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="constraint_q_")
+    table = LakeTable.create(
+        spark,
+        f"{root}/pages",
+        schema,
+        key="url",
+        num_buckets=8,
+        constraints={
+            "text-extracted": "text IS NOT NULL",
+            "val-present": "val IS NOT NULL",
+        },
+    )
+    runner = CDCRunner(table)
+    runner.run(changes)
+    table = runner.table.refresh()
+    head = table.snapshot_id
+    # genuinely-new payload bytes at a strictly later ts: the column-
+    # diff guard must classify these as real updates (a byte-identical
+    # replay would no-op before reaching the write, proving nothing)
+    poisoned = (
+        changes.filter(F.col("op") != "delete")
+        .limit(5)
+        .select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 400 DAYS")).alias("warc_ts"),
+            F.encode(F.concat(F.lit("<p>poison "), F.col("url"), F.lit("</p>")), "utf-8").alias(
+                "html"
+            ),
+            "val",
+            F.lit("update").alias("op"),
+            F.lit(99).cast("long").alias("batch_id"),
+        )
+    )
+    try:
+        merge_batch(
+            table,
+            poisoned,
+            "poison",
+            transform=lambda df: df.withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string")),
+        )
+        raise RuntimeError("poisoned batch passed the CHECK constraint gate")
+    except ConstraintViolation:
+        pass
+    table = table.refresh()
+    if table.snapshot_id != head or table.is_committed("poison"):
+        raise RuntimeError("aborted batch leaked a commit")
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+    )
