@@ -169,14 +169,25 @@ def _assemble_new_state(
             if c not in (key, "warc_ts", "_deleted")
         ],
     )
+    # transform context columns exist only where the schema carries
+    # their source: a payload-only table (no extracted text/lang — e.g.
+    # an embedding corpus merged with an identity transform) must not
+    # reference the missing _t_* columns
+    ctx = []
+    if "html" in schema_names:
+        ctx.append((~new_html.eqNullSafe(F.col("_t_html"))).alias("_payload_changed"))
+    else:
+        ctx.append(F.lit(True).alias("_payload_changed"))
+    if "text" in schema_names:
+        ctx.append(F.col("_t_text").alias("_old_text"))
+    if "lang" in schema_names:
+        ctx.append(F.col("_t_lang").alias("_old_lang"))
     changed = in_dirty.filter(F.col("_action").isin(*changed_actions)).select(
         F.col(key),
         F.col("_b").alias("_bucket"),
         new_ts.alias("warc_ts"),
         new_html.alias("html"),
-        (~new_html.eqNullSafe(F.col("_t_html"))).alias("_payload_changed"),
-        F.col("_t_text").alias("_old_text"),
-        F.col("_t_lang").alias("_old_lang"),
+        *ctx,
         F.lit(False).alias("_deleted"),
         *[
             new_payload(c).alias(c)

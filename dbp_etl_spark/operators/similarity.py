@@ -258,6 +258,16 @@ def _assign_nearest(
     Tie-break: smallest centroid_id (array_min over (d2, id) structs
     orders lexicographically)."""
     rows = cents.orderBy("centroid_id").collect()  # bounded: k centroids
+    cent_list = [list(r["centroid"]) for r in rows]
+    return assign_cells(corpus, cent_list, vec_col, out_col="centroid_id")
+
+
+def assign_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, out_col: str = "cell"
+) -> DataFrame:
+    """Tag rows with the index of the nearest centroid, with the
+    centroid list inlined as literals (same zero-shuffle plan as
+    ``_assign_nearest``; centroid ids are their list positions)."""
 
     def d2(centroid: list) -> "Column":
         return F.aggregate(
@@ -272,11 +282,11 @@ def _assign_nearest(
 
     candidates = F.array(
         *[
-            F.struct(d2(list(r["centroid"])).alias("d"), F.lit(int(r["centroid_id"])).alias("c"))
-            for r in rows
+            F.struct(d2(list(c)).alias("d"), F.lit(int(i)).alias("c"))
+            for i, c in enumerate(centroids)
         ]
     )
-    return corpus.withColumn("centroid_id", F.array_min(candidates)["c"])
+    return df.withColumn(out_col, F.array_min(candidates)["c"])
 
 
 def ivf_topk(

@@ -3501,3 +3501,121 @@ def constraint_gated_ingest(spark, sf_dir):
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         "val",
     )
+
+
+@q(
+    "vector_index_sync_topk",
+    """
+    WITH final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 3 = 0 THEN list_reverse(embedding)
+                  ELSE embedding END AS e
+      FROM embeddings WHERE vec_id % 17 <> 0),
+    probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 1),
+    scored AS (
+      SELECT 'v' || CAST(vec_id AS VARCHAR) AS url,
+             round(
+               list_sum(list_transform(list_zip(e, p.pe),
+                                       z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               3) AS cos3
+      FROM final CROSS JOIN probe p)
+    SELECT url, cos3 FROM (
+      SELECT url, cos3, row_number() OVER (ORDER BY cos3 DESC, url) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def vector_index_sync_topk(spark, sf_dir):
+    """Incrementally-maintained IVF vector index END-TO-END
+    (operators/vector_index.py VectorIndex = kmeans quantizer +
+    TableReplicator maintenance + cell-stats file skipping; the ANN
+    surface a churning training corpus needs — the reference has none,
+    SURVEY §6 extension): load the embeddings table into a corpus
+    lake table, build the index, then CHURN the corpus (every 3rd
+    vector reversed at a later ts, every 17th deleted) and sync() the
+    index from the change feed. The full-probe (nprobe=k) top-10 must
+    equal the brute-force cosine oracle over the POST-churn state —
+    proving the index followed updates AND deletes exactly-once. The
+    query RAISES unless the sync ran in cdf mode with real deletes and
+    unless optimize() leaves results byte-identical while tightening
+    per-file cell bounds."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc.merge import merge_batch
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.operators.similarity import cosine
+    from dbp_etl_spark.operators.vector_index import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("vec_id")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("e"), F.col("vec_id").cast("string")), "utf-8").alias("html"),
+        F.col("embedding"),
+        F.lit("insert").alias("op"),
+    )
+    churn = (
+        emb.filter((F.col("vec_id") % 3 == 0) | (F.col("vec_id") % 17 == 0))
+        .select(
+            F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(1800000000) + F.col("vec_id")).alias("warc_ts"),
+            F.when(
+                F.col("vec_id") % 17 != 0,
+                F.encode(F.concat(F.lit("e2-"), F.col("vec_id").cast("string")), "utf-8"),
+            ).alias("html"),
+            F.when(F.col("vec_id") % 17 != 0, F.reverse("embedding")).alias("embedding"),
+            F.when(F.col("vec_id") % 17 == 0, "delete").otherwise("update").alias("op"),
+        )
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="vecidx_q_")
+    corpus = LakeTable.create(spark, f"{root}/corpus", schema, key="url", num_buckets=8)
+    merge_batch(corpus, base, "load", transform=lambda d: d)
+    idx = VectorIndex.build(corpus.refresh(), f"{root}/idx", k=8, vec_col="embedding")
+    merge_batch(idx.source.refresh(), churn, "churn", transform=lambda d: d)
+    res = idx.sync()
+    if res.skipped or res.mode != "cdf" or not res.counts["delete"]:
+        raise RuntimeError(f"index did not follow the churn incrementally: {res}")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    nprobe = len(idx.centroids)
+
+    def rounded_top10():
+        cells = idx.nearest_cells(probe, nprobe)
+        return (
+            idx.index.read(where=[("cell", "in", cells)])
+            .select(
+                "url",
+                F.round(cosine(F.col("embedding"), F.lit(probe)), 3).alias("cos3"),
+            )
+            .orderBy(F.col("cos3").desc(), "url")
+            .limit(10)
+        )
+
+    before = [(r["url"], r["cos3"]) for r in rounded_top10().collect()]
+    pre_hash = idx.index.state_hash()
+    frac_before = idx.probe_plan_files(probe, nprobe=1) / len(idx.index.manifest["files"])
+    idx.optimize(files_per_bucket=4)
+    if idx.index.state_hash() != pre_hash:
+        raise RuntimeError("optimize() changed index contents")
+    frac_after = idx.probe_plan_files(probe, nprobe=1) / len(idx.index.manifest["files"])
+    if frac_after >= frac_before:
+        raise RuntimeError(
+            "optimize() did not tighten per-file cell bounds "
+            f"(scanned fraction {frac_before:.2f} -> {frac_after:.2f})"
+        )
+    after = [(r["url"], r["cos3"]) for r in rounded_top10().collect()]
+    if before != after:
+        raise RuntimeError("optimize() perturbed probe results")
+    return rounded_top10()
