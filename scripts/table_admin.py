@@ -16,6 +16,11 @@ so an operator can run them the same way the CDC job runs
     table_admin.py --table /lake/pages wap-list
     table_admin.py --table /lake/pages wap-publish --wap-id audit-b17
     table_admin.py --table /lake/pages wap-abandon --wap-id audit-b17
+    table_admin.py --table /lake/pages constraints
+    table_admin.py --table /lake/pages constraint-add --name nonneg --expr "val >= 0"
+    table_admin.py --table /lake/pages constraint-drop --name nonneg
+    table_admin.py --table /lake/pages replicate --target /lake/pages_en \\
+        --name en --where "lang = 'en'" [--per-snapshot]
     table_admin.py --table /lake/pages check        # integrity report
 
 Every mutating subcommand is ledger-keyed (``--batch-id`` overrides
@@ -79,6 +84,27 @@ def main() -> int:
 
     s = sub.add_parser("wap-abandon")
     s.add_argument("--wap-id", required=True)
+
+    sub.add_parser("constraints")
+
+    s = sub.add_parser("constraint-add")
+    s.add_argument("--name", required=True)
+    s.add_argument("--expr", required=True, help="boolean SQL over table columns")
+
+    s = sub.add_parser("constraint-drop")
+    s.add_argument("--name", required=True)
+
+    # advance a downstream replica from this (source) table's change
+    # feed; run per maintenance window or behind a scheduler
+    s = sub.add_parser("replicate")
+    s.add_argument("--target", required=True, help="replica table root")
+    s.add_argument("--name", default="default", help="replication-stream id")
+    s.add_argument("--where", default=None, help="row filter over source columns")
+    s.add_argument(
+        "--per-snapshot",
+        action="store_true",
+        help="one commit per source snapshot (prunable contiguous cursor)",
+    )
 
     args = p.parse_args()
 
@@ -156,6 +182,34 @@ def main() -> int:
     elif args.cmd == "wap-abandon":
         t.abandon_wap(args.wap_id)
         out = {"staged": t.wap_ids()}
+    elif args.cmd == "constraints":
+        out = {"constraints": t.constraints}
+    elif args.cmd == "constraint-add":
+        t = t.add_constraint(args.name, args.expr, batch_id=bid)
+        out = {"snapshot_id": t.snapshot_id, "constraints": t.constraints}
+    elif args.cmd == "constraint-drop":
+        t = t.drop_constraint(args.name, batch_id=bid)
+        out = {"snapshot_id": t.snapshot_id, "constraints": t.constraints}
+    elif args.cmd == "replicate":
+        from dbp_etl_spark.cdc import TableReplicator
+
+        tgt = LakeTable.load(spark, args.target)
+        rep = TableReplicator(t, tgt, name=args.name, where=args.where)
+        results = rep.sync_each_snapshot() if args.per_snapshot else [rep.sync()]
+        out = {
+            "cursor": rep.cursor(),
+            "source_head": rep.source.snapshot_id,
+            "syncs": [
+                {
+                    "from": r.from_snapshot,
+                    "to": r.to_snapshot,
+                    "mode": r.mode,
+                    "skipped": r.skipped,
+                    "counts": r.counts,
+                }
+                for r in results
+            ],
+        }
     else:  # pragma: no cover
         raise SystemExit(f"unknown cmd {args.cmd}")
 
