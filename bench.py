@@ -254,6 +254,9 @@ def bench_default() -> dict:
     mor_ab = None
     if os.environ.get("BENCH_SKIP_MOR") != "1":
         mor_ab = run_mor_ab(spark, work_dir=tmpfs)
+    repl_ab = None
+    if os.environ.get("BENCH_SKIP_REPL") != "1":
+        repl_ab = run_replication_ab(spark, work_dir=tmpfs)
     out = {
         "metric": "bench_total_wall",
         "value": total,
@@ -275,6 +278,8 @@ def bench_default() -> dict:
     }
     if mor_ab is not None:
         out["mor_ab"] = mor_ab
+    if repl_ab is not None:
+        out["replication_ab"] = repl_ab
     spark.stop()
     return out
 
@@ -371,6 +376,114 @@ def run_mor_ab(
             out["cow_churn_bytes_written"] / max(out["mor_churn_bytes_written"], 1), 1
         )
         return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_replication_ab(
+    spark,
+    work_dir: str | None = None,
+    n_urls: int = 60_000,
+    churn_events: int = 2_000,
+    num_buckets: int = 16,
+) -> dict:
+    """Downstream-refresh A/B: after a churn batch confined to 2 of
+    the source's buckets (the bucket-localized regime every pruning
+    claim in this engine targets; a batch whose keys hit EVERY bucket
+    degenerates both paths to full-table work), advance a replica
+    (a) incrementally — one TableReplicator.sync() applying the NET
+    change feed, which scans and rewrites only the churned buckets —
+    vs (b) by full rebuild (bootstrap a fresh replica from the whole
+    source state). Both must land on the source's state hash. Rows
+    applied is the scale-relevant figure (the wall at test scale
+    carries a fixed join/planning floor, as in run_mor_ab): the
+    incremental path's row work is O(churned buckets), the rebuild's
+    O(table), and at the 100 TB design point that gap is the entire
+    difference between a refreshable downstream and an unrefreshable
+    one (the reference re-extracts full state per consumer)."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, TableReplicator, generate_changes
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bench_repl_", dir=work_dir)
+    try:
+
+        def mk(name):
+            return LakeTable.create(
+                spark, f"{root}/{name}", schema, key="url", num_buckets=num_buckets
+            )
+
+        src_t = mk("src")
+        runner = CDCRunner(src_t, salt_buckets=32, lineage_mode="global")
+        runner.run(
+            CDCRunner.stage_by_batch(
+                generate_changes(
+                    spark, 2 * n_urls, n_urls, n_batches=1, hot_fraction_pct=0, seed=11
+                ),
+                f"{root}/seed",
+            )
+        )
+        rep = TableReplicator(runner.table, mk("replica"), name="bench")
+        rep.sync()  # replica in sync before the churn
+        from pyspark.sql import functions as F
+
+        churn = (
+            generate_changes(
+                spark,
+                8 * churn_events,  # pre-filter headroom: ~2/16 survive
+                n_urls,
+                n_batches=1,
+                update_pct=90,
+                delete_pct=5,
+                hot_fraction_pct=0,
+                seed=12,
+            )
+            .filter(F.pmod(F.xxhash64("url"), F.lit(num_buckets)) < 2)
+            .limit(churn_events)
+            .withColumn(
+                "warc_ts",
+                F.timestamp_seconds(F.unix_timestamp("warc_ts") + F.lit(10_000_000)),
+            )
+            .withColumn("batch_id", F.lit(1))
+        )
+        CDCRunner(rep.source.refresh(), salt_buckets=32, lineage_mode="global").run(
+            CDCRunner.stage_by_batch(churn, f"{root}/churn")
+        )
+        t0 = time.time()
+        res = rep.sync()
+        inc_sec = round(time.time() - t0, 3)
+        src_hash = rep.source.state_hash()
+        assert rep.target.state_hash() == src_hash, "incremental replica diverged"
+        t0 = time.time()
+        rebuild = TableReplicator(rep.source, mk("rebuild"), name="rebuild")
+        rebuild.sync()
+        full_sec = round(time.time() - t0, 3)
+        assert rebuild.target.state_hash() == src_hash, "rebuilt replica diverged"
+        n_rows = rebuild.target.count_rows()
+        return {
+            "seeded_urls": n_urls,
+            "churn_events": churn_events,
+            "churned_buckets": res.counts.get("buckets"),
+            "num_buckets": num_buckets,
+            "incremental_sync_sec": inc_sec,
+            "incremental_rows_applied": res.counts.get("upsert", 0)
+            + res.counts.get("delete", 0),
+            "full_rebuild_sec": full_sec,
+            "full_rebuild_rows_applied": n_rows,
+            "speedup_vs_rebuild": round(full_sec / max(inc_sec, 1e-9), 1),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
