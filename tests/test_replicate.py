@@ -203,6 +203,32 @@ def test_sync_each_snapshot_prunable_cursor(spark, tmp_path):
     assert rep2.sync().skipped
 
 
+def test_streaming_source_feeds_replica(spark, tmp_path):
+    """The full fan-out chain: a structured-streaming tail MERGEs into
+    the source table, and a replica synced from the source's change
+    feed converges to the same state — proving the changes-out path
+    composes with the streaming changes-in path."""
+    from dbp_etl_spark.streaming import run_stream
+
+    events = generate_changes(spark, 1500, 60, n_batches=3, seed=21)
+    src_dir = str(tmp_path / "changes")
+    events.repartition(3, "batch_id").write.parquet(src_dir)
+    src = mk(spark, tmp_path, "src")
+    q = run_stream(
+        spark,
+        src_dir,
+        src,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    src = src.refresh()
+    tgt = mk(spark, tmp_path, "tgt")
+    rep = TableReplicator(src, tgt, name="s")
+    rep.sync()
+    assert rep.target.state_hash() == src.state_hash()
+
+
 def test_key_mismatch_rejected(spark, tmp_path):
     src = mk(spark, tmp_path, "src")
     other = T.StructType(
