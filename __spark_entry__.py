@@ -75,6 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
+    "cdf_changelog_feed",
     "vector_index_sync_topk",
     "constraint_gated_ingest",
     "replica_filtered_sync",

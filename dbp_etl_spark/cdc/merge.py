@@ -138,7 +138,8 @@ def _assemble_new_state(
     new_html: Column,
     new_payload,
     include_carried: bool = True,
-) -> DataFrame:
+    changelog: bool = False,
+) -> tuple:
     """Build the complete new contents of the dirty buckets from the
     action-tagged join: carried rows by reference, ts-guarded
     tombstones, and changed rows routed through the transform — all
@@ -150,7 +151,18 @@ def _assemble_new_state(
 
     ``include_carried=False`` — the merge-on-read write shape: emit
     ONLY the changed rows and tombstones (the delta file contents);
-    unchanged rows survive as base-file bytes that were never read."""
+    unchanged rows survive as base-file bytes that were never read.
+
+    Returns ``(new_state, changelog_df, persisted)``. With
+    ``changelog=True`` the changed rows additionally carry their action
+    and pre-image THROUGH the transform (zero extra scans — the
+    transform contract requires passing unrecognized columns through,
+    which every shipped transform satisfies), get persisted so the
+    state write and the changelog write evaluate the Arrow UDF once,
+    and come back as ``changelog_df`` — this commit's row-level feed
+    (insert/update_post with ``_pre`` struct, delete with the pre-image
+    in the regular columns). The caller unpersists ``persisted`` after
+    the commit."""
     key = table.key
     carried = in_dirty.filter(F.col("_action").isin(*carried_actions)).select(
         F.col(key),
@@ -182,6 +194,15 @@ def _assemble_new_state(
         ctx.append(F.col("_t_text").alias("_old_text"))
     if "lang" in schema_names:
         ctx.append(F.col("_t_lang").alias("_old_lang"))
+    cl_cols = [c for c in schema_names if c not in (key, "_deleted")]
+    cl_extra = []
+    if changelog:
+        cl_extra = [
+            F.col("_action").alias("_cl_action"),
+            F.struct(
+                *[F.col(f"_t_{c}").alias(c) for c in cl_cols]
+            ).alias("_pre"),
+        ]
     changed = in_dirty.filter(F.col("_action").isin(*changed_actions)).select(
         F.col(key),
         F.col("_b").alias("_bucket"),
@@ -194,21 +215,61 @@ def _assemble_new_state(
             for c in schema_names
             if c not in (key, "warc_ts", "html", "text", "lang", "_deleted")
         ],
+        *cl_extra,
     )
-    changed = transform(changed.repartition(n_part, "_bucket")).select(
-        *schema_names, "_bucket"
-    )
+    changed = transform(changed.repartition(n_part, "_bucket"))
+    persisted = None
+    changelog_df = None
+    if changelog:
+        missing = {"_cl_action", "_pre"} - set(changed.columns)
+        if missing:
+            raise ValueError(
+                f"transform dropped pass-through column(s) {sorted(missing)}; "
+                "changelog-enabled tables require transforms to preserve "
+                "columns they do not recognize"
+            )
+        persisted = changed.select(
+            *schema_names, "_bucket", "_cl_action", "_pre"
+        ).persist()
+        changed = persisted.select(*schema_names, "_bucket")
+        pre_type = persisted.schema["_pre"].dataType
+        changed_cl = persisted.select(
+            F.col(key),
+            *[F.col(c) for c in cl_cols],
+            F.col("_pre"),
+            F.when(F.col("_cl_action") == "insert", F.lit("insert"))
+            .otherwise(F.lit("update_post"))
+            .alias("_change_type"),
+        )
+        t_dead = F.coalesce(F.col("_t__deleted"), F.lit(False))
+        # only a LIVE target's delete changes visible state (absent-key
+        # tombstones and re-tombstones of dead rows do not)
+        deleted_cl = in_dirty.filter(
+            (F.col("_action") == "delete") & F.col("_t_warc_ts").isNotNull() & ~t_dead
+        ).select(
+            F.col(key),
+            *[F.col(f"_t_{c}").alias(c) for c in cl_cols],
+            F.lit(None).cast(pre_type).alias("_pre"),
+            F.lit("delete").alias("_change_type"),
+        )
+        changelog_df = changed_cl.unionByName(deleted_cl)
+    else:
+        changed = changed.select(*schema_names, "_bucket")
     out_cols = [*schema_names, "_bucket"]
     if not include_carried:
-        return tombstones.select(*out_cols).repartition(n_part, "_bucket").unionByName(
-            changed
+        new_state = (
+            tombstones.select(*out_cols)
+            .repartition(n_part, "_bucket")
+            .unionByName(changed)
         )
-    return (
-        carried.select(*out_cols)
-        .unionByName(tombstones.select(*out_cols))
-        .repartition(n_part, "_bucket")
-        .unionByName(changed)
-    )
+    else:
+        new_state = (
+            carried.select(*out_cols)
+            .unionByName(tombstones.select(*out_cols))
+            .repartition(n_part, "_bucket")
+            .unionByName(changed)
+        )
+    return new_state, changelog_df, persisted
 
 
 def merge_batch(
@@ -547,7 +608,8 @@ def merge_batch(
         )
 
         mor = bool(table.manifest.get("merge_on_read"))
-        new_state = _assemble_new_state(
+        cl_enabled = bool(table.manifest.get("changelog")) and table._wap_id is None
+        new_state, changelog_df, cl_persisted = _assemble_new_state(
             table,
             in_dirty,
             schema_names,
@@ -561,6 +623,7 @@ def merge_batch(
             new_html=new_html,
             new_payload=_new_payload,
             include_carried=not mor,
+            changelog=cl_enabled,
         )
         observed: dict = {}
 
@@ -581,14 +644,19 @@ def merge_batch(
         # whole (O(dirty-bucket bytes)). Same new_state pipeline up to
         # the carried branch; same atomic ledger-keyed commit.
         writer = table.write_deltas if mor else table.overwrite_buckets
-        writer(
-            new_state,
-            dirty,
-            batch_id,
-            summary=summary,
-            pre_partitioned=True,
-            summary_fn=_observed_summary if obs is not None else None,
-        )
+        try:
+            writer(
+                new_state,
+                dirty,
+                batch_id,
+                summary=summary,
+                pre_partitioned=True,
+                summary_fn=_observed_summary if obs is not None else None,
+                changelog_df=changelog_df,
+            )
+        finally:
+            if cl_persisted is not None:
+                cl_persisted.unpersist()
         _mark("transform+write+commit")
         if obs is not None:  # single-pass mode: metrics observed on the write
             counts = observed["counts"]
@@ -746,7 +814,8 @@ def snapshot_batch(
         # late events older than what the snapshot superseded stay dead,
         # a strictly newer event resurrects (same rule as merge_batch)
         mor = bool(table.manifest.get("merge_on_read"))
-        new_state = _assemble_new_state(
+        cl_enabled = bool(table.manifest.get("changelog")) and table._wap_id is None
+        new_state, changelog_df, cl_persisted = _assemble_new_state(
             table,
             in_dirty,
             schema_names,
@@ -762,10 +831,22 @@ def snapshot_batch(
                 F.col(f"_s_{c}") if c in extra_cols else F.col(f"_t_{c}")
             ),
             include_carried=not mor,
+            changelog=cl_enabled,
         )
         _pre()
         writer = table.write_deltas if mor else table.overwrite_buckets
-        writer(new_state, dirty, batch_id, summary=summary, pre_partitioned=True)
+        try:
+            writer(
+                new_state,
+                dirty,
+                batch_id,
+                summary=summary,
+                pre_partitioned=True,
+                changelog_df=changelog_df,
+            )
+        finally:
+            if cl_persisted is not None:
+                cl_persisted.unpersist()
         return MergeResult(
             batch_id=batch_id,
             counts=counts,

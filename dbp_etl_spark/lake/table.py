@@ -96,6 +96,52 @@ def _entry_paths(f: dict):
         yield kb["path"]
 
 
+def _changelog_paths(m: dict):
+    """Changelog files recorded by the commit that created manifest
+    ``m`` (Delta _change_data analog) — live exactly as long as the
+    manifest is retained."""
+    return (m.get("summary") or {}).get("changelog_files") or []
+
+
+# summary keys of commits that provably do not change VISIBLE row state
+# (compaction, layout, metadata, tombstone vacuum). Used to classify a
+# snapshot for the changelog fast path without tagging every call site.
+_STATE_PRESERVING_SUMMARY_KEYS = frozenset(
+    {
+        "schema_op",
+        "compacted_buckets",
+        "rebucket",
+        "migration_flip",
+        "migration_step",
+        "expire_snapshots",
+        "tag",
+        "untag",
+        "add_constraint",
+        "drop_constraint",
+        "stats_columns",
+        "vacuum_older_than",
+        "empty_batch",
+    }
+)
+
+
+def _row_change_of(m: dict) -> str:
+    """Classify what a commit did to visible row state: ``'log'`` (a
+    changelog was materialized), ``'none'`` (provably state-preserving),
+    or ``'unknown'`` (row-level change without a changelog — DML,
+    rollback, WAP publish, pre-changelog merges)."""
+    s = m.get("summary") or {}
+    rc = s.get("row_change")
+    if rc:
+        return rc
+    if _STATE_PRESERVING_SUMMARY_KEYS & s.keys():
+        return "none"
+    # a merge that found nothing to rewrite left visible state intact
+    if s.get("dirty_buckets") == [] and "counts" in s:
+        return "none"
+    return "unknown"
+
+
 class LakeTable:
     def __init__(
         self,
@@ -135,8 +181,20 @@ class LakeTable:
         max_delta_commits: int | None = None,
         manifest_bloom_key: bool = False,
         constraints: dict[str, str] | None = None,
+        changelog: bool = False,
     ) -> "LakeTable":
         """Create an empty table.
+
+        ``changelog=True``: every MERGE commit additionally materializes
+        its row-level changes (insert / update_post / delete, with
+        pre-images) as parquet files recorded in that commit's summary —
+        the Delta CDF ``_change_data`` analog. ``read_changes`` then
+        serves any window covered by changelogs from those O(churn)
+        files instead of full-outer-joining two snapshots (O(dirty-
+        bucket bytes) per call on copy-on-write tables), and the
+        ``lake_cdf`` streaming source can tail the feed. Cost: one
+        extra churn-sized parquet write per MERGE, paid on the write
+        job's already-computed join. Off by default.
 
         ``constraints``: named CHECK expressions (``{name: sql_expr}``,
         Delta-constraint analog) enforced on EVERY write path — see
@@ -224,6 +282,8 @@ class LakeTable:
         }
         if manifest_bloom_key:
             manifest["manifest_bloom_key"] = True
+        if changelog:
+            manifest["changelog"] = True
         if merge_on_read:
             manifest["merge_on_read"] = True
             if max_delta_commits is not None:
@@ -858,6 +918,7 @@ class LakeTable:
         from_snapshot: int,
         to_snapshot: int | None = None,
         include_pre: bool = False,
+        use_changelog: bool | None = None,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (Iceberg/Delta
         CDF analog): what happened to the table from ``from_snapshot``
@@ -891,6 +952,13 @@ class LakeTable:
         drop+re-add inside the window reads NULL pre-images for the new
         column (fresh id — the dropped column's bytes never leak in as
         the pre-image of an unrelated column).
+
+        ``use_changelog``: ``None`` (default) serves the window from
+        write-time changelog files whenever every in-window commit is
+        covered (``create(changelog=True)``) — cost O(churn in window)
+        with NO table scan — and falls back to the join otherwise;
+        ``False`` forces the join path; ``True`` requires changelog
+        coverage and raises if any in-window commit lacks it.
         """
         to_snapshot = self.snapshot_id if to_snapshot is None else to_snapshot
         if from_snapshot < self.min_retained_snapshot:
@@ -912,6 +980,17 @@ class LakeTable:
         to_schema = TableSchema.from_json(
             to_manifest["schemas"][str(to_manifest["schema_version"])]
         )
+
+        if use_changelog is not False:
+            window = self._changelog_window(from_snapshot, to_snapshot)
+            if window is not None:
+                return self._changes_from_log(window, to_schema, include_pre)
+            if use_changelog is True:
+                raise ValueError(
+                    "changelog does not cover snapshots "
+                    f"({from_snapshot}, {to_snapshot}] — a commit in the "
+                    "window has row-level changes without a changelog"
+                )
 
         def _files_of(snap: int) -> dict[int, frozenset]:
             if snap == self.snapshot_id:
@@ -1011,6 +1090,186 @@ class LakeTable:
         post_struct = F.struct(*out_cols, F.col("_change_type").alias("_change_type"))
         pre_struct = F.struct(
             *[F.col(f"_o_{c}").alias(c) for c in cols if c != key],
+            F.lit("update_pre").alias("_change_type"),
+        )
+        rows = F.when(
+            F.col("_change_type") == "update_post", F.array(post_struct, pre_struct)
+        ).otherwise(F.array(post_struct))
+        return typed.select(F.col(key), F.inline(rows))
+
+    def _manifest_at(self, snap: int) -> dict:
+        if snap == self.snapshot_id:
+            return self.manifest
+        return json.loads(
+            self._fs.read_text(os.path.join(self.root, _META, f"v{snap}.json"))
+        )
+
+    def _changelog_window(
+        self, from_snapshot: int, to_snapshot: int
+    ) -> list[tuple[int, dict]] | None:
+        """The commits in (from, to] that carry changelog files, or
+        ``None`` if any in-window commit changed rows without one
+        (the fast path would silently miss its changes)."""
+        out: list[tuple[int, dict]] = []
+        for snap in range(from_snapshot + 1, to_snapshot + 1):
+            m = self._manifest_at(snap)
+            rc = _row_change_of(m)
+            if rc == "unknown":
+                return None
+            if rc == "log" and _changelog_paths(m):
+                out.append((snap, m))
+        return out
+
+    def _changes_from_log(
+        self, window: list[tuple[int, dict]], to_schema: TableSchema, include_pre: bool
+    ) -> DataFrame:
+        """read_changes served from write-time changelog files.
+
+        One bounded parquet read per in-window commit (O(churn), no
+        table scan), each aligned to the to-snapshot schema by COLUMN
+        ID; multi-commit windows NET-merge per key (one groupBy keyed
+        like the MERGE): a key's first in-window change supplies the
+        pre-image (= its state at from_snapshot), its last supplies the
+        post-image, and insert→…→delete / update-back-to-same-value
+        chains cancel — byte-equivalent to the join path's
+        from-vs-to-state diff (tested for parity).
+        """
+        from pyspark.sql import types as T
+
+        key = self.key
+        cols = [c for c in to_schema.names() if c != "_deleted"]
+        others = [c for c in cols if c != key]
+        cur_struct = to_schema.to_struct()
+        if not window:
+            empty_schema = T.StructType(
+                [T.StructField(c, cur_struct[c].dataType) for c in cols]
+                + [T.StructField("_change_type", T.StringType())]
+            )
+            return self.spark.createDataFrame([], empty_schema)
+
+        to_id_by_name = {c.name: c.col_id for c in to_schema.columns}
+        key_id = to_id_by_name[key]
+        frames: list[DataFrame] = []
+        for snap, m in window:
+            sv = (m.get("summary") or {}).get(
+                "changelog_schema_version", m["schema_version"]
+            )
+            snap_schema = TableSchema.from_json(m["schemas"][str(sv)])
+            snap_struct = snap_schema.to_struct()
+            name_by_id = {c.col_id: c.name for c in snap_schema.columns}
+            snap_key = name_by_id[key_id]
+            snap_cols = [c for c in snap_schema.names() if c != "_deleted"]
+            snap_others = [c for c in snap_cols if c != snap_key]
+            read_schema = T.StructType(
+                [T.StructField(c, snap_struct[c].dataType) for c in snap_cols]
+                + [
+                    T.StructField(
+                        "_pre",
+                        T.StructType(
+                            [
+                                T.StructField(c, snap_struct[c].dataType)
+                                for c in snap_others
+                            ]
+                        ),
+                    ),
+                    T.StructField("_change_type", T.StringType()),
+                ]
+            )
+            paths = [os.path.join(self.root, p) for p in _changelog_paths(m)]
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+
+            def _post(c: str):
+                src = name_by_id.get(to_id_by_name[c])
+                if src is None or src not in snap_cols:
+                    return F.lit(None).cast(cur_struct[c].dataType)
+                return F.col(src).cast(cur_struct[c].dataType)
+
+            def _pre(c: str):
+                src = name_by_id.get(to_id_by_name[c])
+                if src is None or src not in snap_others:
+                    return F.lit(None).cast(cur_struct[c].dataType)
+                return F.col("_pre").getField(src).cast(cur_struct[c].dataType)
+
+            frames.append(
+                df.select(
+                    _post(key).alias(key),
+                    *[_post(c).alias(c) for c in others],
+                    F.struct(*[_pre(c).alias(c) for c in others]).alias("_pre"),
+                    F.col("_change_type"),
+                    F.lit(snap).cast("long").alias("_cl_snap"),
+                )
+            )
+        u = frames[0]
+        for fdf in frames[1:]:
+            u = u.unionByName(fdf)
+
+        if len(frames) == 1:
+            if not include_pre:
+                return u.select(F.col(key), *[F.col(c) for c in others], "_change_type")
+            post_struct = F.struct(
+                *[F.col(c).alias(c) for c in others],
+                F.col("_change_type").alias("_change_type"),
+            )
+            pre_struct = F.struct(
+                *[F.col("_pre").getField(c).alias(c) for c in others],
+                F.lit("update_pre").alias("_change_type"),
+            )
+            rows = F.when(
+                F.col("_change_type") == "update_post", F.array(post_struct, pre_struct)
+            ).otherwise(F.array(post_struct))
+            return u.select(F.col(key), F.inline(rows))
+
+        packed = F.struct(
+            *[F.col(c).alias(c) for c in others],
+            F.col("_pre").alias("_pre"),
+            F.col("_change_type").alias("_change_type"),
+        )
+        g = u.groupBy(key).agg(
+            F.min_by(packed, F.col("_cl_snap")).alias("_first"),
+            F.max_by(packed, F.col("_cl_snap")).alias("_last"),
+        )
+        first, last = F.col("_first"), F.col("_last")
+        first_ct = first.getField("_change_type")
+        last_ct = last.getField("_change_type")
+        old_present = first_ct.isin("update_post", "delete")
+        new_present = last_ct.isin("insert", "update_post")
+
+        def first_pre(c: str):
+            # a delete row carries its pre-image in the regular columns
+            return F.when(first_ct == "delete", first.getField(c)).otherwise(
+                first.getField("_pre").getField(c)
+            )
+
+        changed = None
+        for c in others:
+            neq = ~last.getField(c).eqNullSafe(first_pre(c))
+            changed = neq if changed is None else (changed | neq)
+        net = (
+            F.when(~old_present & new_present, F.lit("insert"))
+            .when(old_present & ~new_present, F.lit("delete"))
+            # both absent (insert→…→delete) cancels; both present emits
+            # only when some column's net value actually moved
+            .when(
+                old_present & new_present & F.coalesce(changed, F.lit(False)),
+                F.lit("update_post"),
+            )
+        )
+        typed = g.withColumn("_change_type", net).filter(
+            F.col("_change_type").isNotNull()
+        )
+        out_cols = [
+            F.when(F.col("_change_type") == "delete", first_pre(c))
+            .otherwise(last.getField(c))
+            .alias(c)
+            for c in others
+        ]
+        if not include_pre:
+            return typed.select(F.col(key), *out_cols, "_change_type")
+        post_struct = F.struct(
+            *out_cols, F.col("_change_type").alias("_change_type")
+        )
+        pre_struct = F.struct(
+            *[first_pre(c).alias(c) for c in others],
             F.lit("update_pre").alias("_change_type"),
         )
         rows = F.when(
@@ -1163,6 +1422,32 @@ class LakeTable:
                 e["kbloom"] = {"m": m_bits, "path": rel}
         return entries
 
+    def _write_changelog(self, df: DataFrame, snap_id: int) -> list[str]:
+        """Materialize one commit's row-level change rows as parquet.
+
+        Layout mirrors data writes: a unique directory per ATTEMPT
+        (``_data/changelog-{snap}-{rand}``) so a crashed attempt's
+        files can never be adopted by a retry; the files become live
+        only when the commit's summary references them. Columns are the
+        then-current schema minus ``_deleted`` plus a ``_pre`` struct
+        (update pre-images; delete rows carry the pre-image in the
+        regular columns, read_changes' contract) and ``_change_type``.
+        """
+        rel_dir = os.path.join(_DATA, f"changelog-{snap_id}-{uuid.uuid4().hex[:8]}")
+        full = os.path.join(self.root, rel_dir)
+        conf = self.spark.conf
+        ts_prev = conf.get("spark.sql.parquet.outputTimestampType")
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("append").parquet(full)
+        finally:
+            conf.set("spark.sql.parquet.outputTimestampType", ts_prev)
+        return sorted(
+            os.path.join(rel_dir, fn)
+            for fn in self._fs.list_names(full)
+            if fn.endswith(".parquet")
+        )
+
     def _commit(self, new_manifest: dict) -> "LakeTable":
         """Commit via exclusive manifest create (the WAL-style commit
         point), then swing the VERSION pointer.
@@ -1269,6 +1554,7 @@ class LakeTable:
         summary: dict | None = None,
         pre_partitioned: bool = False,
         summary_fn=None,
+        changelog_df: DataFrame | None = None,
     ) -> "LakeTable":
         """Atomically replace the contents of ``buckets`` with ``df``.
 
@@ -1280,6 +1566,13 @@ class LakeTable:
         manifest commit; its dict merges into ``summary``. Lets callers
         record metrics observed on the write itself (DataFrame.observe)
         in the same atomic commit.
+
+        ``changelog_df``: this commit's row-level change rows (see
+        ``read_changes`` fast path); written BEFORE the manifest commit
+        so a committed snapshot always has its changelog, and recorded
+        in the commit's summary (``row_change='log'``). A crash after
+        the changelog write but before the commit leaves orphan files
+        for ``remove_orphan_files``.
         """
         if self.is_committed(batch_id):
             return self
@@ -1288,6 +1581,13 @@ class LakeTable:
         new_files = self._write_data(df, snap_id, ver, pre_partitioned=pre_partitioned)
         if summary_fn is not None:
             summary = {**(summary or {}), **summary_fn()}
+        if changelog_df is not None:
+            summary = {
+                **(summary or {}),
+                "row_change": "log",
+                "changelog_files": self._write_changelog(changelog_df, snap_id),
+                "changelog_schema_version": ver,
+            }
         bset = set(buckets)
         stray = {e["bucket"] for e in new_files} - bset
         if stray:
@@ -1303,8 +1603,11 @@ class LakeTable:
         # recorded in the SAME atomic manifest swing, so replay of any
         # member no-ops (resume granularity = the group)
         ids = batch_id if isinstance(batch_id, (list, tuple)) else [batch_id]
+        # the ledger entry stays lean: changelog file paths live in the
+        # manifest summary (per-snapshot), not in every batch's entry
+        lean = {k: v for k, v in (summary or {}).items() if k != "changelog_files"}
         for b in ids:
-            ledger[str(b)] = {"snapshot_id": snap_id, **(summary or {})}
+            ledger[str(b)] = {"snapshot_id": snap_id, **lean}
         new_manifest["committed_batches"] = ledger
         new_manifest["summary"] = summary or {}
         return self._commit(new_manifest)
@@ -1317,6 +1620,7 @@ class LakeTable:
         summary: dict | None = None,
         pre_partitioned: bool = False,
         summary_fn=None,
+        changelog_df: DataFrame | None = None,
     ) -> "LakeTable":
         """Merge-on-read commit: append ``df`` — the CHANGED rows only
         (full-row upserts plus ``_deleted=True`` tombstones) — as
@@ -1343,6 +1647,13 @@ class LakeTable:
         new_files = self._write_data(df, snap_id, ver, pre_partitioned=pre_partitioned)
         if summary_fn is not None:
             summary = {**(summary or {}), **summary_fn()}
+        if changelog_df is not None:
+            summary = {
+                **(summary or {}),
+                "row_change": "log",
+                "changelog_files": self._write_changelog(changelog_df, snap_id),
+                "changelog_schema_version": ver,
+            }
         bset = set(buckets)
         stray = {e["bucket"] for e in new_files} - bset
         if stray:
@@ -1359,8 +1670,9 @@ class LakeTable:
         self._unmigrate(new_manifest, {e["bucket"] for e in new_files})
         ledger = dict(self.manifest["committed_batches"])
         ids = batch_id if isinstance(batch_id, (list, tuple)) else [batch_id]
+        lean = {k: v for k, v in (summary or {}).items() if k != "changelog_files"}
         for b in ids:
-            ledger[str(b)] = {"snapshot_id": snap_id, **(summary or {})}
+            ledger[str(b)] = {"snapshot_id": snap_id, **lean}
         new_manifest["committed_batches"] = ledger
         new_manifest["summary"] = summary or {}
         out = self._commit(new_manifest)
@@ -2035,6 +2347,7 @@ class LakeTable:
             if self._fs.exists(p):
                 m = json.loads(self._fs.read_text(p))
                 live.update(p for f in m["files"] for p in _entry_paths(f))
+                live.update(_changelog_paths(m))
         # scan DOWNWARD from the horizon while manifests exist: a crash
         # between a previous expiry's commit and its deletion loop left
         # expired manifests BELOW that run's (already-persisted)
@@ -2051,6 +2364,7 @@ class LakeTable:
             expired_ids.append(i)
             m = json.loads(self._fs.read_text(p))
             dead.update(p for f in m["files"] for p in _entry_paths(f))
+            dead.update(_changelog_paths(m))
             i -= 1
         expired_ids.reverse()
         dead -= live
@@ -2088,6 +2402,7 @@ class LakeTable:
             if self._fs.exists(p):
                 m = json.loads(self._fs.read_text(p))
                 live.update(p for f in m["files"] for p in _entry_paths(f))
+                live.update(_changelog_paths(m))
         cutoff = time.time() - grace_sec
         data_root = os.path.join(self.root, _DATA)
         removed = 0
@@ -2098,8 +2413,13 @@ class LakeTable:
             for bucket_dir in self._fs.list_names(sd):
                 bd = os.path.join(sd, bucket_dir)
                 if not self._fs.is_dir(bd):
-                    # stray top-level file (_SUCCESS markers etc.)
-                    if self._fs.mtime(bd) < cutoff:
+                    # non-dir entry at this level: a live changelog
+                    # parquet (referenced from its commit's summary) or
+                    # stray debris (_SUCCESS markers, crashed attempts)
+                    if (
+                        os.path.join(_DATA, snap_dir, bucket_dir) not in live
+                        and self._fs.mtime(bd) < cutoff
+                    ):
                         removed += int(self._fs.delete(bd))
                     continue
                 names = self._fs.list_names(bd)

@@ -3619,3 +3619,120 @@ def vector_index_sync_topk(spark, sf_dir):
     if before != after:
         raise RuntimeError("optimize() perturbed probe results")
     return rounded_top10()
+
+
+@q(
+    "cdf_changelog_feed",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             -- floor division: DuckDB CAST(double AS BIGINT) ROUNDS,
+             -- Spark's cast truncates — floor() matches Spark
+             CAST(floor((date_part('day', ts) - 1) / 7) AS BIGINT) AS wk
+      FROM events),
+    old AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE wk = 0) WHERE rn = 1 AND op <> 'delete'),
+    new AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1 AND op <> 'delete'),
+    j AS (
+      SELECT coalesce(o.user_id, n.user_id) AS uid,
+             o.user_id AS o_uid, n.user_id AS n_uid,
+             o.ts AS o_ts, o.event_id AS o_eid, o.val AS o_val,
+             n.ts AS n_ts, n.event_id AS n_eid, n.val AS n_val
+      FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id)
+    SELECT 'https://cf.example/u' || CAST(uid AS VARCHAR) AS url,
+           CASE WHEN o_uid IS NULL THEN 'insert'
+                WHEN n_uid IS NULL THEN 'delete'
+                ELSE 'update_post' END AS change_type,
+           strftime(CASE WHEN n_uid IS NULL THEN o_ts ELSE n_ts END,
+                    '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CASE WHEN n_uid IS NULL THEN o_val ELSE n_val END AS val,
+           CAST(length('<html><body><p>c'
+                       || CAST(CASE WHEN n_uid IS NULL THEN o_eid ELSE n_eid END AS VARCHAR)
+                       || '</p></body></html>') AS BIGINT) AS html_len
+    FROM j
+    WHERE o_uid IS NULL OR n_uid IS NULL
+       OR o_ts <> n_ts OR o_eid <> n_eid OR o_val IS DISTINCT FROM n_val
+    """,
+)
+def cdf_changelog_feed(spark, sf_dir):
+    """Write-time changelog feed END-TO-END (lake/table.py
+    _write_changelog/_changes_from_log; the Delta CDF _change_data
+    analog vs. the reference's downstream re-reads,
+    /root/reference/load/DBPLoadController.py:126-140): apply the
+    events log as weekly CDC batches onto a ``changelog=True`` table —
+    every MERGE also materializes its row-level changes as O(churn)
+    parquet — then read the multi-commit window's NET change feed via
+    ``use_changelog=True`` (raises unless every in-window commit is
+    covered, so a green row certifies the fast path served it: per-key
+    net merge of per-commit changelogs, NO table scan, NO full-outer
+    state join). The oracle is the window's from-state vs to-state diff
+    computed independently. At 10^10 rows this is the difference
+    between shipping a day's churn and re-joining two table snapshots
+    per consumer."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("update")
+    changes = ev.select(
+        F.concat(F.lit("https://cf.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            op != "delete",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>c"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ).alias("html"),
+        F.when(op != "delete", F.round("value", 2)).alias("val"),
+        op.alias("op"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="cdf_feed_")
+    table = LakeTable.create(
+        spark, f"{root}/pages", schema, key="url", num_buckets=8, changelog=True
+    )
+    runner = CDCRunner(table)
+    runner.run(changes.filter(F.col("batch_id") == 0))
+    table = table.refresh()
+    s0 = table.snapshot_id
+    runner.run(changes.filter(F.col("batch_id") > 0))
+    table = table.refresh()
+    if table.snapshot_id - s0 < 2:
+        raise RuntimeError("window too small to exercise the net merge")
+    feed = table.read_changes(s0, use_changelog=True)
+    return feed.select(
+        "url",
+        F.col("_change_type").alias("change_type"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )

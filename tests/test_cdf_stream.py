@@ -1,0 +1,213 @@
+"""``lake_cdf`` streaming source: readStream over the committed change
+feed (changelog files), exactly-once via Spark's streaming checkpoint."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbp_etl_spark.cdc import merge_batch
+from dbp_etl_spark.lake import LakeTable, TableSchema
+from dbp_etl_spark.streaming.cdf_source import read_change_stream
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def mk_table(spark, tmp_path, **kw):
+    return LakeTable.create(
+        spark, str(tmp_path / "pages"), TableSchema.from_struct(PAGES), key="url",
+        num_buckets=4, changelog=True, **kw,
+    )
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op")
+
+
+def run_once(df, ck, batches):
+    """One availableNow pass; foreachBatch appends collected rows."""
+    q = (
+        df.writeStream.foreachBatch(lambda b, i: batches.append((i, b.collect())))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+
+def norm_row(r):
+    d = r.asDict()
+    return tuple(
+        (k, bytes(v) if isinstance(v, (bytearray, bytes)) else v)
+        for k, v in sorted(d.items())
+    )
+
+
+def expected_feed(t, lo, hi):
+    """Union of per-commit read_changes, stamped with the snapshot."""
+    out = []
+    for snap in range(lo + 1, hi + 1):
+        feed = t.read_changes(snap - 1, snap).withColumn(
+            "_commit_snapshot", F.lit(snap).cast("long")
+        )
+        out.extend(norm_row(r) for r in feed.collect())
+    return sorted(out)
+
+
+def test_stream_matches_read_changes(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert"),
+                              ("u2", 100, b"<p>b</p>", "insert")]), "b1")
+    t = t.refresh()
+    merge_batch(t, ev(spark, [("u1", 200, b"<p>a2</p>", "update"),
+                              ("u2", 200, None, "delete"),
+                              ("u3", 200, b"<p>c</p>", "insert")]), "b2")
+    t = t.refresh()
+    merge_batch(t, ev(spark, [("u3", 300, b"<p>c2</p>", "update")]), "b3")
+    t = t.refresh()
+
+    batches = []
+    df = read_change_stream(spark, t.root, startingSnapshot=0)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang",
+                          "_change_type", "_commit_snapshot"]
+    run_once(df, str(tmp_path / "ck"), batches)
+    got = sorted(norm_row(r) for _i, rows in batches for r in rows)
+    assert got == expected_feed(t, 0, t.snapshot_id)
+
+
+def test_stream_include_pre(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert")]), "b1")
+    t = t.refresh()
+    merge_batch(t, ev(spark, [("u1", 200, b"<p>a2</p>", "update")]), "b2")
+    t = t.refresh()
+    batches = []
+    df = read_change_stream(spark, t.root, startingSnapshot=0, includePre=True)
+    run_once(df, str(tmp_path / "ck"), batches)
+    rows = [r for _i, rs in batches for r in rs]
+    types = sorted(r["_change_type"] for r in rows)
+    assert types == ["insert", "update_post", "update_pre"]
+    pre = next(r for r in rows if r["_change_type"] == "update_pre")
+    assert bytes(pre["html"]) == b"<p>a</p>"
+    assert pre["_commit_snapshot"] == 2
+
+
+def test_stream_tail_from_now_and_resume(spark, tmp_path):
+    """Default start = head at stream start; a restart from the same
+    checkpoint picks up exactly the commits since (exactly-once)."""
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert")]), "b1")
+    t = t.refresh()
+    ck = str(tmp_path / "ck")
+
+    batches = []
+    df = read_change_stream(spark, t.root)
+    run_once(df, ck, batches)
+    assert all(not rows for _i, rows in batches)  # history not replayed
+
+    merge_batch(t, ev(spark, [("u2", 200, b"<p>b</p>", "insert")]), "b2")
+    t = t.refresh()
+    merge_batch(t, ev(spark, [("u1", 300, None, "delete")]), "b3")
+    t = t.refresh()
+
+    batches2 = []
+    run_once(read_change_stream(spark, t.root), ck, batches2)
+    got = sorted(norm_row(r) for _i, rows in batches2 for r in rows)
+    assert got == expected_feed(t, 1, t.snapshot_id)
+
+    # nothing new: a third pass emits nothing (no replay)
+    batches3 = []
+    run_once(read_change_stream(spark, t.root), ck, batches3)
+    assert all(not rows for _i, rows in batches3)
+
+
+def test_stream_uncovered_commit_error_and_skip(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert")]), "b1")
+    t = t.refresh()
+    t = t.update_where(F.col("url") == "u1", {"lang": F.lit("fr")}, batch_id="dml")
+    merge_batch(t, ev(spark, [("u2", 200, b"<p>b</p>", "insert")]), "b2")
+    t = t.refresh()
+
+    with pytest.raises(StreamingQueryException, match="without a changelog"):
+        run_once(read_change_stream(spark, t.root, startingSnapshot=0),
+                 str(tmp_path / "ck_err"), [])
+
+    batches = []
+    run_once(
+        read_change_stream(spark, t.root, startingSnapshot=0, onMissingChangelog="skip"),
+        str(tmp_path / "ck_skip"),
+        batches,
+    )
+    got = {(r["url"], r["_change_type"]) for _i, rows in batches for r in rows}
+    assert got == {("u1", "insert"), ("u2", "insert")}  # DML commit skipped
+
+
+def test_stream_schema_evolution_alignment(spark, tmp_path):
+    """Changelog files written before a column existed stream NULL for
+    it; the stream schema is the head schema at start."""
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert")]), "b1")
+    t = t.refresh()
+    batch2 = spark.createDataFrame(
+        [("u2", 200, b"<p>b</p>", "insert", 7)],
+        "url string, ts long, html binary, op string, rank long",
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "rank")
+    merge_batch(t, batch2, "b2")
+    t = t.refresh()
+
+    batches = []
+    df = read_change_stream(spark, t.root, startingSnapshot=0)
+    assert "rank" in df.columns
+    run_once(df, str(tmp_path / "ck"), batches)
+    rows = {r["url"]: r for _i, rs in batches for r in rs}
+    assert rows["u1"]["rank"] is None
+    assert rows["u2"]["rank"] == 7
+
+
+def test_stream_replicates_state(spark, tmp_path):
+    """The canonical consumer: fold the feed per key (last commit wins)
+    and recover exactly the source's live state."""
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert"),
+                              ("u2", 100, b"<p>b</p>", "insert")]), "b1")
+    t = t.refresh()
+    merge_batch(t, ev(spark, [("u1", 200, b"<p>a2</p>", "update"),
+                              ("u2", 200, None, "delete"),
+                              ("u3", 200, b"<p>c</p>", "insert")]), "b2")
+    t = t.refresh()
+
+    state: dict = {}
+
+    def apply_batch(b, _i):
+        for r in sorted(b.collect(), key=lambda r: r["_commit_snapshot"]):
+            if r["_change_type"] == "delete":
+                state.pop(r["url"], None)
+            elif r["_change_type"] != "update_pre":
+                state[r["url"]] = (bytes(r["html"]), r["text"])
+
+    q = (
+        read_change_stream(spark, t.root, startingSnapshot=0)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    src = {
+        r["url"]: (bytes(r["html"]), r["text"]) for r in t.read().collect()
+    }
+    assert state == src
