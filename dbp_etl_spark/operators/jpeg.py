@@ -1,12 +1,16 @@
 """Pure-python/numpy baseline JPEG codec (no PIL/libjpeg).
 
 Closes the last stubbed mainstream image format in the multimodal
-layer: ``decode_jpeg`` is a real ITU T.81 baseline-sequential decoder —
-marker walk, DQT/DHT/SOF0/SOS parsing, entropy-coded segment with
-0xFF00 unstuffing and RST skip, per-MCU huffman DC/AC decode,
-dequantize, de-zigzag, 8x8 IDCT, chroma upsampling (4:4:4 / 4:2:0 /
-4:2:2), YCbCr->RGB. Grayscale and 3-component YCbCr; progressive /
-arithmetic / 12-bit raise ``NotImplementedError`` loudly.
+layer: ``decode_jpeg`` is a real ITU T.81 decoder — marker walk,
+DQT/DHT/SOF/SOS parsing, entropy-coded segment with 0xFF00 unstuffing
+and RST skip, per-MCU huffman DC/AC decode, dequantize, de-zigzag, 8x8
+IDCT, chroma upsampling (4:4:4 / 4:2:0 / 4:2:2), YCbCr->RGB. Both
+baseline-sequential (SOF0) and PROGRESSIVE (SOF2) frames are supported:
+multi-scan spectral selection + successive approximation with EOB-run
+coding and buffered correction bits (T.81 annex G, the libjpeg
+decode_mcu_{DC,AC}_{first,refine} algorithms). Grayscale and
+3-component YCbCr; arithmetic coding / 12-bit / hierarchical raise
+``NotImplementedError`` loudly.
 
 ``encode_jpeg`` is the test/synthesis sibling (the sandbox has no other
 way to produce JPEG bytes): forward DCT, quantization, canonical
@@ -159,15 +163,27 @@ def encode_jpeg(
     quant: int = 1,
     subsample: bool = False,
     restart_interval: int | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w[, 3]) uint8 -> baseline JFIF bytes.
+    """(h, w[, 3]) uint8 -> baseline (SOF0) or progressive (SOF2) JFIF.
 
     ``quant`` scales a flat quantization table (1 = near-lossless);
     ``subsample=True`` emits 4:2:0 chroma (2x2 box average) to exercise
     the decoder's upsampling path; ``restart_interval=N`` emits DRI +
     RSTm markers every N MCUs (with the spec's DC-prediction reset) to
     exercise the decoder's restart path. Huffman tables are built per
-    image (canonical, uniform length) and written in DHT segments."""
+    image (canonical, uniform length) and written in DHT segments.
+
+    ``progressive=True`` emits the T.81 annex-G multi-scan form: an
+    interleaved DC-first scan at Al=1, a DC refinement scan, and per
+    component spectral-selection AC scans (1-5, 6-63) at Al=1 followed
+    by a full-band AC refinement — i.e. both successive approximation
+    and spectral selection are exercised, with EOB-run coding and
+    buffered correction bits exactly as real encoders emit them. The
+    quantized coefficients are identical to the baseline form, so
+    decoding either form yields byte-identical pixels."""
+    if progressive and restart_interval:
+        raise NotImplementedError("restart intervals unsupported in progressive mode")
     px = np.atleast_3d(pixels).astype(np.float64)
     h, w, ch = px.shape
     if ch not in (1, 3):
@@ -202,6 +218,9 @@ def encode_jpeg(
         pw = mcus_x * 8 * sh
         c = comps[i]
         planes.append(np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])), mode="edge"))
+
+    if progressive:
+        return _encode_progressive(planes, sampling[:ch], q, h, w, ch)
 
     scans = _encode_blocks(planes, [q] * ch)
 
@@ -307,6 +326,249 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _encode_progressive(planes, sampling, q, h, w, ch) -> bytes:
+    """SOF2 multi-scan assembly (T.81 annex G). Scan script:
+
+    1. DC first, interleaved, Al=1   5. comp scans repeat per component
+    2. DC refine, Ah=1 Al=0 (raw bits, no tables)
+    3. per comp: AC first Ss=1..5,  Al=1   (spectral selection, EOB runs)
+    4. per comp: AC first Ss=6..63, Al=1
+    5. per comp: AC refine Ss=1..63, Ah=1 Al=0 (buffered correction bits)
+
+    Emission order of correction bits follows libjpeg's
+    encode_mcu_AC_refine exactly (ZRL/“newly significant”/EOB-run
+    buffering), which is what the refine decoder consumes."""
+    # quantized zigzag coefficients, padded-grid raster order per comp
+    zz_blocks = []
+    for plane in planes:
+        ph, pw = plane.shape
+        bh, bwd = ph // 8, pw // 8
+        arr = np.zeros((bh, bwd, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bwd):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _T @ blk @ _T.T
+                arr[by, bx] = np.round(coef / q).astype(np.int64).flatten()[_ZZ]
+        zz_blocks.append(arr)
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_y = planes[0].shape[0] // (8 * sampling[0][1])
+    mcus_x = planes[0].shape[1] // (8 * sampling[0][0])
+    mcu_order = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ch):
+                sh, sv = sampling[ci]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        mcu_order.append((ci, my * sv + dy, mx * sh + dx))
+
+    def ni_dims(ci):
+        # non-interleaved scan grid (T.81 A.2.2): the COMPONENT's own
+        # block dims, which can be smaller than the MCU-padded grid
+        sh, sv = sampling[ci]
+        cw = -(-(w * sh) // hmax)
+        chh = -(-(h * sv) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    def write_events(events, specs):
+        """events: ('sym', tbl, sym) | ('bits', value, n) -> bytes."""
+        bw = _BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                code, ln = specs[ev[1]][2][ev[2]]
+                bw.write(code, ln)
+            else:
+                bw.write(ev[1], ev[2])
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_first(al):
+        syms = [set(), set()]
+        events = []
+        pred = [0] * ch
+        for ci, by, bx in mcu_order:
+            v = int(zz_blocks[ci][by, bx, 0]) >> al  # arithmetic point transform
+            size, bits = _magnitude(v - pred[ci])
+            pred[ci] = v
+            tbl = 0 if ci == 0 else 1
+            syms[tbl].add(size)
+            events.append(("sym", tbl, size))
+            if size:
+                events.append(("bits", bits, size))
+        n_tbl = 1 if ch == 1 else 2
+        specs = [_canonical_table(sorted(syms[t])) for t in range(n_tbl)]
+        return events, specs
+
+    def dc_refine(al):
+        bw = _BitWriter()
+        for ci, by, bx in mcu_order:
+            bw.write((int(zz_blocks[ci][by, bx, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def _eob_events(eobrun, pending_bits, events):
+        r = eobrun.bit_length() - 1
+        events.append(("sym", 0, r << 4))
+        if r:
+            events.append(("bits", eobrun - (1 << r), r))
+        events.extend(("bits", b, 1) for b in pending_bits)
+
+    def ac_first(ci, ss, se, al):
+        events = []
+        syms = set()
+        eobrun = 0
+        bh, bwd = ni_dims(ci)
+        for by in range(bh):
+            for bx in range(bwd):
+                band = zz_blocks[ci][by, bx, ss : se + 1]
+                t = [
+                    (1 if int(v) > 0 else -1) * (abs(int(v)) >> al) for v in band
+                ]
+                if not any(t):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        _eob_events(eobrun, [], events)
+                        syms.add((eobrun.bit_length() - 1) << 4)
+                        eobrun = 0
+                    continue
+                if eobrun:
+                    syms.add((eobrun.bit_length() - 1) << 4)
+                    _eob_events(eobrun, [], events)
+                    eobrun = 0
+                run = 0
+                last_nz = max(i for i, v in enumerate(t) if v)
+                for i, v in enumerate(t[: last_nz + 1]):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        syms.add(0xF0)
+                        events.append(("sym", 0, 0xF0))
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    sym = (run << 4) | size
+                    syms.add(sym)
+                    events.append(("sym", 0, sym))
+                    events.append(("bits", bits, size))
+                    run = 0
+                if last_nz + 1 < len(t):
+                    eobrun = 1  # trailing zeros: this block starts an EOB run
+        if eobrun:
+            syms.add((eobrun.bit_length() - 1) << 4)
+            _eob_events(eobrun, [], events)
+        return events, [_canonical_table(sorted(syms))]
+
+    def ac_refine(ci, ss, se, al):
+        # libjpeg encode_mcu_AC_refine: ZRLs only inside the
+        # newly-significant span, correction bits buffered and emitted
+        # after the next symbol (or after the EOB-run code)
+        events = []
+        syms = set()
+        eobrun = 0
+        pending = []  # correction bits riding the current EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                syms.add((eobrun.bit_length() - 1) << 4)
+                _eob_events(eobrun, pending, events)
+                eobrun = 0
+                pending = []
+
+        bh, bwd = ni_dims(ci)
+        for by in range(bh):
+            for bx in range(bwd):
+                band = [int(v) for v in zz_blocks[ci][by, bx, ss : se + 1]]
+                absv = [abs(v) >> al for v in band]
+                eob = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob = i
+                r = 0
+                br: list[int] = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob()
+                        syms.add(0xF0)
+                        events.append(("sym", 0, 0xF0))
+                        r -= 16
+                        events.extend(("bits", b, 1) for b in br)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    sym = (r << 4) | 1
+                    syms.add(sym)
+                    events.append(("sym", 0, sym))
+                    events.append(("bits", 1 if band[i] > 0 else 0, 1))
+                    events.extend(("bits", b, 1) for b in br)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return events, [_canonical_table(sorted(syms))]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls, tid, spec):
+        bits, vals, _ = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    def sos(comps_tabs, ss, se, ah, al):
+        body = bytes([len(comps_tabs)])
+        for cid, dc_t, ac_t in comps_tabs:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qzz = np.zeros(64, dtype=np.uint8)
+    qzz[np.arange(64)] = q.flatten()[_ZZ].astype(np.uint8)
+    out += seg(0xFFDB, bytes([0x00]) + qzz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for i in range(ch):
+        sh, sv = sampling[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT, huffman
+
+    # scan 1: DC first (interleaved), Al=1
+    events, specs = dc_first(1)
+    for tid, spec in enumerate(specs):
+        out += dht(0, tid, spec)
+    all_tabs = [(i + 1, 0 if i == 0 else min(1, len(specs) - 1), 0) for i in range(ch)]
+    out += sos(all_tabs, 0, 0, 0, 1)
+    out += write_events(events, specs)
+    # scan 2: DC refine to Al=0 (raw bits, no entropy tables)
+    out += sos([(i + 1, 0, 0) for i in range(ch)], 0, 0, 1, 0)
+    out += dc_refine(0)
+    # per component: spectral-selection AC firsts at Al=1, then refine
+    for ci in range(ch):
+        tid = 0 if ci == 0 else 1
+        for ss, se, ah, al, builder in (
+            (1, 5, 0, 1, ac_first),
+            (6, 63, 0, 1, ac_first),
+            (1, 63, 1, 0, ac_refine),
+        ):
+            events, especs = builder(ci, ss, se, al)
+            out += dht(1, tid, especs[0])
+            out += sos([(ci + 1, 0, tid)], ss, se, ah, al)
+            out += write_events(events, especs)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ----------------------------------------------------------------- decoder
 
 
@@ -406,6 +668,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     frame = None
     data_start = None
     scan_comps = None
+    prog_scans: list[dict] = []
     dri = 0  # restart interval in MCUs (0 = none)
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -449,7 +712,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 huffs[(cls, tid)] = _build_decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -457,8 +720,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = body[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
@@ -468,8 +731,33 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = body[1 + c * 2 : 3 + c * 2]
                 scan_comps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
+            if frame is not None and frame.get("progressive"):
+                if dri:
+                    raise NotImplementedError(
+                        "restart intervals unsupported in progressive mode"
+                    )
+                ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+                end = _entropy_end(content, pos)
+                prog_scans.append(
+                    {
+                        "comps": scan_comps,
+                        "ss": ss,
+                        "se": se,
+                        "ah": ahal >> 4,
+                        "al": ahal & 0xF,
+                        "data": content[pos:end],
+                        # tables snapshot: DHT may redefine ids between scans
+                        "huffs": dict(huffs),
+                    }
+                )
+                pos = end
+                continue
             data_start = pos
             break
+    if frame is not None and frame.get("progressive"):
+        if not prog_scans:
+            raise ValueError("progressive JPEG with no scans")
+        return _decode_progressive(frame, prog_scans, quants)
     if frame is None or data_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
 
@@ -542,3 +830,177 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if len(comps) == 1:
         return np.clip(full[0].round(), 0, 255).astype(np.uint8)[..., None]
     return _rgb_from_ycbcr(full[0], full[1], full[2])
+
+
+def _entropy_end(content: bytes, start: int) -> int:
+    """First real marker (not a stuffed 0x00, not RSTm) after ``start``
+    — the end of an entropy-coded segment."""
+    i = start
+    n = len(content)
+    while i + 1 < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        nxt = content[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+    return n
+
+
+def _decode_progressive(frame: dict, scans: list[dict], quants: dict) -> np.ndarray:
+    """SOF2 reconstruction: accumulate coefficients across scans
+    (DC/AC, first/refinement per T.81 annex G — the libjpeg
+    decode_mcu_{DC,AC}_{first,refine} algorithms), then dequantize +
+    IDCT once. Successive-approximation correction bits use signed
+    two's-complement bit tests, matching the encoder exactly."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+    # coefficient store: MCU-padded block grid per component, zigzag order
+    coeffs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64) for c in comps
+    ]
+
+    def ni_dims(ci):
+        c = comps[ci]
+        cw = -(-(w * c["h"]) // hmax)
+        chh = -(-(h * c["v"]) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    for scan in scans:
+        br = _BitReader(scan["data"])
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        huffs = scan["huffs"]
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            sc_list = scan["comps"]
+            pred = [0] * len(sc_list)
+            if len(sc_list) > 1 or len(comps) == 1:
+                # interleaved MCU order (or the trivial 1-comp frame)
+                order = []
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for si, sc in enumerate(sc_list):
+                            c = comps[idx_of[sc["id"]]]
+                            for dy in range(c["v"]):
+                                for dx in range(c["h"]):
+                                    order.append(
+                                        (si, my * c["v"] + dy, mx * c["h"] + dx)
+                                    )
+            else:
+                ci = idx_of[sc_list[0]["id"]]
+                bh, bwd = ni_dims(ci)
+                order = [(0, by, bx) for by in range(bh) for bx in range(bwd)]
+            for si, by, bx in order:
+                sc = sc_list[si]
+                block = coeffs[idx_of[sc["id"]]][by, bx]
+                if ah == 0:  # DC first
+                    size = _huff_decode(br, huffs[(0, sc["dc"])])
+                    pred[si] += _extend(br.read_bits(size), size)
+                    block[0] = pred[si] << al
+                else:  # DC refinement: one raw bit per block
+                    if br.read_bit():
+                        block[0] |= 1 << al
+            continue
+        # AC scan: exactly one component, non-interleaved
+        if len(scan["comps"]) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        sc = scan["comps"][0]
+        ci = idx_of[sc["id"]]
+        ac_tab = huffs[(1, sc["ac"])]
+        bh, bwd = ni_dims(ci)
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -1 << al
+        for by in range(bh):
+            for bx in range(bwd):
+                block = coeffs[ci][by, bx]
+                if ah == 0:  # AC first (with EOB runs)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode(br, ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            block[k] = _extend(br.read_bits(s), s) << al
+                            k += 1
+                        elif r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        else:
+                            k += 16  # ZRL
+                    continue
+                # AC refinement (libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _huff_decode(br, ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError("invalid refinement magnitude")
+                            newval = p1 if br.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        # advance past r zero-history coefficients,
+                        # correcting nonzero-history ones along the way
+                        while k <= se:
+                            if block[k] != 0:
+                                if br.read_bit() and (block[k] & p1) == 0:
+                                    block[k] += p1 if block[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        block[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits for the rest of the block
+                        if block[k] != 0:
+                            if br.read_bit() and (block[k] & p1) == 0:
+                                block[k] += p1 if block[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+    # dequantize + IDCT + upsample + crop (same tail as baseline)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = quants[c["tq"]]
+        bh, bwd = coeffs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bwd * 8))
+        for by in range(bh):
+            for bx in range(bwd):
+                blk = np.zeros(64)
+                blk[_ZZ] = coeffs[ci][by, bx]
+                coef = blk.reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _T.T @ coef @ _T + 128.0
+                )
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)[..., None]
+    return _rgb_from_ycbcr(planes[0], planes[1], planes[2])

@@ -21,10 +21,12 @@ The codec layer is REAL for formats decodable with stdlib + numpy:
 * ``audio/wav`` (PCM WAV) — stdlib ``wave`` + numpy decode, real
   sample windows and RMS energy.
 
-Formats that still need external codecs (MP3/AAC via ffmpeg, webp,
-progressive JPEG — not in this sandbox) raise ``NotImplementedError``
-unless ``deterministic_fake=True`` (seeded features from the content
-hash, so the pipeline stays exercisable end to end for any mime).
+JPEG covers both baseline (SOF0) and progressive (SOF2) frames —
+spectral selection + successive approximation, operators/jpeg.py.
+Formats that still need external codecs (MP3/AAC via ffmpeg, webp —
+not in this sandbox) raise ``NotImplementedError`` unless
+``deterministic_fake=True`` (seeded features from the content hash,
+so the pipeline stays exercisable end to end for any mime).
 """
 
 from __future__ import annotations

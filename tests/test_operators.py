@@ -533,13 +533,13 @@ def test_jpeg_rejects_non_baseline(spark):
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2 marker must refuse loudly
+    # arithmetic-coded SOF9 must refuse loudly (SOF0/SOF2 are supported)
     import numpy as np
     from dbp_etl_spark.operators.jpeg import encode_jpeg
 
     good = bytearray(encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
     sof_at = bytes(good).find(b"\xff\xc0")
-    good[sof_at + 1] = 0xC2
+    good[sof_at + 1] = 0xC9
     with _pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(good))
 
