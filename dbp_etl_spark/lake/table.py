@@ -1830,8 +1830,28 @@ class LakeTable:
             )
 
         new_state = state.select(*[_col(c) for c in self.schema.names()])
+        cl_df = None
+        if self.manifest.get("changelog") and self._wap_id is None:
+            # the deleted rows ARE the pre-images: same shape the MERGE
+            # path writes, so DML never breaks the change feed
+            cl_cols = [c for c in self.schema.names() if c not in (key, "_deleted")]
+            from pyspark.sql import types as T
+
+            pre_type = T.StructType(
+                [T.StructField(c, cur_struct[c].dataType) for c in cl_cols]
+            )
+            cl_df = state.filter(visible_match).select(
+                F.col(key),
+                *[F.col(c) for c in cl_cols],
+                F.lit(None).cast(pre_type).alias("_pre"),
+                F.lit("delete").alias("_change_type"),
+            )
         return self.overwrite_buckets(
-            new_state, dirty, batch_id, summary={"delete_where": str(condition)}
+            new_state,
+            dirty,
+            batch_id,
+            summary={"delete_where": str(condition)},
+            changelog_df=cl_df,
         )
 
     def update_where(self, condition: Column, assignments: dict, batch_id) -> "LakeTable":
@@ -1871,8 +1891,36 @@ class LakeTable:
                 for c in self.schema.names()
             ]
         )
+        cl_df = None
+        if self.manifest.get("changelog") and self._wap_id is None:
+            key = self.key
+            cl_cols = [c for c in self.schema.names() if c not in (key, "_deleted")]
+            # only rows whose assigned values actually CHANGE belong in
+            # the feed (read_changes' row_changed contract)
+            changed = None
+            for c in assignments:
+                neq = ~assignments[c].cast(cur_struct[c].dataType).eqNullSafe(F.col(c))
+                changed = neq if changed is None else (changed | neq)
+            vis = state.filter(visible_match & changed)
+            cl_df = vis.select(
+                F.col(key),
+                *[
+                    (
+                        assignments[c].cast(cur_struct[c].dataType).alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in cl_cols
+                ],
+                F.struct(*[F.col(c).alias(c) for c in cl_cols]).alias("_pre"),
+                F.lit("update_post").alias("_change_type"),
+            )
         return self.overwrite_buckets(
-            new_state, dirty, batch_id, summary={"update_where": sorted(assignments)}
+            new_state,
+            dirty,
+            batch_id,
+            summary={"update_where": sorted(assignments)},
+            changelog_df=cl_df,
         )
 
     # ------------------------------------------------------ schema evolution

@@ -137,7 +137,14 @@ def test_stream_uncovered_commit_error_and_skip(spark, tmp_path):
     t = mk_table(spark, tmp_path)
     merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert")]), "b1")
     t = t.refresh()
-    t = t.update_where(F.col("url") == "u1", {"lang": F.lit("fr")}, batch_id="dml")
+    extra = spark.range(1).select(
+        F.lit("u9").alias("url"),
+        F.timestamp_seconds(F.lit(500)).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("bulk").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    t = t.append(extra, batch_id="bulk")  # row change without changelog
     merge_batch(t, ev(spark, [("u2", 200, b"<p>b</p>", "insert")]), "b2")
     t = t.refresh()
 

@@ -223,19 +223,51 @@ def test_schema_evolution_in_window_parity(spark, tmp_path):
 
 
 def test_fallback_on_uncovered_commit(spark, tmp_path):
-    """DML without changelog inside the window: auto mode falls back to
-    the join path (same answer), use_changelog=True refuses loudly."""
+    """A row-changing commit without changelog (bulk append — may even
+    violate key-uniqueness, so no feed is derivable) inside the window:
+    auto mode falls back to the join path (same answer),
+    use_changelog=True refuses loudly."""
     t = mk_table(spark, tmp_path)
     merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert"),
                               ("u2", 100, b"<p>b</p>", "insert")]), "b1")
     t = t.refresh()
     s1 = t.snapshot_id
-    t = t.update_where(F.col("url") == "u1", {"lang": F.lit("fr")}, batch_id="dml")
+    extra = spark.range(1).select(
+        F.lit("u3").alias("url"),
+        F.timestamp_seconds(F.lit(500)).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("bulk").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    t = t.append(extra, batch_id="bulk")
     auto = t.read_changes(s1)
     join = t.read_changes(s1, use_changelog=False)
     assert norm(auto) == norm(join)
     with pytest.raises(ValueError, match="changelog does not cover"):
         t.read_changes(s1, use_changelog=True)
+
+
+def test_dml_commits_emit_changelog(spark, tmp_path):
+    """delete_where / update_where carry the feed too: parity with the
+    join path, and update_where rows that assign UNCHANGED values stay
+    out of the feed."""
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert"),
+                              ("u2", 100, b"<p>b</p>", "insert"),
+                              ("u3", 100, b"<p>c</p>", "insert")]), "b1")
+    t = t.refresh()
+    s1 = t.snapshot_id
+    t = t.update_where(F.col("url") == "u1", {"lang": F.lit("fr")}, batch_id="dml1")
+    # assigns the CURRENT value: visible state unchanged => empty feed row set
+    t = t.update_where(F.col("url") == "u2", {"text": F.col("text")}, batch_id="dml2")
+    t = t.delete_where(F.col("url") == "u3", batch_id="dml3")
+    feed = assert_parity(t, s1, include_pre=True)
+    got = {(r["url"], r["_change_type"]) for r in feed.collect()}
+    assert got == {("u1", "update_post"), ("u1", "update_pre"), ("u3", "delete")}
+    post = next(r for r in feed.collect() if r["_change_type"] == "update_post")
+    assert post["lang"] == "fr"
+    assert_parity(t, s1)
+    assert_parity(t, s1 + 1, t.snapshot_id)
 
 
 def test_state_preserving_commits_skipped(spark, tmp_path):
