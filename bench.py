@@ -257,6 +257,9 @@ def bench_default() -> dict:
     repl_ab = None
     if os.environ.get("BENCH_SKIP_REPL") != "1":
         repl_ab = run_replication_ab(spark, work_dir=tmpfs)
+    cdf_ab = None
+    if os.environ.get("BENCH_SKIP_CDF") != "1":
+        cdf_ab = run_cdf_ab(spark, work_dir=tmpfs)
     out = {
         "metric": "bench_total_wall",
         "value": total,
@@ -280,6 +283,8 @@ def bench_default() -> dict:
         out["mor_ab"] = mor_ab
     if repl_ab is not None:
         out["replication_ab"] = repl_ab
+    if cdf_ab is not None:
+        out["cdf_ab"] = cdf_ab
     spark.stop()
     return out
 
@@ -376,6 +381,130 @@ def run_mor_ab(
             out["cow_churn_bytes_written"] / max(out["mor_churn_bytes_written"], 1), 1
         )
         return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_cdf_ab(
+    spark,
+    work_dir: str | None = None,
+    n_urls: int = 150_000,
+    churn_events: int = 2_000,
+    n_churn_batches: int = 3,
+    num_buckets: int = 32,
+) -> dict:
+    """Change-feed read-cost A/B on a ``changelog=True`` table: the
+    SAME multi-commit window read through write-time changelog files
+    (O(window churn): a few small parquet reads + one per-key net
+    merge) vs the legacy two-snapshot full-outer join (O(dirty-bucket
+    bytes) — effectively the whole table twice at this bucket count).
+    Identical rows asserted. Bytes-scanned is the scale-relevant
+    figure: at the 100 TB design point a day's churn window reads GBs
+    of changelog instead of re-joining two multi-TB snapshots PER
+    CONSUMER; wall-clock at test scale understates the gap because the
+    join's fixed planning floor dominates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner, generate_changes
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.lake.table import _changelog_paths
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bench_cdf_", dir=work_dir)
+    try:
+        t = LakeTable.create(
+            spark,
+            f"{root}/pages",
+            schema,
+            key="url",
+            num_buckets=num_buckets,
+            changelog=True,
+        )
+        runner = CDCRunner(t, salt_buckets=32, lineage_mode="global")
+        runner.run(
+            CDCRunner.stage_by_batch(
+                generate_changes(
+                    spark, 2 * n_urls, n_urls, n_batches=1, hot_fraction_pct=0, seed=11
+                ),
+                f"{root}/seed",
+            )
+        )
+        t = t.refresh()
+        s0 = t.snapshot_id
+        for i in range(n_churn_batches):
+            churn = (
+                generate_changes(
+                    spark,
+                    churn_events,
+                    n_urls,
+                    n_batches=1,
+                    update_pct=85,
+                    delete_pct=10,
+                    hot_fraction_pct=0,
+                    seed=20 + i,
+                )
+                .withColumn(
+                    "warc_ts",
+                    F.timestamp_seconds(
+                        F.unix_timestamp("warc_ts") + F.lit(10_000_000 * (i + 1))
+                    ),
+                )
+                .withColumn("batch_id", F.lit(i + 1))
+            )
+            runner.run(CDCRunner.stage_by_batch(churn, f"{root}/churn{i}"))
+        t = t.refresh()
+
+        def rows_of(df):
+            return sorted(
+                (
+                    r["url"],
+                    r["_change_type"],
+                    r["warc_ts"],
+                    bytes(r["html"]) if r["html"] is not None else None,
+                )
+                for r in df.collect()
+            )
+
+        t0 = time.time()
+        fast_rows = rows_of(t.read_changes(s0, use_changelog=True))
+        fast_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        join_rows = rows_of(t.read_changes(s0, use_changelog=False))
+        join_sec = round(time.time() - t0, 3)
+        assert fast_rows == join_rows, "changelog feed diverged from join feed"
+
+        cl_bytes = 0
+        for snap in range(s0 + 1, t.snapshot_id + 1):
+            for rel in _changelog_paths(t._manifest_at(snap)):
+                cl_bytes += os.path.getsize(os.path.join(t.root, rel))
+        table_bytes = sum(
+            os.path.getsize(os.path.join(t.root, f_["path"]))
+            for f_ in t.manifest["files"]
+        )
+        return {
+            "seeded_urls": n_urls,
+            "churn_batches": n_churn_batches,
+            "churn_events_per_batch": churn_events,
+            "feed_rows": len(fast_rows),
+            "changelog_read_sec": fast_sec,
+            "join_read_sec": join_sec,
+            "changelog_bytes_scanned": cl_bytes,
+            # the join scans BOTH snapshots of every dirty bucket; the
+            # retained table is the lower bound of what it touches
+            "join_bytes_lower_bound": table_bytes,
+            "bytes_ratio": round(table_bytes / max(cl_bytes, 1), 1),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
