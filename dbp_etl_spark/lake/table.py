@@ -3158,6 +3158,16 @@ class LakeTable:
 
         Metadata-only: cost is one manifest write, independent of
         table size. Idempotent under ``batch_id`` like any commit.
+
+        On a ``changelog=True`` table (same schema version at target
+        and head) the rollback additionally materializes COMPENSATING
+        changes — the inverse of the (target → head) net diff: undone
+        inserts become deletes, undone deletes become inserts, undone
+        updates swap post/pre — so ``read_changes`` windows and
+        ``lake_cdf`` streams ride THROUGH the rollback instead of
+        breaking on an uncovered commit (and a window spanning the bad
+        batch plus its rollback nets to nothing). Cost becomes
+        O(churn being undone) when the window is changelog-covered.
         """
         if self._wap_id is not None:
             raise RuntimeError("rollback_to operates on the main chain, not a WAP branch")
@@ -3186,6 +3196,59 @@ class LakeTable:
             self._fs.read_text(os.path.join(self.root, _META, f"v{snapshot_id}.json"))
         )
         snap_id = self.snapshot_id + 1
+        summary: dict = {"rollback_to": snapshot_id}
+        if (
+            self.manifest.get("changelog")
+            and old["schema_version"] == self.manifest["schema_version"]
+        ):
+            from pyspark.sql import types as T
+
+            cur = self.schema
+            cur_struct = cur.to_struct()
+            key = self.key
+            cl_cols = [c for c in cur.names() if c not in (key, "_deleted")]
+            pre_type = T.StructType(
+                [T.StructField(c, cur_struct[c].dataType) for c in cl_cols]
+            )
+            feed = self.read_changes(snapshot_id, self.snapshot_id, include_pre=True)
+            posts = feed.filter(F.col("_change_type") != "update_pre")
+            pres = feed.filter(F.col("_change_type") == "update_pre").select(
+                F.col(key),
+                F.struct(*[F.col(c).alias(c) for c in cl_cols]).alias("_oldvals"),
+            )
+            j = posts.join(pres, key, "left")
+            inv_ct = (
+                F.when(F.col("_change_type") == "insert", F.lit("delete"))
+                .when(F.col("_change_type") == "delete", F.lit("insert"))
+                .otherwise(F.lit("update_post"))
+            )
+            is_upd = F.col("_change_type") == "update_post"
+            cl_df = j.select(
+                F.col(key),
+                # compensating post-image: the TARGET's values — for an
+                # undone update that is the pre-image row; insert/delete
+                # rows already carry the right side (delete rows hold
+                # the pre-image, which IS the restored row; undone
+                # inserts carry the values being deleted)
+                *[
+                    F.when(is_upd, F.col("_oldvals").getField(c))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in cl_cols
+                ],
+                F.when(
+                    is_upd, F.struct(*[F.col(c).alias(c) for c in cl_cols])
+                )
+                .otherwise(F.lit(None).cast(pre_type))
+                .alias("_pre"),
+                inv_ct.alias("_change_type"),
+            )
+            summary = {
+                **summary,
+                "row_change": "log",
+                "changelog_files": self._write_changelog(cl_df, snap_id),
+                "changelog_schema_version": self.manifest["schema_version"],
+            }
         new_manifest = dict(self.manifest)
         new_manifest["snapshot_id"] = snap_id
         new_manifest["parent_id"] = self.snapshot_id
@@ -3212,7 +3275,7 @@ class LakeTable:
         new_manifest["committed_batches"] = ledger
         if "ledger_watermarks" in old or "ledger_watermarks" in new_manifest:
             new_manifest["ledger_watermarks"] = old.get("ledger_watermarks") or {}
-        new_manifest["summary"] = {"rollback_to": snapshot_id}
+        new_manifest["summary"] = summary
         return self._commit(new_manifest)
 
     def history(self) -> list[dict]:

@@ -419,3 +419,36 @@ def test_changelog_replay_is_idempotent(spark, tmp_path):
     merge_batch(t, batch, "b2")  # replay
     t = t.refresh()
     assert norm(t.read_changes(s1, use_changelog=True)) == before
+
+
+def test_rollback_emits_compensating_changes(spark, tmp_path):
+    """rollback_to on a changelog table writes the INVERSE of the
+    undone window as its changelog: feeds and streams ride through the
+    rollback, and a window spanning bad-batch+rollback nets to zero."""
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert"),
+                              ("u2", 100, b"<p>b</p>", "insert")]), "b1")
+    t = t.refresh()
+    s1 = t.snapshot_id
+    merge_batch(t, ev(spark, [("u1", 200, b"<p>a2</p>", "update"),
+                              ("u2", 200, None, "delete"),
+                              ("u3", 200, b"<p>c</p>", "insert")]), "bad")
+    t = t.refresh()
+    s2 = t.snapshot_id
+    t = t.rollback_to(s1)
+
+    # the rollback commit alone = inverse of the bad batch (both paths)
+    feed = assert_parity(t, s2, include_pre=True)
+    got = {(r["url"], r["_change_type"]) for r in feed.collect()}
+    assert got == {
+        ("u1", "update_post"), ("u1", "update_pre"),
+        ("u2", "insert"), ("u3", "delete"),
+    }
+    rows = {(r["url"], r["_change_type"]): r for r in feed.collect()}
+    assert bytes(rows[("u1", "update_post")]["html"]) == b"<p>a</p>"  # restored
+    assert bytes(rows[("u1", "update_pre")]["html"]) == b"<p>a2</p>"  # undone
+    assert bytes(rows[("u2", "insert")]["html"]) == b"<p>b</p>"
+
+    # bad batch + its rollback cancel over the spanning window
+    spanning = assert_parity(t, s1)
+    assert spanning.count() == 0
