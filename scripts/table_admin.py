@@ -22,6 +22,8 @@ so an operator can run them the same way the CDC job runs
     table_admin.py --table /lake/pages replicate --target /lake/pages_en \\
         --name en --where "lang = 'en'" [--per-snapshot]
     table_admin.py --table /lake/pages check        # integrity report
+    table_admin.py --table /lake/pages changes --from-snapshot 41 \\
+        [--to-snapshot 45] [--include-pre] [--mode auto|log|join]
 
 Every mutating subcommand is ledger-keyed (``--batch-id`` overrides
 the default), so re-running after a crash or a lost shell is a no-op.
@@ -45,6 +47,18 @@ def main() -> int:
     sub.add_parser("history")
     sub.add_parser("tags")
     sub.add_parser("check")
+
+    s = sub.add_parser("changes")
+    s.add_argument("--from-snapshot", type=int, required=True, help="exclusive")
+    s.add_argument("--to-snapshot", type=int, default=None, help="inclusive; default head")
+    s.add_argument("--include-pre", action="store_true")
+    s.add_argument(
+        "--mode",
+        choices=("auto", "log", "join"),
+        default="auto",
+        help="auto = changelog fast path when covered; log = require it; join = force the state join",
+    )
+    s.add_argument("--limit", type=int, default=20, help="rows printed (count is always full)")
 
     s = sub.add_parser("expire")
     s.add_argument("--keep-last", type=int, default=8)
@@ -129,8 +143,22 @@ def main() -> int:
         print(json.dumps({"table": args.table, "cmd": args.cmd, "result": report}))
         spark.stop()
         return 0 if all(n == 0 for n in report.values()) else 2
-    elif args.cmd == "expire":
-        out = t.expire_snapshots(keep_last=args.keep_last)
+    elif args.cmd == "changes":
+        use_cl = {"auto": None, "log": True, "join": False}[args.mode]
+        feed = t.read_changes(
+            args.from_snapshot,
+            args.to_snapshot,
+            include_pre=args.include_pre,
+            use_changelog=use_cl,
+        )
+        rows = [r.asDict(recursive=True) for r in feed.limit(args.limit).collect()]
+        for r in rows:
+            for k, v in r.items():
+                if isinstance(v, (bytes, bytearray)):
+                    r[k] = f"<{len(v)} bytes>"
+                elif hasattr(v, "isoformat"):
+                    r[k] = v.isoformat()
+        out = {"rows": rows, "total": feed.count()}
     elif args.cmd == "vacuum-orphans":
         out = t.remove_orphan_files(grace_sec=args.grace_sec)
     elif args.cmd == "vacuum-tombstones":
