@@ -243,14 +243,25 @@ def _assemble_new_state(
         )
         t_dead = F.coalesce(F.col("_t__deleted"), F.lit(False))
         # only a LIVE target's delete changes visible state (absent-key
-        # tombstones and re-tombstones of dead rows do not)
-        deleted_cl = in_dirty.filter(
-            (F.col("_action") == "delete") & F.col("_t_warc_ts").isNotNull() & ~t_dead
-        ).select(
-            F.col(key),
-            *[F.col(f"_t_{c}").alias(c) for c in cl_cols],
-            F.lit(None).cast(pre_type).alias("_pre"),
-            F.lit("delete").alias("_change_type"),
+        # tombstones and re-tombstones of dead rows do not). Coalesced:
+        # the slice inherits the join's shuffle partitioning (cluster-
+        # sized), but holds only churn rows — without the coalesce a
+        # 4096-partition merge would write 4096 tiny delete files per
+        # commit. Reads come from the persisted join, so no upstream
+        # parallelism is lost.
+        deleted_cl = (
+            in_dirty.filter(
+                (F.col("_action") == "delete")
+                & F.col("_t_warc_ts").isNotNull()
+                & ~t_dead
+            )
+            .select(
+                F.col(key),
+                *[F.col(f"_t_{c}").alias(c) for c in cl_cols],
+                F.lit(None).cast(pre_type).alias("_pre"),
+                F.lit("delete").alias("_change_type"),
+            )
+            .coalesce(n_part)
         )
         changelog_df = changed_cl.unionByName(deleted_cl)
     else:

@@ -1435,6 +1435,15 @@ class LakeTable:
         """
         rel_dir = os.path.join(_DATA, f"changelog-{snap_id}-{uuid.uuid4().hex[:8]}")
         full = os.path.join(self.root, rel_dir)
+        # bound output file count: changelog rows are churn-sized, but
+        # the frames arrive with scan/shuffle partitioning (DML frames
+        # inherit the dirty-bucket scan's split count). The repartition
+        # shuffles only churn rows and keeps the upstream scan wide;
+        # the merge path pre-coalesces its slices, so this is a no-op
+        # exchange of already-small partitions there.
+        bound = max(1, min(64, self.spark.sparkContext.defaultParallelism))
+        if df.rdd.getNumPartitions() > bound:
+            df = df.repartition(bound)
         conf = self.spark.conf
         ts_prev = conf.get("spark.sql.parquet.outputTimestampType")
         conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
