@@ -125,6 +125,7 @@ def run_cdc_pipeline(
     work_dir: str | None = None,
     fuse: int = 1,
     transform=None,
+    changelog: bool = False,
 ) -> dict:
     """The flagship job: generate -> dedup(salted) -> MERGE -> commit,
     n batches, exactly-once. Returns throughput + state hash."""
@@ -148,7 +149,12 @@ def run_cdc_pipeline(
     try:
         _warmup(spark)
         table = LakeTable.create(
-            spark, f"{root}/pages", schema, key="url", num_buckets=num_buckets
+            spark,
+            f"{root}/pages",
+            schema,
+            key="url",
+            num_buckets=num_buckets,
+            changelog=changelog,
         )
         # materialize the change log BEFORE the timer: the bench measures
         # the engine (tail -> MERGE -> commit), not the synthetic generator
