@@ -128,8 +128,9 @@ _STATE_PRESERVING_SUMMARY_KEYS = frozenset(
 def _row_change_of(m: dict) -> str:
     """Classify what a commit did to visible row state: ``'log'`` (a
     changelog was materialized), ``'none'`` (provably state-preserving),
-    or ``'unknown'`` (row-level change without a changelog — DML,
-    rollback, WAP publish, pre-changelog merges)."""
+    or ``'unknown'`` (row-level change without a changelog — bulk
+    append, equality deletes, WAP publish, schema-reverting rollback,
+    and every commit of a table without ``changelog=True``)."""
     s = m.get("summary") or {}
     rc = s.get("row_change")
     if rc:

@@ -37,7 +37,14 @@ Options:
   min retained snapshot.
 * ``includePre`` — also emit ``update_pre`` rows (default false).
 * ``onMissingChangelog`` — ``error`` (default) or ``skip`` for commits
-  that changed rows without a changelog (DML, rollback, WAP publish).
+  that changed rows without a changelog. On a ``changelog=True`` table
+  MERGE / snapshot-apply / DML / same-schema rollback are all covered;
+  the uncovered commits are bulk ``append`` (may violate
+  key-uniqueness, so no per-key feed is derivable), merge-on-read
+  ``delete_keys`` (unconditional equality deletes — deriving the feed
+  would need the target read the fast path exists to avoid), WAP
+  publishes (squashed multi-commit branches) and schema-reverting
+  rollbacks.
 * ``maxSnapshotsPerBatch`` — rate limit: at most this many commits per
   microbatch (steady-state; the first batch after a restart is
   unbounded because the planner learns the start offset only at
@@ -79,8 +86,16 @@ def _head_snapshot(root: str) -> int:
 
 
 def _manifest(root: str, snap: int) -> dict:
-    with open(os.path.join(root, _META, f"v{snap}.json")) as f:
-        return json.load(f)
+    try:
+        with open(os.path.join(root, _META, f"v{snap}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"snapshot {snap} of {root} was expired while the stream was "
+            "stopped — its changelog is gone. Size expire_snapshots' "
+            "keep_last to cover the longest consumer downtime, or restart "
+            "the stream from a fresh checkpoint."
+        ) from None
 
 
 class _ChangelogFilePartition(InputPartition):
@@ -129,14 +144,29 @@ class _CDFStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = _head_snapshot(self.root)
-        if self.max_snapshots is not None and self._last_end is not None:
-            head = min(head, self._last_end + self.max_snapshots)
+        if self.max_snapshots is not None:
+            base = self._last_end
+            if base is None:
+                # Spark asks for the latest offset BEFORE initialOffset
+                # on a fresh stream: anchor the first cap at the stream's
+                # own start. A RESTARTED stream's true position arrives
+                # only at partitions(); until then the cap ramps from
+                # here — a low first cap just yields empty microbatches,
+                # never skipped data.
+                base = (
+                    int(self.starting)
+                    if self.starting is not None
+                    else _head_snapshot(self.root)
+                )
+            head = min(head, base + self.max_snapshots)
         self._last_end = head if self._last_end is None else max(self._last_end, head)
         return {"snapshot": head}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["snapshot"]), int(end["snapshot"])
-        self._last_end = max(self._last_end or hi, hi)
+        # the true stream position: lets the rate-limit cap resume from
+        # the checkpointed offset after a restart
+        self._last_end = max(self._last_end or 0, lo, hi)
         out = []
         for snap in range(lo + 1, hi + 1):
             m = _manifest(self.root, snap)

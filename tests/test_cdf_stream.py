@@ -218,3 +218,49 @@ def test_stream_replicates_state(spark, tmp_path):
         r["url"]: (bytes(r["html"]), r["text"]) for r in t.read().collect()
     }
     assert state == src
+
+
+def test_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """maxSnapshotsPerBatch splits a backlog across microbatches
+    (steady-state rate limiting); the union still equals the feed."""
+    t = mk_table(spark, tmp_path)
+    for i in range(4):
+        merge_batch(
+            t.refresh(),
+            ev(spark, [(f"u{i}", 100 + i, f"<p>{i}</p>".encode(), "insert")]),
+            f"b{i}",
+        )
+    t = t.refresh()
+    batches = []
+    df = read_change_stream(spark, t.root, startingSnapshot=0, maxSnapshotsPerBatch=1)
+    q = (
+        df.writeStream.foreachBatch(lambda b, i: batches.append((i, b.collect())))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    non_empty = [rows for _i, rows in batches if rows]
+    assert len(non_empty) >= 4  # one commit per microbatch, not one big gulp
+    assert all(len({r["_commit_snapshot"] for r in rows}) == 1 for rows in non_empty)
+    got = sorted(norm_row(r) for rows in non_empty for r in rows)
+    assert got == expected_feed(t, 0, t.snapshot_id)
+
+
+def test_stream_expired_offset_fails_cleanly(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = mk_table(spark, tmp_path)
+    for i in range(6):
+        merge_batch(
+            t.refresh(),
+            ev(spark, [("u", 100 + i, f"<p>{i}</p>".encode(), "insert" if i == 0 else "update")]),
+            f"b{i}",
+        )
+    t = t.refresh()
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises((StreamingQueryException, Exception), match="expired"):
+        run_once(read_change_stream(spark, t.root, startingSnapshot=1),
+                 str(tmp_path / "ck"), [])
