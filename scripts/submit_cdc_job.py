@@ -28,6 +28,12 @@ def main() -> int:
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--events", help="parquet change-event directory")
     p.add_argument("--create", action="store_true", help="create the table if absent")
+    p.add_argument(
+        "--changelog",
+        action="store_true",
+        help="with --create: materialize row-level changes per commit "
+        "(read_changes fast path + the lake_cdf streaming source)",
+    )
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--salt-buckets", type=int, default=32)
     p.add_argument("--lineage", choices=["per_bucket", "global"], default="per_bucket")
@@ -88,7 +94,12 @@ def main() -> int:
             )
         )
         table = LakeTable.create(
-            spark, args.table, schema, key="url", num_buckets=args.num_buckets
+            spark,
+            args.table,
+            schema,
+            key="url",
+            num_buckets=args.num_buckets,
+            changelog=args.changelog,
         )
     else:
         print(json.dumps({"error": f"table {args.table} does not exist (use --create)"}))

@@ -452,3 +452,81 @@ def test_rollback_emits_compensating_changes(spark, tmp_path):
     # bad batch + its rollback cancel over the spanning window
     spanning = assert_parity(t, s1)
     assert spanning.count() == 0
+
+
+def test_replicator_follows_changelog_source(spark, tmp_path):
+    """TableReplicator's feed reads now ride the changelog fast path
+    when the source has one — replica still equals the source exactly,
+    and the synced window is provably covered."""
+    from dbp_etl_spark.cdc import CDCRunner, TableReplicator, generate_changes
+
+    src = mk_table(spark, tmp_path, "src")
+    tgt = LakeTable.create(
+        spark, str(tmp_path / "tgt"), TableSchema.from_struct(PAGES),
+        key="url", num_buckets=4,
+    )
+    CDCRunner(src).run(generate_changes(spark, 800, 60, n_batches=2, seed=3))
+    src = src.refresh()
+    rep = TableReplicator(src, tgt, name="pages")
+    rep.sync()
+    assert src._changelog_window(0, src.snapshot_id) is not None  # covered
+    s = {(r["url"], r["text"]) for r in src.read().collect()}
+    r = {(r["url"], r["text"]) for r in rep.target.read().collect()}
+    assert s == r
+
+
+def test_incremental_rollup_on_changelog_source(spark, tmp_path):
+    """IncrementalRollup refresh over a changelog source: the pre/post
+    pairs it retracts/applies come from changelog files."""
+    from dbp_etl_spark.operators.incremental import IncrementalRollup
+
+    t = mk_table(spark, tmp_path)
+    merge_batch(
+        t,
+        ev(spark, [("u1", 100, b"<p>a</p>", "insert", 2.0),
+                   ("u2", 100, b"<p>b</p>", "insert", 3.0)],
+           extra_schema=", score double"),
+        "b1",
+    )
+    t = t.refresh()
+    roll = IncrementalRollup(t, str(tmp_path / "state"), ["lang"], "score")
+    roll.refresh()
+    merge_batch(
+        t,
+        ev(spark, [("u1", 200, b"<p>a2</p>", "update", 7.5),
+                   ("u2", 200, None, "delete", None),
+                   ("u3", 200, b"<p>c</p>", "insert", 1.0)],
+           extra_schema=", score double"),
+        "b2",
+    )
+    t = t.refresh()
+    roll = IncrementalRollup(t, str(tmp_path / "state"), ["lang"], "score")
+    roll.refresh()
+    got = {r["lang"]: (r["n"], r["total"]) for r in roll.read().collect()}
+    want = {
+        r["lang"]: (r["n"], r["total"])
+        for r in t.read().groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("score", F.lit(0.0))).alias("total"),
+        ).collect()
+    }
+    assert got == want
+    assert t._changelog_window(0, t.snapshot_id) is not None
+
+
+def test_txn_commits_carry_changelog(spark, tmp_path):
+    """Changelog files written inside a multi-table transaction become
+    live with the txn's manifests; the feed covers txn commits."""
+    from dbp_etl_spark.lake.txn import TxnCoordinator
+
+    t = mk_table(spark, tmp_path)
+    merge_batch(t, ev(spark, [("u1", 100, b"<p>a</p>", "insert")]), "b1")
+    t = t.refresh()
+    s1 = t.snapshot_id
+    coord = TxnCoordinator(str(tmp_path / "_txn"))
+    with coord.transaction([t]) as txn:
+        (ta,) = txn.tables
+        merge_batch(ta, ev(spark, [("u1", 200, b"<p>a2</p>", "update")]), "b2")
+    t = LakeTable.load(spark, t.root)
+    feed = assert_parity(t, s1)
+    assert {r["_change_type"] for r in feed.collect()} == {"update_post"}
