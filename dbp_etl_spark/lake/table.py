@@ -1839,30 +1839,39 @@ class LakeTable:
                 .alias(c)
             )
 
-        new_state = state.select(*[_col(c) for c in self.schema.names()])
         cl_df = None
+        persisted = None
         if self.manifest.get("changelog") and self._wap_id is None:
             # the deleted rows ARE the pre-images: same shape the MERGE
-            # path writes, so DML never breaks the change feed
+            # path writes, so DML never breaks the change feed. The scan
+            # is persisted so the state rewrite and the changelog write
+            # evaluate the dirty buckets ONCE.
             cl_cols = [c for c in self.schema.names() if c not in (key, "_deleted")]
             from pyspark.sql import types as T
 
             pre_type = T.StructType(
                 [T.StructField(c, cur_struct[c].dataType) for c in cl_cols]
             )
+            persisted = state.persist()
+            state = persisted
             cl_df = state.filter(visible_match).select(
                 F.col(key),
                 *[F.col(c) for c in cl_cols],
                 F.lit(None).cast(pre_type).alias("_pre"),
                 F.lit("delete").alias("_change_type"),
             )
-        return self.overwrite_buckets(
-            new_state,
-            dirty,
-            batch_id,
-            summary={"delete_where": str(condition)},
-            changelog_df=cl_df,
-        )
+        new_state = state.select(*[_col(c) for c in self.schema.names()])
+        try:
+            return self.overwrite_buckets(
+                new_state,
+                dirty,
+                batch_id,
+                summary={"delete_where": str(condition)},
+                changelog_df=cl_df,
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     def update_where(self, condition: Column, assignments: dict, batch_id) -> "LakeTable":
         """UPDATE table SET col=expr WHERE <condition> (visible rows).
@@ -1889,49 +1898,59 @@ class LakeTable:
         state = self.read(buckets=dirty, include_deleted=True)
         visible_match = (~F.coalesce(F.col("_deleted"), F.lit(False))) & condition
         cur_struct = self.schema.to_struct()
-        new_state = state.select(
-            *[
-                (
+
+        def _post(c: str):
+            if c in assignments:
+                return (
                     F.when(visible_match, assignments[c].cast(cur_struct[c].dataType))
                     .otherwise(F.col(c))
                     .alias(c)
-                    if c in assignments
-                    else F.col(c)
                 )
-                for c in self.schema.names()
-            ]
-        )
+            return F.col(c)
+
         cl_df = None
+        persisted = None
         if self.manifest.get("changelog") and self._wap_id is None:
             key = self.key
             cl_cols = [c for c in self.schema.names() if c not in (key, "_deleted")]
-            # only rows whose assigned values actually CHANGE belong in
-            # the feed (read_changes' row_changed contract)
+            # ONE persisted evaluation feeds both the state rewrite and
+            # the changelog: assignment expressions run exactly once per
+            # row, so a non-deterministic assignment (rand(),
+            # current_timestamp()) can never diverge the written state
+            # from the feed's post-image — and the dirty buckets are
+            # scanned once, not twice.
+            persisted = state.select(
+                *[_post(c) for c in self.schema.names()],
+                visible_match.alias("_cl_match"),
+                F.struct(*[F.col(c).alias(c) for c in cl_cols]).alias("_pre"),
+            ).persist()
+            new_state = persisted.select(*self.schema.names())
+            # only rows whose assigned values actually CHANGED belong in
+            # the feed (read_changes' row_changed contract), compared on
+            # the MATERIALIZED post/pre values
             changed = None
             for c in assignments:
-                neq = ~assignments[c].cast(cur_struct[c].dataType).eqNullSafe(F.col(c))
+                neq = ~F.col(c).eqNullSafe(F.col("_pre").getField(c))
                 changed = neq if changed is None else (changed | neq)
-            vis = state.filter(visible_match & changed)
-            cl_df = vis.select(
+            cl_df = persisted.filter(F.col("_cl_match") & changed).select(
                 F.col(key),
-                *[
-                    (
-                        assignments[c].cast(cur_struct[c].dataType).alias(c)
-                        if c in assignments
-                        else F.col(c)
-                    )
-                    for c in cl_cols
-                ],
-                F.struct(*[F.col(c).alias(c) for c in cl_cols]).alias("_pre"),
+                *[F.col(c) for c in cl_cols],
+                F.col("_pre"),
                 F.lit("update_post").alias("_change_type"),
             )
-        return self.overwrite_buckets(
-            new_state,
-            dirty,
-            batch_id,
-            summary={"update_where": sorted(assignments)},
-            changelog_df=cl_df,
-        )
+        else:
+            new_state = state.select(*[_post(c) for c in self.schema.names()])
+        try:
+            return self.overwrite_buckets(
+                new_state,
+                dirty,
+                batch_id,
+                summary={"update_where": sorted(assignments)},
+                changelog_df=cl_df,
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     # ------------------------------------------------------ schema evolution
 

@@ -78,14 +78,13 @@ def replicate_stream(
     from dbp_etl_spark.cdc.replicate import TableReplicator
 
     source_options.setdefault("startingSnapshot", 0)
+    stream_start = int(str(source_options["startingSnapshot"]))
 
     def apply_batch(batch, _epoch_id: int) -> None:
-        bounds = batch.agg(
-            F.min("_commit_snapshot").alias("lo"), F.max("_commit_snapshot").alias("hi")
-        ).first()
+        bounds = batch.agg(F.max("_commit_snapshot").alias("hi")).first()
         if bounds["hi"] is None:
-            return  # empty window
-        lo, hi = int(bounds["lo"]) - 1, int(bounds["hi"])
+            return  # window held only no-row commits
+        hi = int(bounds["hi"])
         rep = TableReplicator(
             LakeTable.load(spark, source_root),
             LakeTable.load(spark, target.root),
@@ -96,11 +95,16 @@ def replicate_stream(
         cur = rep.cursor()
         if cur is not None and hi <= cur:
             return  # recreated checkpoint re-delivering an old window
-        if (cur if cur is not None else 0) < lo:
+        # contiguity: the stream delivers every row-bearing commit after
+        # stream_start, so the only real gap is a replica whose cursor
+        # predates the stream's own start (changes in (cur, start] would
+        # be lost). Commits inside a window that emitted no rows
+        # (compaction, tags, empty merges) are benign and expected.
+        if (cur if cur is not None else 0) < stream_start:
             raise ValueError(
-                f"replication gap: the stream window starts after snapshot "
-                f"{lo} but the replica cursor is at {cur} — start the stream "
-                "at (or before) the cursor, or bootstrap with "
+                f"replication gap: the stream starts at snapshot "
+                f"{stream_start} but the replica cursor is at {cur} — start "
+                "the stream at (or before) the cursor, or bootstrap with "
                 "TableReplicator.sync() first"
             )
         rep._apply(_net_per_key(batch, rep.target.key), f"{rep._prefix}{hi}")

@@ -46,9 +46,10 @@ Options:
   publishes (squashed multi-commit branches) and schema-reverting
   rollbacks.
 * ``maxSnapshotsPerBatch`` — rate limit: at most this many commits per
-  microbatch (steady-state; the first batch after a restart is
-  unbounded because the planner learns the start offset only at
-  ``partitions()`` time).
+  microbatch, engaging from the SECOND microbatch of a run — the first
+  batch after any (re)start is unbounded, because the checkpointed
+  position is only revealed at ``partitions()`` time and capping from
+  a guessed anchor could rewind a restarted stream's offsets (replay).
 
 Output schema: the table schema at stream start (minus ``_deleted``)
 plus ``_change_type`` and ``_commit_snapshot``. Changelog files written
@@ -144,21 +145,16 @@ class _CDFStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = _head_snapshot(self.root)
-        if self.max_snapshots is not None:
-            base = self._last_end
-            if base is None:
-                # Spark asks for the latest offset BEFORE initialOffset
-                # on a fresh stream: anchor the first cap at the stream's
-                # own start. A RESTARTED stream's true position arrives
-                # only at partitions(); until then the cap ramps from
-                # here — a low first cap just yields empty microbatches,
-                # never skipped data.
-                base = (
-                    int(self.starting)
-                    if self.starting is not None
-                    else _head_snapshot(self.root)
-                )
-            head = min(head, base + self.max_snapshots)
+        if self.max_snapshots is not None and self._last_end is not None:
+            # Rate limiting engages only once partitions() has revealed
+            # the stream's true position. The first call after any
+            # (re)start MUST return the uncapped head: the checkpointed
+            # offset is invisible here, and any anchor we guess (e.g.
+            # startingSnapshot) can sit BELOW a restarted stream's
+            # committed offset — returning that would rewind Spark's
+            # recorded end offset and re-deliver processed snapshots.
+            # An uncapped first batch is the safe failure mode.
+            head = max(min(head, self._last_end + self.max_snapshots), self._last_end)
         self._last_end = head if self._last_end is None else max(self._last_end, head)
         return {"snapshot": head}
 
@@ -209,7 +205,16 @@ class _CDFStreamReader(DataSourceStreamReader):
 
         from pyspark.sql.pandas.types import to_arrow_type
 
-        tbl = pq.read_table(partition.path).combine_chunks()
+        # footer-first column pruning: update-heavy changelogs carry a
+        # _pre struct duplicating the full row — skip decoding it (and
+        # any column dropped since) unless the stream asked for it
+        file_names = set(pq.read_schema(partition.path).names)
+        wanted = {src for _name, src in partition.post_srcs if src} | {"_change_type"}
+        if partition.include_pre:
+            wanted.add("_pre")
+        tbl = pq.read_table(
+            partition.path, columns=sorted(wanted & file_names)
+        ).combine_chunks()
         n = tbl.num_rows
         names = set(tbl.schema.names)
         atypes = {name: to_arrow_type(dt) for name, _cid, dt in self.schema_cols}

@@ -159,6 +159,8 @@ def main() -> int:
                 elif hasattr(v, "isoformat"):
                     r[k] = v.isoformat()
         out = {"rows": rows, "total": feed.count()}
+    elif args.cmd == "expire":
+        out = t.expire_snapshots(keep_last=args.keep_last)
     elif args.cmd == "vacuum-orphans":
         out = t.remove_orphan_files(grace_sec=args.grace_sec)
     elif args.cmd == "vacuum-tombstones":

@@ -221,15 +221,13 @@ def test_stream_replicates_state(spark, tmp_path):
 
 
 def test_stream_rate_limit_bounds_batches(spark, tmp_path):
-    """maxSnapshotsPerBatch splits a backlog across microbatches
-    (steady-state rate limiting); the union still equals the feed."""
+    """maxSnapshotsPerBatch engages from the SECOND microbatch of a run
+    (the first is uncapped by design: capping before partitions()
+    reveals the checkpointed position could rewind a restarted stream's
+    offsets and re-deliver). Steady-state backlog drains one commit per
+    microbatch; the union equals the feed, no duplicates."""
     t = mk_table(spark, tmp_path)
-    for i in range(4):
-        merge_batch(
-            t.refresh(),
-            ev(spark, [(f"u{i}", 100 + i, f"<p>{i}</p>".encode(), "insert")]),
-            f"b{i}",
-        )
+    merge_batch(t, ev(spark, [("u0", 100, b"<p>0</p>", "insert")]), "b0")
     t = t.refresh()
     batches = []
     df = read_change_stream(spark, t.root, startingSnapshot=0, maxSnapshotsPerBatch=1)
@@ -239,14 +237,22 @@ def test_stream_rate_limit_bounds_batches(spark, tmp_path):
         .start()
     )
     try:
+        q.processAllAvailable()  # batch 1 (uncapped first): snapshot 1
+        for i in range(1, 4):  # backlog lands while the stream is live
+            merge_batch(
+                t.refresh(),
+                ev(spark, [(f"u{i}", 100 + i, f"<p>{i}</p>".encode(), "insert")]),
+                f"b{i}",
+            )
+        t = t.refresh()
         q.processAllAvailable()
     finally:
         q.stop()
     non_empty = [rows for _i, rows in batches if rows]
-    assert len(non_empty) >= 4  # one commit per microbatch, not one big gulp
+    assert len(non_empty) >= 4  # the 3-commit backlog drained one per batch
     assert all(len({r["_commit_snapshot"] for r in rows}) == 1 for rows in non_empty)
     got = sorted(norm_row(r) for rows in non_empty for r in rows)
-    assert got == expected_feed(t, 0, t.snapshot_id)
+    assert got == expected_feed(t, 0, t.snapshot_id)  # complete, no dupes
 
 
 def test_stream_expired_offset_fails_cleanly(spark, tmp_path):
