@@ -75,6 +75,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
+    "maxwell_tail_apply",
+    "canal_tail_apply",
     "cdf_changelog_feed",
     "vector_index_sync_topk",
     "constraint_gated_ingest",

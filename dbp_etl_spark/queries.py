@@ -3148,6 +3148,183 @@ def debezium_tail_apply(spark, sf_dir):
 
 
 @q(
+    "maxwell_tail_apply",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_s, event_id,
+             round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             '<html><body><p>m' || CAST(event_id AS VARCHAR)
+               || '</p></body></html>' AS html
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_s DESC, is_del DESC, md5(html) DESC) AS rn
+      FROM ev)
+    SELECT 'https://m.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts_s, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val,
+           CAST(length(html) AS BIGINT) AS html_len
+    FROM ranked WHERE rn = 1 AND is_del = 0
+    """,
+)
+def maxwell_tail_apply(spark, sf_dir):
+    """Maxwell-daemon binlog ingestion END-TO-END (sources/
+    binlog_formats.py): render the events log as Maxwell envelopes
+    (type insert/update/delete, epoch-SECONDS ts, the full row image —
+    deletes included — in `data`), adapt with from_maxwell (pure JVM)
+    and apply through the standard CDCRunner in weekly batches.
+
+    Maxwell's second-granular ts makes same-second ties reachable, so
+    the oracle mirrors the engine's documented total order exactly
+    (cdc/dedup.py cdc_order): latest ts, delete-beats-write, then
+    md5(payload) descending — DuckDB's md5(varchar) equals Spark's
+    md5(binary) on the utf-8 bytes, so the tiebreak is cross-engine
+    deterministic."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.sources import from_maxwell
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    typ = F.when(F.col("event_type") == "error", "delete").otherwise("update")
+    img = F.struct(
+        F.concat(F.lit("https://m.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>m"),
+                F.col("event_id").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.round("value", 2).alias("val"),
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("db").alias("database"),
+                F.lit("pages").alias("table"),
+                typ.alias("type"),
+                F.unix_seconds(F.col("ts")).alias("ts"),
+                img.alias("data"),
+            )
+        ).alias("value"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    changes = from_maxwell(envelopes, row_schema, batch_col="batch_id")
+    schema = TableSchema.from_struct(row_schema)
+    root = tempfile.mkdtemp(prefix="mxw_tail_")
+    table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
+    CDCRunner(table).run(changes)
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
+
+
+@q(
+    "canal_tail_apply",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('minute', ts) AS ts_m, event_id,
+             round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             '<html><body><p>c' || CAST(event_id AS VARCHAR)
+               || '</p></body></html>' AS html
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_m DESC, is_del DESC, md5(html) DESC) AS rn
+      FROM ev)
+    SELECT 'https://c.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts_m, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           val,
+           CAST(length(html) AS BIGINT) AS html_len
+    FROM ranked WHERE rn = 1 AND is_del = 0
+    """,
+)
+def canal_tail_apply(spark, sf_dir):
+    """Canal flat-message ingestion (sources/binlog_formats.py): pack
+    the events log into Canal envelopes — MULTIPLE all-string row
+    images per envelope (grouped per transaction = per minute here),
+    epoch-millis `es` shared by the envelope's rows — adapt with
+    from_canal (from_json + one explode + casts, pure JVM) and fold to
+    latest state with the engine's dedup operator.
+
+    Canal's envelope-level `es` makes every row in a minute share one
+    timestamp, so the oracle mirrors cdc_order's tiebreak (delete
+    beats write, then md5(payload) desc) at minute granularity."""
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
+    from dbp_etl_spark.sources import from_canal
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    typ = F.when(F.col("event_type") == "error", "DELETE").otherwise("UPDATE")
+    img = F.struct(
+        F.concat(F.lit("https://c.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.base64(
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>c"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            )
+        ).alias("html"),
+        F.round("value", 2).cast("string").alias("val"),
+    )
+    envelopes = (
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("m"), typ.alias("t"))
+        .agg(F.collect_list(img).alias("data"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("db").alias("database"),
+                    F.lit("pages").alias("table"),
+                    F.col("t").alias("type"),
+                    F.unix_millis(F.col("m")).alias("es"),
+                    F.col("data").alias("data"),
+                )
+            ).alias("value")
+        )
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    changes = from_canal(envelopes, row_schema)
+    latest = dedup_latest(changes, "url", cdc_order())
+    return latest.filter(F.col("op") != "delete").select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
+
+
+@q(
     "wap_audit_publish",
     """
     WITH ranked AS (

@@ -1,5 +1,11 @@
 """Source/sink helpers for the formats the reference ingests."""
 
+from dbp_etl_spark.sources.binlog_formats import (  # noqa: F401
+    canal_envelope_schema,
+    from_canal,
+    from_maxwell,
+    maxwell_envelope_schema,
+)
 from dbp_etl_spark.sources.debezium import (  # noqa: F401
     debezium_envelope_schema,
     from_debezium,
