@@ -77,6 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     "maxwell_tail_apply",
     "canal_tail_apply",
+    "scd2_history",
     "cdf_changelog_feed",
     "vector_index_sync_topk",
     "constraint_gated_ingest",

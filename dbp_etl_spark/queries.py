@@ -3325,6 +3325,85 @@ def canal_tail_apply(spark, sf_dir):
 
 
 @q(
+    "scd2_history",
+    """
+    WITH ev AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             round(value, 2) AS val,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE '<html><body><p>s' || CAST(event_id AS VARCHAR)
+                       || '</p></body></html>' END AS html
+      FROM events),
+    dd AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                   ORDER BY is_del DESC, md5(html) DESC NULLS LAST) AS rn
+        FROM ev) WHERE rn = 1),
+    hist AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             is_del, val, html
+      FROM dd)
+    SELECT 'https://s.example/u' || CAST(user_id AS VARCHAR) AS entity_url,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (valid_to IS NULL) AS is_current,
+           val,
+           CAST(length(html) AS BIGINT) AS html_len
+    FROM hist WHERE is_del = 0
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD Type 2 history maintenance END-TO-END (cdc/scd.py): replay
+    the events log as a weekly-batched change tail through SCD2Runner
+    — history-as-CDC on a versioned synthetic key, each batch one
+    atomic exactly-once merge — and read back the full version table
+    (every version an entity ever had, with its validity interval and
+    one is_current row per live entity). The oracle derives the same
+    intervals with a single lead() window over the whole log: the
+    incremental maintenance must equal the one-shot derivation."""
+    import tempfile
+
+    from dbp_etl_spark.cdc.scd import SCD2Runner, scd2_schema
+    from dbp_etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    is_del = F.col("event_type") == "error"
+    changes = ev.select(
+        F.concat(F.lit("https://s.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(
+            ~is_del,
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>s"),
+                    F.col("event_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ),
+        ).alias("html"),
+        F.when(is_del, "delete").otherwise("update").alias("op"),
+        F.when(~is_del, F.round("value", 2)).alias("val"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+    root = tempfile.mkdtemp(prefix="scd2_")
+    hist = LakeTable.create(
+        spark, f"{root}/hist", scd2_schema({"val": "double"}), key="url", num_buckets=8
+    )
+    SCD2Runner(hist).run(changes)
+    return hist.read().select(
+        "entity_url",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
+
+
+@q(
     "wap_audit_publish",
     """
     WITH ranked AS (

@@ -1,0 +1,179 @@
+"""SCD Type 2 history maintenance: incremental == one-shot, exactly-once."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbp_etl_spark.cdc.scd import SCD2Runner, scd2_intervals, scd2_schema
+from dbp_etl_spark.lake import LakeTable
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+# u1: three versions; u2: insert then delete then re-insert; u3: one
+# version; u4: delete-only (never exists)
+LOG = [
+    ("u1", ts("2024-01-01 00:00:00"), b"<p>a1</p>", "update", 1.0, 0),
+    ("u2", ts("2024-01-01 01:00:00"), b"<p>b1</p>", "update", 2.0, 0),
+    ("u1", ts("2024-01-02 00:00:00"), b"<p>a2</p>", "update", 1.5, 1),
+    ("u2", ts("2024-01-02 01:00:00"), None, "delete", None, 1),
+    ("u4", ts("2024-01-02 02:00:00"), None, "delete", None, 1),
+    ("u1", ts("2024-01-03 00:00:00"), b"<p>a3</p>", "update", 1.7, 2),
+    ("u2", ts("2024-01-03 01:00:00"), b"<p>b2</p>", "update", 2.5, 2),
+    ("u3", ts("2024-01-03 02:00:00"), b"<p>c1</p>", "update", 3.0, 2),
+]
+
+
+def mk_hist(spark, tmp_path, name="hist"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), scd2_schema({"val": "double"}), key="url", num_buckets=8
+    )
+
+
+def log_df(spark, rows=LOG):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def hist_state(table):
+    rows = table.read().collect()
+    return sorted(
+        (
+            r["entity_url"],
+            r["valid_from"].isoformat(),
+            r["valid_to"].isoformat() if r["valid_to"] else None,
+            r["is_current"],
+            bytes(r["html"]),
+            r["val"],
+        )
+        for r in rows
+    )
+
+
+def test_incremental_equals_oneshot(spark, tmp_path):
+    t = mk_hist(spark, tmp_path)
+    rep = SCD2Runner(t, count_late=True).run(log_df(spark))
+    assert rep.n_batches == 3 and rep.n_skipped == 0 and rep.n_late == 0
+
+    got = hist_state(t)
+    oneshot = scd2_intervals(log_df(spark).drop("batch_id"))
+    exp = sorted(
+        (
+            r["entity_url"],
+            r["valid_from"].isoformat(),
+            r["valid_to"].isoformat() if r["valid_to"] else None,
+            r["is_current"],
+            bytes(r["html"]),
+            r["val"],
+        )
+        for r in oneshot.collect()
+    )
+    assert got == exp
+
+    # shape checks: u1 has 3 versions chained; u2's delete closed v1 and
+    # the re-insert opened v2; u4 never exists
+    by_entity = {}
+    for e, vf, vt, cur, html, val in got:
+        by_entity.setdefault(e, []).append((vf, vt, cur, html, val))
+    assert len(by_entity["u1"]) == 3
+    u1 = by_entity["u1"]
+    assert [v[3] for v in u1] == [b"<p>a1</p>", b"<p>a2</p>", b"<p>a3</p>"]
+    assert u1[0][1] == u1[1][0] and u1[1][1] == u1[2][0]  # contiguous
+    assert [v[2] for v in u1] == [False, False, True]
+    u2 = by_entity["u2"]
+    assert len(u2) == 2
+    assert u2[0][1] == "2024-01-02T01:00:00" and not u2[0][2]  # delete closed it
+    assert u2[1][2] and u2[1][1] is None
+    assert "u4" not in by_entity
+    # exactly one current row per live entity
+    assert sum(1 for v in by_entity["u1"] if v[2]) == 1
+
+
+def test_replay_skips_and_state_stable(spark, tmp_path):
+    t = mk_hist(spark, tmp_path)
+    SCD2Runner(t).run(log_df(spark))
+    before = hist_state(t)
+    rep2 = SCD2Runner(t).run(log_df(spark))
+    assert rep2.n_skipped == 3
+    assert hist_state(t) == before
+
+
+def test_resume_after_partial_apply(spark, tmp_path):
+    t = mk_hist(spark, tmp_path)
+    runner = SCD2Runner(t)
+    runner.run(log_df(spark, [r for r in LOG if r[5] == 0]))
+    # resume over the full log: batch 0 skips, 1..2 apply
+    rep = runner.run(log_df(spark))
+    assert rep.n_skipped == 1
+    ref = mk_hist(spark, tmp_path, "ref")
+    SCD2Runner(ref).run(log_df(spark))
+    assert hist_state(t) == hist_state(ref)
+
+
+def test_late_event_is_dropped(spark, tmp_path):
+    t = mk_hist(spark, tmp_path)
+    runner = SCD2Runner(t, count_late=True)
+    runner.run(log_df(spark))
+    before = hist_state(t)
+    late = [("u1", ts("2024-01-02 12:00:00"), b"<p>late</p>", "update", 9.9, 3)]
+    rep = runner.run(log_df(spark, late))
+    assert rep.n_late == 1
+    assert hist_state(t) == before
+
+
+def test_same_ts_delete_beats_write(spark, tmp_path):
+    rows = [
+        ("u1", ts("2024-01-01 00:00:00"), b"<p>a</p>", "update", 1.0, 0),
+        ("u1", ts("2024-01-02 00:00:00"), b"<p>b</p>", "update", 2.0, 0),
+        ("u1", ts("2024-01-02 00:00:00"), None, "delete", None, 0),
+    ]
+    t = mk_hist(spark, tmp_path)
+    SCD2Runner(t).run(log_df(spark, rows))
+    got = hist_state(t)
+    # the (u1, 01-02) group resolves to the delete: one closed interval
+    assert len(got) == 1
+    e, vf, vt, cur, html, val = got[0]
+    assert html == b"<p>a</p>" and vt == "2024-01-02T00:00:00" and not cur
+
+
+def test_scd2_asof_lookup(spark, tmp_path):
+    """The canonical consumer query: state as of T."""
+    t = mk_hist(spark, tmp_path)
+    SCD2Runner(t).run(log_df(spark))
+    asof = ts("2024-01-02 12:00:00")
+    rows = (
+        t.read()
+        .filter(
+            (F.col("valid_from") <= F.lit(asof))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(asof)))
+        )
+        .select("entity_url", "val")
+        .collect()
+    )
+    assert {(r["entity_url"], r["val"]) for r in rows} == {("u1", 1.5)}  # u2 deleted
+
+
+def test_versions_get_extracted_text(spark, tmp_path):
+    """Each version's text derives from its own html via the standard
+    merge transform — history rows are first-class page rows."""
+    t = mk_hist(spark, tmp_path)
+    SCD2Runner(t).run(log_df(spark))
+    texts = {
+        (r["entity_url"], r["valid_from"].isoformat()): r["text"]
+        for r in t.read().collect()
+    }
+    assert texts[("u1", "2024-01-01T00:00:00")] == "a1"
+    assert texts[("u1", "2024-01-03T00:00:00")] == "a3"
