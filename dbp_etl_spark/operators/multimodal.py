@@ -18,6 +18,10 @@ The codec layer is REAL for formats decodable with stdlib + numpy:
 * ``image/jpeg`` — pure python/numpy BASELINE JPEG decoder+encoder
   (operators/jpeg.py: huffman entropy decode, dequant, IDCT, 4:2:0
   upsampling), real pixels end to end;
+* ``image/gif`` (87a/89a) — pure python/numpy decoder+encoder
+  (operators/gif.py: variable-width LZW, global/local palettes,
+  interlace, animation compositing) — stills feed the image feature
+  path, animated GIFs feed the video frame sampler;
 * ``audio/wav`` (PCM WAV) — stdlib ``wave`` + numpy decode, real
   sample windows and RMS energy.
 
@@ -126,6 +130,9 @@ def _ppm_features(pixels: np.ndarray) -> list[float]:
 
 JPEG_MAGIC = b"\xff\xd8"
 JPEG_MIME = "image/jpeg"
+GIF_MIME = "image/gif"
+
+from dbp_etl_spark.operators.gif import GIF_MAGICS  # noqa: E402
 
 
 def _decode_image(content: bytes, mime: str, deterministic_fake: bool) -> list[float]:
@@ -147,6 +154,10 @@ def _decode_image(content: bytes, mime: str, deterministic_fake: bool) -> list[f
         if px.shape[2] == 1:
             px = np.repeat(px, 3, axis=2)
         return _ppm_features(px)
+    if mime == GIF_MIME or data[:6] in GIF_MAGICS:
+        from dbp_etl_spark.operators.gif import decode_gif_first_frame
+
+        return _ppm_features(decode_gif_first_frame(data))
     if not deterministic_fake:
         raise NotImplementedError(
             f"decoding {mime!r} requires external codecs, not available in this environment"
@@ -207,6 +218,17 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         px = np.repeat(px, 3, axis=2)
                     out.append(encode_jpeg(_resize_nearest(px, out_w, out_h)))
                     mimes.append(JPEG_MIME)
+                elif data[:6] in GIF_MAGICS:
+                    from dbp_etl_spark.operators.gif import (
+                        decode_gif_first_frame,
+                        encode_gif,
+                    )
+
+                    # nearest-neighbor preserves the palette (<=256
+                    # colors), so the resized frame re-encodes as GIF
+                    px = decode_gif_first_frame(data)
+                    out.append(encode_gif(_resize_nearest(px, out_w, out_h)))
+                    mimes.append(GIF_MIME)
                 else:
                     out.append(encode_ppm(_resize_nearest(decode_ppm(data), out_w, out_h)))
                     mimes.append(PPM_MIME)
@@ -463,8 +485,13 @@ def sample_video_frames(
                 ("media_id", "frame_idx", "n_frames", "fps", "frame_hash", "mean_rgb")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content or b"")
-                if data.startswith(Y4M_MAGIC):
-                    frames, fps = decode_y4m(data)
+                if data.startswith(Y4M_MAGIC) or data[:6] in GIF_MAGICS:
+                    if data[:6] in GIF_MAGICS:
+                        from dbp_etl_spark.operators.gif import decode_gif
+
+                        frames, fps = decode_gif(data)  # animated GIF = video
+                    else:
+                        frames, fps = decode_y4m(data)
                     n = len(frames)
                     picks = [int(i * (n - 1) / max(frames_per_item - 1, 1)) for i in range(min(frames_per_item, n))]
                     for i, fi in enumerate(dict.fromkeys(picks)):
