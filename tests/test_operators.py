@@ -142,10 +142,10 @@ def test_asof_join_backward(spark):
 
 
 def test_image_features_stub_plumbing(spark):
-    # mimes with no in-repo codec (PPM/PNG/JPEG now decode for real —
-    # see the dedicated codec tests)
+    # mimes with no in-repo codec (PPM/PNG/JPEG/GIF now decode for
+    # real — see the dedicated codec tests)
     media = spark.createDataFrame(
-        [(1, b"imagebytes1", "image/gif", 10, 10), (2, b"imagebytes2", "image/webp", 20, 20)],
+        [(1, b"imagebytes1", "image/avif", 10, 10), (2, b"imagebytes2", "image/webp", 20, 20)],
         "media_id long, content binary, mime string, width int, height int",
     )
     out = extract_image_features(media, deterministic_fake=True).collect()
