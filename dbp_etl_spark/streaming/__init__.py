@@ -3,6 +3,7 @@
 from dbp_etl_spark.streaming.microbatch import (  # noqa: F401
     CHANGES_SCHEMA,
     deduped_changes_stream,
+    run_scd2_stream,
     run_stream,
 )
 from dbp_etl_spark.streaming.joins import interval_join_streams  # noqa: F401

@@ -210,6 +210,67 @@ def run_stream(
     return _maybe_available_now(writer, available_now).start()
 
 
+def run_scd2_stream(
+    spark: SparkSession,
+    changes_path: str,
+    hist: LakeTable,
+    checkpoint_path: str,
+    salt_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    changes_schema=None,
+    source_format: str = "parquet",
+    source_adapter=None,
+):
+    """Tail a change feed into an SCD2 HISTORY table (cdc/scd.py) —
+    the streaming sibling of ``run_stream``, which maintains latest
+    state. Same source options (parquet event log, or a line-oriented
+    envelope feed through ``source_adapter`` — Debezium/Maxwell/Canal
+    adapters plug in unchanged), same exactly-once contract: the
+    ledger key is (checkpoint identity, epoch), so a redelivered epoch
+    no-ops and a fresh checkpoint cannot collide with an old one.
+
+    Ordering note: SCD2's late guard drops events at or before an
+    entity's open interval, so the stream inherits the tail contract —
+    microbatch arrival order must follow event time per entity (the
+    binlog-tail norm). Replaying a time-ordered log with
+    ``available_now=True`` satisfies this by construction.
+    """
+    from dbp_etl_spark.cdc.scd import SCD2Runner
+
+    if source_format == "parquet":
+        stream = _changes_reader(
+            spark, max_files_per_trigger, schema=changes_schema
+        ).parquet(changes_path)
+    elif source_format == "text":
+        reader = spark.readStream
+        if max_files_per_trigger is not None:
+            if max_files_per_trigger <= 0:
+                raise ValueError("max_files_per_trigger must be positive")
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.text(changes_path)
+    else:
+        raise ValueError(f"unsupported source_format {source_format!r}")
+    if source_adapter is not None:
+        stream = source_adapter(stream)
+    stream_id = _stream_identity(spark, checkpoint_path)
+    runner = SCD2Runner(hist, salt_buckets=salt_buckets)
+
+    def apply_batch(df, epoch_id: int):
+        # the transport batch column (if the log carries one) is not
+        # payload — the epoch IS the batch identity here
+        if "batch_id" in df.columns:
+            df = df.drop("batch_id")
+        runner.apply_batch(df, f"scd2-{stream_id}-{epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    return _maybe_available_now(writer, available_now).start()
+
+
 def deduped_changes_stream(
     spark: SparkSession,
     changes_path: str,

@@ -1,5 +1,6 @@
 """SCD Type 2 history maintenance: incremental == one-shot, exactly-once."""
 
+import time
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -177,3 +178,99 @@ def test_versions_get_extracted_text(spark, tmp_path):
     }
     assert texts[("u1", "2024-01-01T00:00:00")] == "a1"
     assert texts[("u1", "2024-01-03T00:00:00")] == "a3"
+
+
+def test_scd2_stream_matches_batch(spark, tmp_path):
+    """Streaming SCD2 (run_scd2_stream) over a time-ordered parquet
+    tail equals the batch runner; a checkpointed re-run no-ops."""
+    from dbp_etl_spark.streaming import run_scd2_stream
+
+    src = str(tmp_path / "changes")
+    sub_schema = T.StructType(
+        [EV_SCHEMA[n] for n in ("url", "warc_ts", "html", "op", "val")]
+    )
+    for b in range(3):
+        log_df(spark, [r for r in LOG if r[5] == b]).drop("batch_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic stream file order
+
+    t = mk_hist(spark, tmp_path, "stream_hist")
+    q = run_scd2_stream(
+        spark,
+        src,
+        t,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        changes_schema=sub_schema,
+    )
+    q.awaitTermination(120)
+
+    ref = mk_hist(spark, tmp_path, "batch_hist")
+    SCD2Runner(ref).run(log_df(spark))
+    assert hist_state(t) == hist_state(ref)
+
+    # restart from the same checkpoint: nothing new -> state unchanged
+    q2 = run_scd2_stream(
+        spark,
+        src,
+        t,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        changes_schema=sub_schema,
+    )
+    q2.awaitTermination(120)
+    assert hist_state(t) == hist_state(ref)
+
+
+def test_scd2_stream_maxwell_feed(spark, tmp_path):
+    """A Maxwell envelope feed tails straight into SCD2 history:
+    source_adapter composition, the Kafka-value stand-in."""
+    import json as _json
+
+    from dbp_etl_spark.sources import from_maxwell
+    from dbp_etl_spark.streaming import run_scd2_stream
+
+    def env(typ, ts_sec, image):
+        return _json.dumps(
+            {"database": "db", "table": "pages", "type": typ, "ts": ts_sec, "data": image}
+        )
+
+    import base64
+
+    def b64(b):
+        return base64.b64encode(b).decode()
+
+    src = tmp_path / "mxw"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        env("insert", 100, {"url": "u1", "html": b64(b"<p>v1</p>"), "val": 1.0})
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic stream file order
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                env("update", 200, {"url": "u1", "html": b64(b"<p>v2</p>"), "val": 2.0}),
+                env("delete", 300, {"url": "u1", "html": b64(b"<p>v2</p>"), "val": 2.0}),
+            ]
+        )
+    )
+    row = T.StructType([EV_SCHEMA[n] for n in ("url", "warc_ts", "html", "val")])
+    t = mk_hist(spark, tmp_path, "mxw_hist")
+    q = run_scd2_stream(
+        spark,
+        str(src),
+        t,
+        checkpoint_path=str(tmp_path / "mxw_ckpt"),
+        max_files_per_trigger=1,
+        source_format="text",
+        source_adapter=lambda df: from_maxwell(df, row),
+    )
+    q.awaitTermination(120)
+    got = hist_state(t)
+    # two versions, both closed (the delete ends v2); no current row
+    assert [(g[0], g[3], g[4]) for g in got] == [
+        ("u1", False, b"<p>v1</p>"),
+        ("u1", False, b"<p>v2</p>"),
+    ]
+    assert got[0][2] == "2024-01-01T00:00:00" or got[0][2] is not None
