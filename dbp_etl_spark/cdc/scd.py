@@ -156,19 +156,34 @@ class SCD2Runner:
     def _payload_cols(self, changes: DataFrame, batch_col: str) -> list[str]:
         return [c for c in changes.columns if c not in _META and c != batch_col]
 
-    def _open_rows(self, entities: DataFrame, payload_cols: list[str]) -> DataFrame:
-        """Current (open) history rows for the given entities, recast
-        as pseudo-events so the interval window re-derives them
-        together with the fresh batch."""
-        cur = self.hist.read().filter(F.col("is_current"))
-        cur = cur.join(entities, cur["entity_url"] == entities["_e"], "left_semi")
-        return cur.select(
+    def _entity_state(
+        self, entities: DataFrame, payload_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        """(open rows as pseudo-events, per-entity frontier) for the
+        given entities.
+
+        The frontier is max(warc_ts) over ALL of the entity's history
+        rows — warc_ts is the row-version ts (valid_to once closed),
+        so for an open entity the frontier is its open valid_from, and
+        for a delete-closed entity it is the DELETE's ts. Deriving it
+        from the open row alone would let an out-of-contract event
+        older than a closing delete re-open an overlapping interval,
+        where the latest-state table's tombstone guard suppresses the
+        same event (test_late_event_after_delete_is_dropped)."""
+        slice_ = self.hist.read().join(
+            entities, F.col("entity_url") == entities["_e"], "left_semi"
+        )
+        frontier = slice_.groupBy("entity_url").agg(F.max("warc_ts").alias("_frontier"))
+        opened = slice_.filter(F.col("is_current")).select(
             F.col("entity_url").alias("url"),
             F.col("valid_from").alias("warc_ts"),
             F.col("html"),
             F.lit("update").alias("op"),
             F.lit(True).alias("_existing"),
             *[F.col(c) for c in payload_cols if c != "html"],
+        )
+        return opened, frontier.select(
+            F.col("entity_url").alias("_fe"), F.col("_frontier")
         )
 
     def _batch_events(self, batch: DataFrame, payload_cols: list[str]) -> DataFrame:
@@ -191,13 +206,10 @@ class SCD2Runner:
         counted when count_late is on."""
         fresh = self._batch_events(batch, payload_cols)
         entities = fresh.select(F.col("url").alias("_e")).distinct()
-        opened = self._open_rows(entities, payload_cols)
+        opened, frontier = self._entity_state(entities, payload_cols)
 
-        # late guard: a batch event at or before the open interval's
-        # start can no longer change history (closed rows are immutable)
-        frontier = opened.select(
-            F.col("url").alias("_fe"), F.col("warc_ts").alias("_frontier")
-        )
+        # late guard: a batch event at or before the entity's frontier
+        # can no longer change history (closed rows are immutable)
         joined = fresh.join(frontier, fresh["url"] == frontier["_fe"], "left")
         late = joined.filter(
             F.col("_frontier").isNotNull() & (F.col("warc_ts") <= F.col("_frontier"))

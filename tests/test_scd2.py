@@ -274,3 +274,22 @@ def test_scd2_stream_maxwell_feed(spark, tmp_path):
         ("u1", False, b"<p>v2</p>"),
     ]
     assert got[0][2] == "2024-01-01T00:00:00" or got[0][2] is not None
+
+
+def test_late_event_after_delete_is_dropped(spark, tmp_path):
+    """An out-of-contract event OLDER than the delete that closed an
+    entity must be suppressed (the latest-state tombstone guard
+    analog), not open an interval overlapping closed history."""
+    rows = [
+        ("u1", ts("2024-01-01 00:00:00"), b"<p>a</p>", "update", 1.0, 0),
+        ("u1", ts("2024-01-05 00:00:00"), None, "delete", None, 0),
+    ]
+    t = mk_hist(spark, tmp_path)
+    runner = SCD2Runner(t, count_late=True)
+    runner.run(log_df(spark, rows))
+    before = hist_state(t)
+    assert len(before) == 1 and not before[0][3]  # one closed interval
+    late = [("u1", ts("2024-01-03 00:00:00"), b"<p>zombie</p>", "update", 9.0, 1)]
+    rep = runner.run(log_df(spark, late))
+    assert rep.n_late == 1
+    assert hist_state(t) == before
