@@ -78,6 +78,8 @@ _CHECK_FIRST = [
     "maxwell_tail_apply",
     "canal_tail_apply",
     "scd2_history",
+    "doc_repetition_filter",
+    "doc_pii_redact",
     "cdf_changelog_feed",
     "vector_index_sync_topk",
     "constraint_gated_ingest",

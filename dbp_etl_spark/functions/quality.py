@@ -1,0 +1,78 @@
+"""Repetition scoring and PII redaction — training-data text filters.
+
+Both operators are MAP-ONLY pure-JVM expression trees (higher-order
+array functions / regexp_replace): zero shuffles, zero Python, so they
+scale embarrassingly-parallel over a 100 TB corpus — the shape every
+per-document filter in this engine targets.
+
+* ``repetition_exprs`` — Gopher-style repetition signals (duplicate
+  bigram fraction; most-frequent-token fraction) computed INSIDE the
+  token array with transform/filter/array_distinct, no explode: an
+  exploded bigram groupBy would shuffle the whole corpus by doc_id for
+  per-doc-local math.
+* ``redact_pii`` / ``pii_counts`` — ordered regexp_replace chain for
+  the common PII shapes (email, IPv4, NANP-style phone). Patterns stay
+  inside the RE2 ∩ Java-regex dialect (no lookaround) so the same
+  pattern text runs on Spark, DuckDB oracles, and RE2-based scanners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied in order; email first so its
+# local part is not chewed up by the narrower numeric patterns
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder (all patterns,
+    all occurrences)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-pattern match counts (n_email, n_ipv4, n_phone) —
+    the audit signal beside the redaction."""
+    c = F.col(col) if isinstance(col, str) else col
+    # regexp_extract_all's idx defaults to group 1; group 0 = full match
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def repetition_exprs(tokens: Column) -> dict[str, Column]:
+    """Repetition signals over a token array (Gopher-filter analogs).
+
+    Returns columns keyed ``dup_bigram_frac`` (1 - distinct/total
+    bigrams) and ``top_token_frac`` (most frequent token's share).
+    All work happens inside the array: O(n·distinct) per row, map-only.
+    """
+    n_tok = F.size(tokens)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n_tok - 2),
+        lambda i: F.concat(F.element_at(tokens, i + 1), F.lit(" "), F.element_at(tokens, i + 2)),
+    )
+    n_bi = n_tok - 1
+    n_dist = F.size(F.array_distinct(bigrams))
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct(tokens),
+            lambda x: F.size(F.filter(tokens, lambda y: y == x)),
+        )
+    )
+    return {
+        "dup_bigram_frac": F.round(1 - n_dist / n_bi, 4),
+        "top_token_frac": F.round(top_c / n_tok, 4),
+    }

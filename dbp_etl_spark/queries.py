@@ -3992,3 +3992,112 @@ def cdf_changelog_feed(spark, sf_dir):
         "val",
         F.octet_length("html").cast("long").alias("html_len"),
     )
+
+
+@q(
+    "doc_repetition_filter",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    m AS (
+      SELECT doc_id, len(t) AS n_tok,
+             len(list_distinct(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1]))) AS n_dist,
+             list_max(list_transform(
+                 list_distinct(t),
+                 x -> len(list_filter(t, y -> y = x)))) AS top_c
+      FROM d)
+    SELECT doc_id,
+           round(1 - n_dist * 1.0 / (n_tok - 1), 4) AS dup_bigram_frac,
+           round(top_c * 1.0 / n_tok, 4) AS top_token_frac,
+           (round(1 - n_dist * 1.0 / (n_tok - 1), 4) <= 0.05
+            AND round(top_c * 1.0 / n_tok, 4) <= 0.12) AS keep
+    FROM m
+    """,
+)
+def doc_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter (training-data op): duplicate
+    bigram fraction + most-frequent-token share, computed INSIDE the
+    token array (functions/quality.py repetition_exprs — transform/
+    array_distinct/filter higher-order functions). Map-only, zero
+    shuffles, zero Python: the plan is a single project over the scan,
+    so the filter runs at IO speed on a 100 TB corpus. Thresholds
+    split the synthetic corpus non-trivially (91/500 flagged at
+    sf0.01)."""
+    from dbp_etl_spark.functions.quality import repetition_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ex = repetition_exprs(toks)
+    dup, top = ex["dup_bigram_frac"], ex["top_token_frac"]
+    return docs.select(
+        "doc_id",
+        dup.alias("dup_bigram_frac"),
+        top.alias("top_token_frac"),
+        ((dup <= 0.05) & (top <= 0.12)).alias("keep"),
+    )
+
+
+@q(
+    "doc_pii_redact",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             substr(text, 1, 40)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-123-4567' ELSE '' END
+               || ' end' AS txt
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS red_md5,
+           CAST(len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt,
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(txt,
+               '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone
+    FROM injected
+    """,
+)
+def doc_pii_redact(spark, sf_dir):
+    """PII redaction (training-data op): deterministic PII is injected
+    into the corpus (emails on even ids, IPs on multiples of 3, phones
+    on multiples of 5), then redact_pii/pii_counts (functions/
+    quality.py) scrub and audit it. The oracle re-runs the identical
+    RE2-and-Java-safe patterns in DuckDB and compares the md5 of every
+    redacted document plus the per-pattern counts. Map-only pure-JVM
+    regexp chain — no shuffles, no Python."""
+    from dbp_etl_spark.functions.quality import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" ip 10."), (F.col("doc_id") % 200).cast("string"), F.lit(".0.1")),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, " tel 555-123-4567").otherwise(""),
+        F.lit(" end"),
+    )
+    inj = docs.select("doc_id", txt.alias("txt"))
+    c = pii_counts("txt")
+    return inj.select(
+        "doc_id",
+        F.md5(redact_pii("txt")).alias("red_md5"),
+        c["n_email"].cast("long").alias("n_email"),
+        c["n_ipv4"].cast("long").alias("n_ipv4"),
+        c["n_phone"].cast("long").alias("n_phone"),
+    )

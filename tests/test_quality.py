@@ -1,0 +1,73 @@
+"""Repetition scoring + PII redaction (functions/quality.py)."""
+
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.functions.quality import pii_counts, redact_pii, repetition_exprs
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "txt string")
+
+
+def test_redact_pii_all_patterns(spark):
+    txt = (
+        "write to Jo.Smith+spam@sub.example.co.uk or admin@x.io, "
+        "server 192.168.0.1 backup 10.2.3.4, call 555-123-4567 now"
+    )
+    row = (
+        _one(spark, txt)
+        .select(redact_pii("txt").alias("red"), pii_counts("txt").alias("c"))
+        .collect()[0]
+    )
+    assert row["red"] == (
+        "write to <EMAIL> or <EMAIL>, server <IP> backup <IP>, call <PHONE> now"
+    )
+    assert (row["c"]["n_email"], row["c"]["n_ipv4"], row["c"]["n_phone"]) == (2, 2, 1)
+
+
+def test_redact_pii_no_false_positives(spark):
+    txt = "version 1.2 of spec 3.4 shipped 555-12 and a-b@ nothing"
+    row = _one(spark, txt).select(redact_pii("txt").alias("red")).collect()[0]
+    assert row["red"] == txt
+
+
+def test_repetition_exprs_values(spark):
+    # 'a b a b a' -> bigrams [a b, b a, a b, b a]: 2 distinct of 4 ->
+    # dup 0.5; top token 'a' 3/5 = 0.6
+    df = _one(spark, "a b a b a").select(
+        *[v.alias(k) for k, v in repetition_exprs(F.split("txt", " ")).items()]
+    )
+    row = df.collect()[0]
+    assert row["dup_bigram_frac"] == 0.5
+    assert row["top_token_frac"] == 0.6
+    # all-distinct text: zero duplication, uniform tokens
+    row2 = (
+        _one(spark, "w x y z")
+        .select(*[v.alias(k) for k, v in repetition_exprs(F.split("txt", " ")).items()])
+        .collect()[0]
+    )
+    assert row2["dup_bigram_frac"] == 0.0
+    assert row2["top_token_frac"] == 0.25
+
+
+def test_quality_plans_are_map_only(spark, tmp_path):
+    """Both operators must compile to a single project over the scan:
+    no exchange, no Python eval."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string"), F.lit(" x y z")).alias(
+            "text"
+        ),
+    )
+    ex = repetition_exprs(F.split("text", " "))
+    plan = (
+        df.select("doc_id", *[v.alias(k) for k, v in ex.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    red = df.select(redact_pii("text").alias("r"), pii_counts("text").alias("c"))
+    plan2 = red._jdf.queryExecution().executedPlan().toString()
+    for p in (plan, plan2):
+        assert "Exchange" not in p
+        assert "Python" not in p and "ArrowEval" not in p
