@@ -68,7 +68,15 @@ def default_transform(df: DataFrame) -> DataFrame:
     — measured 3×+ slower than the combined form. Rows whose payload
     bytes did not change reuse the previously extracted text/lang
     (incremental compute; reference column-diff guard analog,
-    /root/reference/load/UpdateDBPFilesetTables.py:350-375)."""
+    /root/reference/load/UpdateDBPFilesetTables.py:350-375).
+
+    Payload-only tables (html without text/lang columns — e.g. an SCD2
+    side table or raw-bytes corpus) have nothing to derive into: the
+    merge then provides no _old_text/_old_lang context and the
+    transform degrades to identity instead of referencing columns the
+    schema does not carry."""
+    if "_old_text" not in df.columns or "_old_lang" not in df.columns:
+        return df
     ex = extract_and_lang_udf(
         F.col("html"), F.col("_payload_changed"), F.col("_old_text"), F.col("_old_lang")
     )

@@ -248,3 +248,28 @@ def fs_for(root: str, spark=None) -> Filesystem:
                 )
         return HadoopFS(spark, root)
     return LocalFS()
+
+
+def copy_file(src_fs: Filesystem, src_path: str, dst_fs: Filesystem, dst_path: str) -> None:
+    """Byte-copy one file between (possibly different) filesystems.
+
+    Local→local uses shutil; any pair involving a Hadoop-resolved
+    scheme routes through ``FileUtil.copy`` on the JVM, which streams
+    scheme-to-scheme (file:→s3a:, hdfs:→file:, …) without pulling the
+    bytes into Python."""
+    if isinstance(src_fs, LocalFS) and isinstance(dst_fs, LocalFS):
+        import shutil
+
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        shutil.copyfile(src_path, dst_path)
+        return
+    h = src_fs if isinstance(src_fs, HadoopFS) else dst_fs
+    assert isinstance(h, HadoopFS)
+    jvm = h._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    sp, dp = Path(src_path), Path(dst_path)
+    sfs = sp.getFileSystem(h._conf)
+    dfs = dp.getFileSystem(h._conf)
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, False, False, h._conf)
+    if not ok:
+        raise IOError(f"copy {src_path} -> {dst_path} failed")

@@ -470,6 +470,61 @@ class LakeTable:
     def exists(cls, root: str, spark: SparkSession | None = None) -> bool:
         return fs_for(root, spark).exists(os.path.join(root, _META, "VERSION"))
 
+    def clone_to(self, dest_root: str, snapshot_id: int | None = None) -> "LakeTable":
+        """Deep clone: export ONE snapshot as a new, fully independent
+        table (backup / dev-fork / cross-region DR — the analog of
+        Delta DEEP CLONE).
+
+        The chosen snapshot's live files (data + bloom sidecars, MOR
+        deltas included) are byte-copied under ``dest_root`` at their
+        original relative paths, and its manifest is republished as the
+        clone's v0 — schema versions, key/bucket spec, stats, flags,
+        constraints, any in-progress bucket migration state, and the
+        COMMIT LEDGER all carry over, so a change tail resumed against
+        the clone skips exactly the batches the source had applied.
+        History does NOT carry over: the clone has one snapshot (no
+        time travel past it, no changelog window before it), and later
+        writes to either table never affect the other.
+
+        Reference analog: the reference forks state by re-running the
+        load into a second database (SURVEY §3.2's dual-target loads);
+        a snapshot export is the lake-native form. Scale: the copy is
+        O(live bytes of one snapshot) sequential-file IO with no
+        compute; at 100 TB run it once per DR site, not per consumer
+        (consumers should use read_changes / replicas instead)."""
+        from dbp_etl_spark.lake.fs import copy_file
+
+        if self._wap_id is not None:
+            raise ValueError("clone from a WAP branch handle is not supported")
+        if LakeTable.exists(dest_root, self.spark):
+            raise ValueError(f"destination {dest_root!r} already holds a table")
+        src_m = self._manifest_at(
+            self.snapshot_id if snapshot_id is None else snapshot_id
+        )
+        dest_fs = fs_for(dest_root, self.spark)
+        dest_fs.mkdirs(os.path.join(dest_root, _META))
+        dest_fs.mkdirs(os.path.join(dest_root, _DATA))
+        for f in src_m["files"]:
+            for rel in _entry_paths(f):
+                copy_file(
+                    self._fs,
+                    os.path.join(self.root, rel),
+                    dest_fs,
+                    os.path.join(dest_root, rel),
+                )
+        new_m = json.loads(json.dumps(src_m))  # deep copy, JSON-clean
+        new_m["snapshot_id"] = 0
+        new_m["parent_id"] = None
+        new_m["summary"] = {
+            "cloned_from": self.root,
+            "source_snapshot": src_m["snapshot_id"],
+        }
+        dest_fs.create_text_exclusive(
+            os.path.join(dest_root, _META, "v0.json"), json.dumps(new_m, indent=1)
+        )
+        dest_fs.write_text(os.path.join(dest_root, _META, "VERSION"), "0")
+        return LakeTable(self.spark, dest_root, new_m, fs=dest_fs)
+
     def refresh(self) -> "LakeTable":
         if self._wap_id is not None:
             return LakeTable.load(self.spark, self.root).wap_branch(self._wap_id)

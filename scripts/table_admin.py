@@ -48,6 +48,10 @@ def main() -> int:
     sub.add_parser("tags")
     sub.add_parser("check")
 
+    s = sub.add_parser("clone")
+    s.add_argument("--dest", required=True, help="destination root for the deep clone")
+    s.add_argument("--snapshot", type=int, default=None, help="source snapshot (default head)")
+
     s = sub.add_parser("changes")
     s.add_argument("--from-snapshot", type=int, required=True, help="exclusive")
     s.add_argument("--to-snapshot", type=int, default=None, help="inclusive; default head")
@@ -220,6 +224,14 @@ def main() -> int:
     elif args.cmd == "constraint-drop":
         t = t.drop_constraint(args.name, batch_id=bid)
         out = {"snapshot_id": t.snapshot_id, "constraints": t.constraints}
+    elif args.cmd == "clone":
+        c = t.clone_to(args.dest, snapshot_id=args.snapshot)
+        out = {
+            "dest": c.root,
+            "source_snapshot": c.manifest["summary"]["source_snapshot"],
+            "files": len(c.manifest["files"]),
+            "rows": c.read().count(),
+        }
     elif args.cmd == "replicate":
         from dbp_etl_spark.cdc import TableReplicator
 

@@ -442,3 +442,32 @@ def test_fused_lineage_reconciles_with_ledger(spark, tmp_path):
     rep = {r["check"]: r["n_violations"] for r in state_checks(t, runner.lineage()).collect()}
     assert rep["lineage_ledger_mismatch"] == 0
     assert rep["dup_visible_key"] == 0
+
+
+def test_payload_only_table_merges_without_text_lang(spark, tmp_path):
+    """A table carrying html but no text/lang columns (payload-only
+    shape) must merge with the default transform degrading to identity
+    instead of referencing derivation context the schema lacks."""
+    from datetime import datetime, timezone
+
+    slim = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "slim"), TableSchema.from_struct(slim), key="url", num_buckets=4
+    )
+    df = spark.createDataFrame(
+        [
+            ("u1", datetime.fromtimestamp(100, tz=timezone.utc), b"<p>x</p>", "update", 0),
+            ("u1", datetime.fromtimestamp(200, tz=timezone.utc), b"<p>y</p>", "update", 1),
+        ],
+        "url string, warc_ts timestamp, html binary, op string, batch_id long",
+    )
+    CDCRunner(t).run(df)
+    rows = t.read().collect()
+    assert len(rows) == 1 and bytes(rows[0]["html"]) == b"<p>y</p>"
+    assert "text" not in t.read().columns
