@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     "scd2_history",
     "doc_repetition_filter",
     "doc_pii_redact",
+    "warc_ingest",
     "cdf_changelog_feed",
     "vector_index_sync_topk",
     "constraint_gated_ingest",

@@ -4101,3 +4101,84 @@ def doc_pii_redact(spark, sf_dir):
         c["n_ipv4"].cast("long").alias("n_ipv4"),
         c["n_phone"].cast("long").alias("n_phone"),
     )
+
+
+@q(
+    "warc_ingest",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_s, event_id,
+             '<html><body><p>w' || CAST(event_id AS VARCHAR)
+               || '</p></body></html>' AS html
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_s DESC, md5(html) DESC) AS rn
+      FROM ev)
+    SELECT 'https://w.example/u' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts_s, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(length(html) AS BIGINT) AS html_len
+    FROM ranked WHERE rn = 1
+    """,
+)
+def warc_ingest(spark, sf_dir):
+    """Raw crawl-archive ingestion END-TO-END (sources/warc.py): the
+    events log is rendered as Common-Crawl-shaped WARC archives (one
+    gzip member per response record, warcinfo headers, HTTP framing),
+    read back with read_warc (one Arrow parse task per archive) and
+    applied through the standard CDCRunner in weekly batches. WARC-Date
+    is second-granular, so the oracle mirrors the engine total order at
+    second resolution with the md5(payload) tiebreak (no deletes: a
+    crawl is upsert-only)."""
+    import os as _os
+    import tempfile
+    from datetime import timezone as _tz
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.sources.warc import encode_warc, read_warc
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = ev.select(
+        F.concat(F.lit("https://w.example/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts"),
+        F.concat(
+            F.lit("<html><body><p>w"),
+            F.col("event_id").cast("string"),
+            F.lit("</p></body></html>"),
+        ).alias("body"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("week"),
+    ).collect()  # test-input synthesis only: the archives must exist as FILES
+    root = tempfile.mkdtemp(prefix="warc_ingest_")
+    by_week: dict[int, list] = {}
+    for r in rows:
+        by_week.setdefault(int(r["week"]), []).append(
+            (r["url"], r["ts"].replace(tzinfo=_tz.utc), r["body"].encode())
+        )
+    for w, recs in by_week.items():
+        with open(_os.path.join(root, f"seg-{w}.warc.gz"), "wb") as f:
+            f.write(encode_warc(recs, gzip_per_record=True))
+
+    changes = read_warc(spark, root).withColumn(
+        "batch_id", ((F.dayofmonth("warc_ts") - 1).cast("long") / F.lit(7)).cast("long")
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, f"{root}/pages", TableSchema.from_struct(row_schema), key="url", num_buckets=8
+    )
+    CDCRunner(table).run(changes)
+    return table.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
