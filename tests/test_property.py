@@ -223,3 +223,70 @@ def test_rollback_replay_invariance_fuzzed(spark, tmp_path):
         rep = CDCRunner(t, salt_buckets=4).run(df)
         assert rep.n_skipped == j + 1, f"case {idx}: pre-rollback batches must no-op"
         assert t.refresh().state_hash() == want, f"case {idx}: rollback+replay diverged"
+
+
+def test_scd2_split_invariance_fuzzed(spark, tmp_path):
+    """For randomized logs (same-url same-ts collisions, deletes,
+    re-inserts): incremental SCD2 over k TIME-ORDERED batches equals
+    the one-shot derivation AND the single-batch apply; replay no-ops.
+    Batches split by event-time thresholds (the tail contract)."""
+    import random
+
+    from dbp_etl_spark.cdc.scd import SCD2Runner, scd2_intervals, scd2_schema
+
+    rnd = random.Random(4321)
+    for idx in range(4):
+        n = rnd.randint(8, 40)
+        events = []
+        for _ in range(n):
+            url = f"u{rnd.randint(0, 5)}"
+            ts = rnd.randint(1, 30)  # collision-prone
+            op = rnd.choice(["update", "update", "update", "delete"])
+            payload = None if op == "delete" else f"<p>v{rnd.randint(0, 4)}</p>".encode()
+            events.append((url, ts, payload, op))
+        k = rnd.randint(2, 4)
+        cuts = sorted(rnd.sample(range(2, 30), k - 1))
+
+        def batch_of(ts):
+            return sum(1 for c in cuts if ts >= c)
+
+        df = spark.createDataFrame(
+            [(u, t_, p, o, batch_of(t_)) for (u, t_, p, o) in events],
+            "url string, ts long, html binary, op string, batch_id long",
+        ).select(
+            "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "batch_id"
+        )
+        one = df.withColumn("batch_id", F.lit(0))
+
+        def hist_hash(t):
+            rows = t.read().select(
+                "entity_url", "valid_from", "valid_to", "is_current", "html"
+            ).collect()
+            return sorted(
+                (r["entity_url"], str(r["valid_from"]), str(r["valid_to"]),
+                 r["is_current"], bytes(r["html"]) if r["html"] else None)
+                for r in rows
+            )
+
+        tk = LakeTable.create(
+            spark, str(tmp_path / f"scd_k{idx}"), scd2_schema({}), num_buckets=4
+        )
+        t1 = LakeTable.create(
+            spark, str(tmp_path / f"scd_1{idx}"), scd2_schema({}), num_buckets=4
+        )
+        SCD2Runner(tk, salt_buckets=4).run(df)
+        SCD2Runner(t1, salt_buckets=0).run(one)
+        assert hist_hash(tk) == hist_hash(t1), f"case {idx}: split divergence"
+
+        oneshot = sorted(
+            (r["entity_url"], str(r["valid_from"]), str(r["valid_to"]),
+             r["is_current"], bytes(r["html"]) if r["html"] else None)
+            for r in scd2_intervals(df.drop("batch_id")).select(
+                "entity_url", "valid_from", "valid_to", "is_current", "html"
+            ).collect()
+        )
+        assert hist_hash(tk) == oneshot, f"case {idx}: oneshot divergence"
+
+        h = hist_hash(tk)
+        SCD2Runner(tk).run(df)
+        assert hist_hash(tk) == h, f"case {idx}: replay not idempotent"
