@@ -201,3 +201,105 @@ def encode_warc(
     if gzip_per_record:
         return b"".join(_gzip.compress(r) for r in out)
     return b"".join(out)
+
+
+# ------------------------------------------------------------- CDX index
+
+
+def iter_warc_spans(data: bytes):
+    """Yield (unit_bytes, offset, length) per independently-fetchable
+    unit of a WARC archive: the COMPRESSED byte span of each gzip
+    member (Common Crawl's one-record-per-member shape — exactly what
+    CDX offsets address), or the record's own byte span in a plain
+    archive. ``unit_bytes`` is decompressed."""
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(31)
+            unit = d.decompress(data[pos:]) + d.flush()
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC")
+            consumed = (len(data) - pos) - len(d.unused_data)
+            yield unit, pos, consumed
+            pos += consumed
+        return
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0 or not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC record at offset {pos}")
+        clen = None
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                clen = int(v.strip())
+        if clen is None:
+            raise ValueError("WARC record missing Content-Length")
+        end = hdr_end + 4 + clen + 4  # body + trailing CRLFCRLF
+        yield data[start:min(end, n)], start, min(end, n) - start
+        pos = end
+
+
+def build_warc_index(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """CDX-style index over a directory of archives: one row per
+    response record with (url, warc_ts, filename, offset, length,
+    sha1) where offset/length address the record's fetchable span —
+    the compressed gzip member for CC-shaped archives. This is the
+    crawl-native form of the reference's sidecar metadata + selective
+    download (SURVEY S3): consumers re-fetch ONE record with a ranged
+    read instead of rescanning the archive. Digest is hex SHA-1 of the
+    HTTP payload (CC's CDX uses base32 of the same hash)."""
+    import hashlib
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {
+                "url": [], "warc_ts": [], "filename": [],
+                "offset": [], "length": [], "sha1": [],
+            }
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for unit, off, ln in iter_warc_spans(bytes(content)):
+                    for uri, ts, payload in parse_warc(unit):
+                        rows["url"].append(uri)
+                        rows["warc_ts"].append(ts)
+                        rows["filename"].append(fname)
+                        rows["offset"].append(off)
+                        rows["length"].append(ln)
+                        rows["sha1"].append(hashlib.sha1(payload).hexdigest())
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("filename", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("sha1", T.StringType()),
+        ]
+    )
+    return files.select("path", "content").mapInPandas(op, schema=schema)
+
+
+def fetch_warc_record(archive_bytes: bytes, offset: int, length: int):
+    """Selective fetch: decode exactly one indexed record from its
+    (offset, length) span — the slice a ranged GET would return."""
+    unit = archive_bytes[offset : offset + length]
+    if unit[:2] == b"\x1f\x8b":
+        unit = _gunzip_members(unit)
+    recs = list(parse_warc(unit))
+    if len(recs) != 1:
+        raise ValueError(f"span does not hold exactly one response record ({len(recs)})")
+    return recs[0]

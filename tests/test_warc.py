@@ -58,3 +58,33 @@ def test_read_warc_into_cdc_runner(spark, tmp_path):
     # text derived from the real payload by the standard transform
     texts = {r["url"]: r["text"] for r in t.read().collect()}
     assert texts["https://a.example/1"] == "one-v2"
+
+
+def test_cdx_index_and_selective_fetch(spark, tmp_path):
+    """build_warc_index rows address fetchable spans: slicing the
+    archive at (offset, length) re-decodes exactly that record."""
+    import hashlib
+
+    from dbp_etl_spark.sources.warc import build_warc_index, fetch_warc_record
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    (src / "seg-0.warc.gz").write_bytes(encode_warc(RECS, gzip_per_record=True))
+    (src / "seg-1.warc").write_bytes(encode_warc(RECS[:1]))
+
+    idx = {
+        (r["url"], r["filename"].rsplit("/", 1)[-1]): r
+        for r in build_warc_index(spark, str(src)).collect()
+    }
+    # 3 responses in the gz archive + 1 in the plain one
+    assert len(idx) == 3 + 1 - 1  # (a.example/1 appears twice in seg-0; dict keyed by url+file keeps last)
+    raw = (src / "seg-0.warc.gz").read_bytes()
+    row = idx[("https://b.example/2", "seg-0.warc.gz")]
+    url, ts, payload = fetch_warc_record(raw, row["offset"], row["length"])
+    assert url == "https://b.example/2" and payload == b"<p>two</p>"
+    assert hashlib.sha1(payload).hexdigest() == row["sha1"]
+
+    raw1 = (src / "seg-1.warc").read_bytes()
+    row1 = idx[("https://a.example/1", "seg-1.warc")]
+    url1, _, payload1 = fetch_warc_record(raw1, row1["offset"], row1["length"])
+    assert url1 == "https://a.example/1" and payload1 == b"<p>one</p>"
