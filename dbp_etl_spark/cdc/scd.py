@@ -93,7 +93,7 @@ def scd2_schema(payload: dict[str, str]) -> TableSchema:
     return TableSchema([ColumnSpec(i + 1, n, t) for i, (n, t) in enumerate(cols)])
 
 
-def _dedup_per_entity_ts(changes: DataFrame, payload_cols: list[str]) -> DataFrame:
+def _dedup_per_entity_ts(changes: DataFrame) -> DataFrame:
     """One winner per (entity, ts) under the engine total order.
 
     cdc_order's leading ts term is constant within the group, so the
@@ -112,7 +112,7 @@ def scd2_intervals(changes: DataFrame, payload_cols: list[str] | None = None) ->
     """
     if payload_cols is None:
         payload_cols = [c for c in changes.columns if c not in _META]
-    dd = _dedup_per_entity_ts(changes, payload_cols)
+    dd = _dedup_per_entity_ts(changes)
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").asc())
     out = (
         dd.withColumn("valid_to", F.lead("warc_ts").over(w))
@@ -187,7 +187,7 @@ class SCD2Runner:
         )
 
     def _batch_events(self, batch: DataFrame, payload_cols: list[str]) -> DataFrame:
-        dd = _dedup_per_entity_ts(batch, payload_cols)
+        dd = _dedup_per_entity_ts(batch)
         return dd.select(
             "url",
             "warc_ts",
