@@ -47,12 +47,16 @@ parallel implementation:
 Scale: the per-batch window partitions by entity (state = one batch's
 events per entity, bounded); the merge shuffles by synthetic key,
 which is strictly finer than entity, so hot entities spread across
-versions. The open-row lookup reads ``is_current`` rows semi-joined
-to the batch's entities; on a 10^10-row history the deployment-shape
-fix is a companion current-state table (the CDC table the engine
-already maintains) carrying the open synthetic key, making the lookup
-a bucket-pruned read — the lookup here is a single filtered scan kept
-simple deliberately and measured in BENCH notes.
+versions. The per-batch state lookup has two modes: the default scans
+the history's ``is_current`` slice (fine to ~10^8 rows), and
+``SCD2Runner(frontier=...)`` is the 10^10 path — a companion table
+keyed BY ENTITY (``frontier_schema()``) makes the lookup two
+bucket-pruned reads (frontier rows for the batch's entities, then
+history rows for exactly the open synthetic keys), O(touched buckets)
+like the latest-state merge itself. Pass ``txn=TxnCoordinator(...)``
+to commit history+frontier atomically; without it a crash between the
+two merges is repaired on resume (apply_batch's catch-up branch,
+re-deriving the affected entities' frontier rows from history).
 """
 
 from __future__ import annotations
@@ -89,6 +93,25 @@ def scd2_schema(payload: dict[str, str]) -> TableSchema:
         ("valid_to", "timestamp"),
         ("is_current", "boolean"),
         *payload.items(),
+    ]
+    return TableSchema([ColumnSpec(i + 1, n, t) for i, (n, t) in enumerate(cols)])
+
+
+def frontier_schema() -> TableSchema:
+    """Schema for the OPTIONAL frontier companion table (see
+    SCD2Runner(frontier=...)): one row per entity, keyed by the entity
+    url, holding the entity's frontier ts (max row-version ts in its
+    history), the open version's synthetic key (NULL when a delete
+    closed the entity) and its valid_from. ``html`` is the engine-wide
+    payload anchor and carries an empty placeholder."""
+    from dbp_etl_spark.lake.schema import ColumnSpec
+
+    cols = [
+        ("url", "string"),  # the ENTITY key — bucket-prunable lookups
+        ("warc_ts", "timestamp"),  # frontier ts
+        ("html", "binary"),
+        ("open_key", "string"),
+        ("open_from", "timestamp"),
     ]
     return TableSchema([ColumnSpec(i + 1, n, t) for i, (n, t) in enumerate(cols)])
 
@@ -146,10 +169,31 @@ class SCD2Runner:
     commit per batch.
     """
 
-    def __init__(self, hist: LakeTable, salt_buckets: int = 16, count_late: bool = False):
+    def __init__(
+        self,
+        hist: LakeTable,
+        salt_buckets: int = 16,
+        count_late: bool = False,
+        frontier: LakeTable | None = None,
+        txn=None,
+    ):
         self.hist = hist
         self.salt_buckets = salt_buckets
         self.count_late = count_late
+        # ``frontier``: the scale path for the per-batch state lookup.
+        # Without it, finding each entity's open row / frontier scans
+        # the history's is_current slice (O(history) per batch). With a
+        # frontier table (frontier_schema(), keyed BY ENTITY) the
+        # lookup becomes two bucket-pruned reads: frontier rows for the
+        # batch's entities, then history rows for exactly the open
+        # synthetic keys — O(batch-touched buckets), the same pruning
+        # story as the latest-state merge. ``txn`` (a TxnCoordinator
+        # over both tables) makes the two merges one atomic commit;
+        # without it, a crash between them is repaired on resume by
+        # re-deriving the affected entities' frontier rows from the
+        # history (apply_batch's catch-up branch).
+        self.frontier = frontier
+        self.txn = txn
 
     # ------------------------------------------------------------ plumbing
 
@@ -186,6 +230,91 @@ class SCD2Runner:
             F.col("entity_url").alias("_fe"), F.col("_frontier")
         )
 
+    def _entity_state_pruned(
+        self, entities: DataFrame, payload_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        """Frontier-table variant of _entity_state: two bucket-pruned
+        reads instead of an is_current scan over the whole history."""
+        fr_t = self.frontier
+        cand = sorted(
+            r["b"]
+            for r in entities.select(fr_t.bucket_expr("_e").alias("b")).distinct().collect()
+            if r["b"] is not None
+        )
+        fr = fr_t.read(buckets=cand).join(
+            entities, F.col("url") == entities["_e"], "left_semi"
+        )
+        frontier = fr.select(F.col("url").alias("_fe"), F.col("warc_ts").alias("_frontier"))
+        open_keys = fr.filter(F.col("open_key").isNotNull()).select(
+            F.col("open_key").alias("_ok")
+        )
+        hcand = sorted(
+            r["b"]
+            for r in open_keys.select(self.hist.bucket_expr("_ok").alias("b"))
+            .distinct()
+            .collect()
+            if r["b"] is not None
+        )
+        hist_rows = self.hist.read(buckets=hcand).join(
+            open_keys, F.col("url") == open_keys["_ok"], "left_semi"
+        )
+        opened = hist_rows.select(
+            F.col("entity_url").alias("url"),
+            F.col("valid_from").alias("warc_ts"),
+            F.col("html"),
+            F.lit("update").alias("op"),
+            F.lit(True).alias("_existing"),
+            *[F.col(c) for c in payload_cols if c != "html"],
+        )
+        return opened, frontier
+
+    def _frontier_upserts(self, upserts: DataFrame) -> DataFrame:
+        """Per-entity frontier rows derived from this batch's history
+        upserts: max row-version ts; the (at most one) open version's
+        synthetic key and valid_from (NULL when the entity closed)."""
+        src = upserts.select(
+            F.col("entity_url").alias("_ent"),
+            F.col("url").alias("_vkey"),
+            "warc_ts",
+            "is_current",
+            "valid_from",
+        )
+        return self._frontier_rows(src)
+
+    @staticmethod
+    def _frontier_rows(src: DataFrame) -> DataFrame:
+        return src.groupBy(F.col("_ent").alias("url")).agg(
+            F.max("warc_ts").alias("warc_ts"),
+            F.max(F.when(F.col("is_current"), F.col("_vkey"))).alias("open_key"),
+            F.max(F.when(F.col("is_current"), F.col("valid_from"))).alias("open_from"),
+        ).select(
+            "url",
+            "warc_ts",
+            F.lit(b"").alias("html"),
+            F.lit("update").alias("op"),
+            "open_key",
+            "open_from",
+        )
+
+    def _repair_frontier(self, batch: DataFrame, fid) -> None:
+        """Catch-up for the non-transactional crash window (history
+        committed, frontier not): re-derive the batch entities'
+        frontier rows from the history itself."""
+        entities = batch.select(F.col("url").alias("_e")).distinct()
+        slice_ = self.hist.read().join(
+            entities, F.col("entity_url") == entities["_e"], "left_semi"
+        )
+        rows = self._frontier_rows(
+            slice_.select(
+                F.col("entity_url").alias("_ent"),
+                F.col("url").alias("_vkey"),
+                "warc_ts",
+                "is_current",
+                "valid_from",
+            )
+        )
+        merge_batch(self.frontier, rows, fid, salt_buckets=self.salt_buckets)
+
     def _batch_events(self, batch: DataFrame, payload_cols: list[str]) -> DataFrame:
         dd = _dedup_per_entity_ts(batch)
         return dd.select(
@@ -206,7 +335,10 @@ class SCD2Runner:
         counted when count_late is on."""
         fresh = self._batch_events(batch, payload_cols)
         entities = fresh.select(F.col("url").alias("_e")).distinct()
-        opened, frontier = self._entity_state(entities, payload_cols)
+        if self.frontier is not None:
+            opened, frontier = self._entity_state_pruned(entities, payload_cols)
+        else:
+            opened, frontier = self._entity_state(entities, payload_cols)
 
         # late guard: a batch event at or before the entity's frontier
         # can no longer change history (closed rows are immutable)
@@ -254,14 +386,48 @@ class SCD2Runner:
     # ------------------------------------------------------------- driving
 
     def apply_batch(self, batch: DataFrame, batch_id) -> MergeResult:
+        fid = f"scd2f::{batch_id}"
         if self.hist.is_committed(batch_id):
+            if self.frontier is not None and not self.frontier.is_committed(fid):
+                # non-txn crash window: history landed, frontier didn't
+                self._repair_frontier(batch, fid)
+                self.frontier = self.frontier.refresh()
             return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=self.hist.snapshot_id)
         payload_cols = self._payload_cols(batch, batch_col="")
         upserts, late = self._versioned_upserts(batch, payload_cols)
         n_late = late.count() if self.count_late else 0
-        res = merge_batch(
-            self.hist, upserts, batch_id, salt_buckets=self.salt_buckets
-        )
+        if self.frontier is not None:
+            upserts = upserts.persist()  # history merge + frontier agg: one eval
+            try:
+                if self.txn is not None:
+                    with self.txn.transaction([self.hist, self.frontier]) as h:
+                        res = merge_batch(
+                            h.tables[0], upserts, batch_id, salt_buckets=self.salt_buckets
+                        )
+                        merge_batch(
+                            h.tables[1],
+                            self._frontier_upserts(upserts),
+                            fid,
+                            salt_buckets=self.salt_buckets,
+                        )
+                else:
+                    res = merge_batch(
+                        self.hist, upserts, batch_id, salt_buckets=self.salt_buckets
+                    )
+                    merge_batch(
+                        self.frontier,
+                        self._frontier_upserts(upserts),
+                        fid,
+                        salt_buckets=self.salt_buckets,
+                    )
+            finally:
+                upserts.unpersist()
+            self.hist = self.hist.refresh()
+            self.frontier = self.frontier.refresh()
+        else:
+            res = merge_batch(
+                self.hist, upserts, batch_id, salt_buckets=self.salt_buckets
+            )
         res.counts["scd2_late_dropped"] = n_late
         return res
 
@@ -272,14 +438,12 @@ class SCD2Runner:
         report = SCD2Report()
         for b in sorted(batch_ids):
             report.n_batches += 1
-            if self.hist.is_committed(b):
-                report.n_skipped += 1
-                report.results.append(
-                    MergeResult(batch_id=b, skipped=True, snapshot_id=self.hist.snapshot_id)
-                )
-                continue
             batch = changes.filter(F.col(batch_col) == F.lit(b)).drop(batch_col)
+            # apply_batch owns the committed-skip (and, in frontier
+            # mode, the frontier catch-up for the non-txn crash window)
             res = self.apply_batch(batch, b)
+            if res.skipped:
+                report.n_skipped += 1
             report.n_late += res.counts.get("scd2_late_dropped", 0)
             report.results.append(res)
         return report

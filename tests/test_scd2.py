@@ -293,3 +293,94 @@ def test_late_event_after_delete_is_dropped(spark, tmp_path):
     rep = runner.run(log_df(spark, late))
     assert rep.n_late == 1
     assert hist_state(t) == before
+
+
+def mk_frontier(spark, tmp_path, name="frontier"):
+    from dbp_etl_spark.cdc.scd import frontier_schema
+
+    return LakeTable.create(
+        spark, str(tmp_path / name), frontier_schema(), key="url", num_buckets=8
+    )
+
+
+def frontier_state(t):
+    return sorted(
+        (r["url"], r["warc_ts"].isoformat(), r["open_key"],
+         r["open_from"].isoformat() if r["open_from"] else None)
+        for r in t.read().collect()
+    )
+
+
+def expected_frontier_from_hist(hist):
+    rows = hist.read().collect()
+    by_e = {}
+    for r in rows:
+        e = r["entity_url"]
+        cur = by_e.get(e, (None, None, None))
+        ts = r["warc_ts"]
+        best = max(cur[0], ts) if cur[0] else ts
+        ok, of = cur[1], cur[2]
+        if r["is_current"]:
+            ok, of = r["url"], r["valid_from"]
+        by_e[e] = (best, ok, of)
+    return sorted(
+        (e, ts.isoformat(), ok, of.isoformat() if of else None)
+        for e, (ts, ok, of) in by_e.items()
+    )
+
+
+def test_frontier_mode_matches_plain_with_txn(spark, tmp_path):
+    from dbp_etl_spark.lake.txn import TxnCoordinator
+
+    hist = mk_hist(spark, tmp_path, "fhist")
+    fr = mk_frontier(spark, tmp_path)
+    coord = TxnCoordinator(str(tmp_path / "_txn"))
+    runner = SCD2Runner(hist, frontier=fr, txn=coord, count_late=True)
+    rep = runner.run(log_df(spark))
+    assert rep.n_late == 0
+
+    ref = mk_hist(spark, tmp_path, "ref")
+    SCD2Runner(ref).run(log_df(spark))
+    assert hist_state(runner.hist) == hist_state(ref)
+    # frontier rows are exactly the per-entity derivation from history
+    assert frontier_state(runner.frontier) == expected_frontier_from_hist(runner.hist)
+    # replay: both ledgers skip, nothing changes
+    before_f = frontier_state(runner.frontier)
+    rep2 = runner.run(log_df(spark))
+    assert rep2.n_skipped == 3
+    assert frontier_state(runner.frontier) == before_f
+
+
+def test_frontier_mode_late_after_delete(spark, tmp_path):
+    rows = [
+        ("u1", ts("2024-01-01 00:00:00"), b"<p>a</p>", "update", 1.0, 0),
+        ("u1", ts("2024-01-05 00:00:00"), None, "delete", None, 0),
+    ]
+    hist = mk_hist(spark, tmp_path, "fhist")
+    fr = mk_frontier(spark, tmp_path)
+    runner = SCD2Runner(hist, frontier=fr, count_late=True)
+    runner.run(log_df(spark, rows))
+    # frontier carries the DELETE ts with no open key
+    assert frontier_state(runner.frontier) == [("u1", "2024-01-05T00:00:00", None, None)]
+    late = [("u1", ts("2024-01-03 00:00:00"), b"<p>zombie</p>", "update", 9.0, 1)]
+    before = hist_state(runner.hist)
+    rep = runner.run(log_df(spark, late))
+    assert rep.n_late == 1 and hist_state(runner.hist) == before
+
+
+def test_frontier_crash_repair_on_resume(spark, tmp_path):
+    """History committed but frontier not (the non-txn crash window):
+    resume re-derives the affected entities' frontier rows."""
+    hist = mk_hist(spark, tmp_path, "fhist")
+    fr = mk_frontier(spark, tmp_path)
+    # batch 0 lands on history WITHOUT touching the frontier (the crash)
+    SCD2Runner(hist).run(log_df(spark, [r for r in LOG if r[5] == 0]))
+    hist = hist.refresh()
+
+    runner = SCD2Runner(hist, frontier=fr)
+    rep = runner.run(log_df(spark))
+    assert rep.n_skipped == 1  # batch 0 skipped on history
+    ref = mk_hist(spark, tmp_path, "ref")
+    SCD2Runner(ref).run(log_df(spark))
+    assert hist_state(runner.hist) == hist_state(ref)
+    assert frontier_state(runner.frontier) == expected_frontier_from_hist(runner.hist)
