@@ -49,14 +49,26 @@ events per entity, bounded); the merge shuffles by synthetic key,
 which is strictly finer than entity, so hot entities spread across
 versions. The per-batch state lookup has two modes: the default scans
 the history's ``is_current`` slice (fine to ~10^8 rows), and
-``SCD2Runner(frontier=...)`` is the 10^10 path — a companion table
-keyed BY ENTITY (``frontier_schema()``) makes the lookup two
-bucket-pruned reads (frontier rows for the batch's entities, then
-history rows for exactly the open synthetic keys), O(touched buckets)
-like the latest-state merge itself. Pass ``txn=TxnCoordinator(...)``
-to commit history+frontier atomically; without it a crash between the
-two merges is repaired on resume (apply_batch's catch-up branch,
-re-deriving the affected entities' frontier rows from history).
+``SCD2Runner(frontier=...)`` is the structural 10^10 path — a
+companion table keyed BY ENTITY (``frontier_schema()``: one row per
+live entity) answers both the late guard and which open version to
+close, and closing happens via a sparse PATCH event (NULL =
+unchanged), so the apply path NEVER READS THE HISTORY TABLE: per
+batch it costs one frontier scan (O(live entities)) plus the merge of
+the batch's own rows, where plain mode scans the history
+(O(all version rows)). Measured honestly
+(BENCH/scd2_frontier_r4.json, scd2_frontier_deep_r4.json): at sandbox
+scale the SECOND COMMIT's fixed cost dominates — frontier mode runs
+0.58-0.77× plain, converging toward crossover as the
+history/frontier ratio grows (3× -> 24× measured); enable it when the
+ratio reaches the design point (10^10 version rows over 10^8
+entities) and batches are large enough to amortize a commit. Create
+the frontier ``merge_on_read=True`` (a copy-on-write frontier
+rewrites O(frontier) per batch — measured worse). Pass
+``txn=TxnCoordinator(...)`` to commit history+frontier atomically;
+without it a crash between the two merges is repaired on resume
+(apply_batch's catch-up branch, re-deriving the affected entities'
+frontier rows from history).
 """
 
 from __future__ import annotations
@@ -230,11 +242,27 @@ class SCD2Runner:
             F.col("entity_url").alias("_fe"), F.col("_frontier")
         )
 
-    def _entity_state_pruned(
-        self, entities: DataFrame, payload_cols: list[str]
-    ) -> tuple[DataFrame, DataFrame]:
-        """Frontier-table variant of _entity_state: two bucket-pruned
-        reads instead of an is_current scan over the whole history."""
+    def _versioned_upserts_frontier(
+        self, batch: DataFrame, payload_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Frontier-mode batch rewrite: NO history read at all.
+
+        The frontier table answers everything the apply needs — the
+        late guard (frontier ts) and which open version to close
+        (open_key). Closing is a sparse PATCH event (cdc/merge.py
+        patch_ops: NULL column = unchanged), so the open row's payload
+        never has to be fetched: the patch sets only valid_to /
+        is_current / warc_ts and leaves html/text/extras in place.
+        Per batch the apply therefore costs one frontier scan (a table
+        of one row per LIVE ENTITY — orders of magnitude smaller than
+        the history it replaces scanning) plus the history merge of
+        this batch's own rows.
+
+        Returns (upserts, frontier_rows, late, live) — ``live`` is the
+        persisted joined frame both merges read; the caller unpersists
+        it after committing."""
+        fresh = self._batch_events(batch, payload_cols).drop("_existing")
+        entities = fresh.select(F.col("url").alias("_e")).distinct()
         fr_t = self.frontier
         cand = sorted(
             r["b"]
@@ -243,43 +271,96 @@ class SCD2Runner:
         )
         fr = fr_t.read(buckets=cand).join(
             entities, F.col("url") == entities["_e"], "left_semi"
+        ).select(
+            F.col("url").alias("_fe"),
+            F.col("warc_ts").alias("_frontier"),
+            "open_key",
+            "open_from",
         )
-        frontier = fr.select(F.col("url").alias("_fe"), F.col("warc_ts").alias("_frontier"))
-        open_keys = fr.filter(F.col("open_key").isNotNull()).select(
-            F.col("open_key").alias("_ok")
+        joined = fresh.join(fr, fresh["url"] == fr["_fe"], "left")
+        late = joined.filter(
+            F.col("_frontier").isNotNull() & (F.col("warc_ts") <= F.col("_frontier"))
         )
-        hcand = sorted(
-            r["b"]
-            for r in open_keys.select(self.hist.bucket_expr("_ok").alias("b"))
-            .distinct()
-            .collect()
-            if r["b"] is not None
-        )
-        hist_rows = self.hist.read(buckets=hcand).join(
-            open_keys, F.col("url") == open_keys["_ok"], "left_semi"
-        )
-        opened = hist_rows.select(
-            F.col("entity_url").alias("url"),
-            F.col("valid_from").alias("warc_ts"),
-            F.col("html"),
-            F.lit("update").alias("op"),
-            F.lit(True).alias("_existing"),
-            *[F.col(c) for c in payload_cols if c != "html"],
-        )
-        return opened, frontier
+        live = joined.filter(
+            F.col("_frontier").isNull() | (F.col("warc_ts") > F.col("_frontier"))
+        ).persist()
 
-    def _frontier_upserts(self, upserts: DataFrame) -> DataFrame:
-        """Per-entity frontier rows derived from this batch's history
-        upserts: max row-version ts; the (at most one) open version's
-        synthetic key and valid_from (NULL when the entity closed)."""
-        src = upserts.select(
-            F.col("entity_url").alias("_ent"),
-            F.col("url").alias("_vkey"),
-            "warc_ts",
-            "is_current",
-            "valid_from",
+        w = Window.partitionBy("url").orderBy(F.col("warc_ts").asc())
+        nxt = F.lead("warc_ts").over(w)
+        inserts = (
+            live.withColumn("_valid_to", nxt)
+            .filter(F.col("op") != "delete")
+            .select(
+                F.concat_ws(
+                    "@", F.col("url"), F.unix_micros(F.col("warc_ts")).cast("string")
+                ).alias("url"),
+                F.coalesce(F.col("_valid_to"), F.col("warc_ts")).alias("warc_ts"),
+                F.col("html"),
+                F.lit("update").alias("op"),
+                F.col("url").alias("entity_url"),
+                F.col("warc_ts").alias("valid_from"),
+                F.col("_valid_to").alias("valid_to"),
+                F.col("_valid_to").isNull().alias("is_current"),
+                *[F.col(c) for c in payload_cols if c != "html"],
+            )
         )
-        return self._frontier_rows(src)
+        # close each touched open version with a sparse patch: NULL
+        # payload/identity columns mean "unchanged", only the interval
+        # end and the row-version ts move
+        null_t = F.lit(None).cast("timestamp")
+        patches = (
+            live.filter(F.col("open_key").isNotNull())
+            .groupBy(F.col("open_key").alias("url"))
+            .agg(F.min("warc_ts").alias("_close_ts"))
+            .select(
+                "url",
+                F.col("_close_ts").alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                F.lit("patch").alias("op"),
+                F.lit(None).cast("string").alias("entity_url"),
+                null_t.alias("valid_from"),
+                F.col("_close_ts").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+                *[
+                    F.lit(None).cast(batch.schema[c].dataType).alias(c)
+                    for c in payload_cols
+                    if c != "html"
+                ],
+            )
+        )
+        upserts = inserts.unionByName(patches)
+
+        # next frontier per touched entity: the last live event decides.
+        # Entities that emitted nothing (a delete of a key with no open
+        # version) leave no trace — exact parity with the plain mode,
+        # whose frontier derives from history rows.
+        emitted = (
+            live.filter(F.col("op") != "delete")
+            .select("url")
+            .unionByName(live.filter(F.col("open_key").isNotNull()).select("url"))
+            .distinct()
+            .select(F.col("url").alias("_em"))
+        )
+        last_op = F.max_by("op", F.col("warc_ts"))
+        frontier_rows = (
+            live.join(emitted, live["url"] == emitted["_em"], "left_semi")
+            .groupBy(F.col("url").alias("_ent"))
+            .agg(F.max("warc_ts").alias("warc_ts"), last_op.alias("_last_op"))
+            .select(
+                F.col("_ent").alias("url"),
+                "warc_ts",
+                F.lit(b"").alias("html"),
+                F.lit("update").alias("op"),
+                F.when(
+                    F.col("_last_op") != "delete",
+                    F.concat_ws(
+                        "@", F.col("_ent"), F.unix_micros(F.col("warc_ts")).cast("string")
+                    ),
+                ).alias("open_key"),
+                F.when(F.col("_last_op") != "delete", F.col("warc_ts")).alias("open_from"),
+            )
+        )
+        return upserts, frontier_rows, late, live
 
     @staticmethod
     def _frontier_rows(src: DataFrame) -> DataFrame:
@@ -335,10 +416,7 @@ class SCD2Runner:
         counted when count_late is on."""
         fresh = self._batch_events(batch, payload_cols)
         entities = fresh.select(F.col("url").alias("_e")).distinct()
-        if self.frontier is not None:
-            opened, frontier = self._entity_state_pruned(entities, payload_cols)
-        else:
-            opened, frontier = self._entity_state(entities, payload_cols)
+        opened, frontier = self._entity_state(entities, payload_cols)
 
         # late guard: a batch event at or before the entity's frontier
         # can no longer change history (closed rows are immutable)
@@ -394,37 +472,48 @@ class SCD2Runner:
                 self.frontier = self.frontier.refresh()
             return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=self.hist.snapshot_id)
         payload_cols = self._payload_cols(batch, batch_col="")
-        upserts, late = self._versioned_upserts(batch, payload_cols)
-        n_late = late.count() if self.count_late else 0
         if self.frontier is not None:
-            upserts = upserts.persist()  # history merge + frontier agg: one eval
+            upserts, frontier_rows, late, live = self._versioned_upserts_frontier(
+                batch, payload_cols
+            )
+            n_late = late.count() if self.count_late else 0
             try:
                 if self.txn is not None:
                     with self.txn.transaction([self.hist, self.frontier]) as h:
                         res = merge_batch(
-                            h.tables[0], upserts, batch_id, salt_buckets=self.salt_buckets
+                            h.tables[0],
+                            upserts,
+                            batch_id,
+                            salt_buckets=self.salt_buckets,
+                            patch_ops=True,
                         )
                         merge_batch(
                             h.tables[1],
-                            self._frontier_upserts(upserts),
+                            frontier_rows,
                             fid,
                             salt_buckets=self.salt_buckets,
                         )
                 else:
                     res = merge_batch(
-                        self.hist, upserts, batch_id, salt_buckets=self.salt_buckets
+                        self.hist,
+                        upserts,
+                        batch_id,
+                        salt_buckets=self.salt_buckets,
+                        patch_ops=True,
                     )
                     merge_batch(
                         self.frontier,
-                        self._frontier_upserts(upserts),
+                        frontier_rows,
                         fid,
                         salt_buckets=self.salt_buckets,
                     )
             finally:
-                upserts.unpersist()
+                live.unpersist()
             self.hist = self.hist.refresh()
             self.frontier = self.frontier.refresh()
         else:
+            upserts, late = self._versioned_upserts(batch, payload_cols)
+            n_late = late.count() if self.count_late else 0
             res = merge_batch(
                 self.hist, upserts, batch_id, salt_buckets=self.salt_buckets
             )

@@ -1,0 +1,119 @@
+"""SCD2 state-lookup A/B: plain is_current scan vs frontier pruning.
+
+The design-point shape: a SMALL batch against a LARGE existing
+history. Plain mode must scan the history's is_current slice to find
+open rows; frontier mode does two bucket-pruned reads. Both runners
+then apply identical merges, so the wall delta isolates the lookup.
+
+Usage: python scripts/scd2_frontier_bench.py [n_entities] [batch_events] [--out path]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbp_etl_spark.cdc.scd import SCD2Runner, frontier_schema, scd2_schema  # noqa: E402
+from dbp_etl_spark.lake import LakeTable  # noqa: E402
+from dbp_etl_spark.session import get_spark  # noqa: E402
+
+
+def mk_events(spark, n, n_entities, ts_base, batch_id):
+    rid = F.col("id")
+    return spark.range(n).select(
+        F.concat(F.lit("https://host"), (rid % 97).cast("string"),
+                 F.lit(".example/p"), (rid % n_entities).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(ts_base) + rid).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<p>v"), rid.cast("string"), F.lit("</p>")), "utf-8").alias("html"),
+        F.lit("update").alias("op"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+    n_entities = int(args[0]) if args else 400_000
+    batch_n = int(args[1]) if len(args) > 1 else 20_000
+    versions = int(args[2]) if len(args) > 2 else 3
+
+    spark = get_spark(app_name="scd2-frontier-bench", cores=16, shuffle_partitions=32)
+    root = tempfile.mkdtemp(prefix="scd2_fb_")
+    seeds = [
+        mk_events(spark, n_entities, n_entities, 1_700_000_000 + i * 3_000_000, i)
+        for i in range(versions)
+    ]
+    small1 = mk_events(spark, batch_n, n_entities, 1_800_000_000, versions + 10)
+    small2 = mk_events(spark, batch_n, n_entities, 1_810_000_000, versions + 11)
+
+    def seeded(name, frontier):
+        # merge-on-read history in BOTH modes: the history MERGE's
+        # copy-on-write bucket rewrite is identical A/B noise at this
+        # scale and drowns the lookup being measured
+        hist = LakeTable.create(
+            spark, f"{root}/{name}_hist", scd2_schema({}), key="url",
+            num_buckets=64, merge_on_read=True,
+        )
+        fr = None
+        if frontier:
+            # merge-on-read: the frontier is touched on EVERY batch, so
+            # its writes must be O(churn) deltas, not O(frontier-dirty-
+            # bucket) rewrites — copy-on-write here measurably erases
+            # the lookup win (first bench revision recorded 0.69x)
+            fr = LakeTable.create(
+                spark, f"{root}/{name}_fr", frontier_schema(), key="url",
+                num_buckets=64, merge_on_read=True, max_delta_commits=16,
+            )
+        runner = SCD2Runner(hist, frontier=fr)
+        for b, df in enumerate(seeds):
+            runner.run(df)  # deep history: several versions per entity
+        # post-seed maintenance (the compact_every cadence): fold the
+        # seed churn so timed batches read compacted bases
+        runner.hist = runner.hist.compact(batch_id=f"{name}-seed-compact")
+        if fr is not None:
+            runner.frontier = runner.frontier.compact(batch_id=f"{name}-fr-compact")
+        return runner
+
+    def apply_small(runner, df):
+        t0 = time.time()
+        runner.run(df)
+        return time.time() - t0
+
+    # interleaved A/B on shared seeds: two timed small batches per mode
+    plain = seeded("plain", False)
+    front = seeded("front", True)
+    t_plain_a = apply_small(plain, small1)
+    t_front_a = apply_small(front, small1)
+    t_front_b = apply_small(front, small2)
+    t_plain_b = apply_small(plain, small2)
+
+    h1 = sorted((r["entity_url"], str(r["valid_from"]), r["is_current"])
+                for r in plain.hist.read().collect())
+    h2 = sorted((r["entity_url"], str(r["valid_from"]), r["is_current"])
+                for r in front.hist.read().collect())
+    res = {
+        "n_entities": n_entities,
+        "batch_events": batch_n,
+        "history_versions": versions,
+        "plain_lookup_apply_sec": round(min(t_plain_a, t_plain_b), 2),
+        "frontier_lookup_apply_sec": round(min(t_front_a, t_front_b), 2),
+        "speedup": round(min(t_plain_a, t_plain_b) / min(t_front_a, t_front_b), 2),
+        "state_identical": h1 == h2,
+        "raw": {"plain": [round(t_plain_a, 2), round(t_plain_b, 2)],
+                "frontier": [round(t_front_a, 2), round(t_front_b, 2)]},
+    }
+    print(json.dumps(res))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
