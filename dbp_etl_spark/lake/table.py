@@ -2371,12 +2371,22 @@ class LakeTable:
 
     # ------------------------------------------------- retention / metadata GC
 
-    def expire_snapshots(self, keep_last: int = 5) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 5, older_than_sec: float | None = None
+    ) -> dict:
         """Iceberg-style snapshot expiry: bound metadata and storage to the
         retained history window.
 
         Keeps the newest ``keep_last`` pre-existing snapshots (plus the
-        expiry commit itself); everything older is expired:
+        expiry commit itself); everything older is expired.
+        ``older_than_sec`` switches to AGE-based retention (Iceberg's
+        ``expireSnapshots(olderThan)``): every snapshot whose manifest
+        is younger than the cutoff is kept — ``keep_last`` then acts as
+        the floor (never retain fewer than that many), so a quiet table
+        keeps its recent history even when it is all "old". Age comes
+        from the manifest file's store mtime (no manifest format
+        change); object-store clock skew therefore bounds precision to
+        seconds-to-minutes, which retention windows (hours-days) dwarf:
 
         1. A metadata-only COMMIT (atomic, CAS-guarded like any other)
            records the new ``min_retained_snapshot`` and prunes the
@@ -2414,6 +2424,20 @@ class LakeTable:
             # transaction might still abort back to
             raise RuntimeError("expire_snapshots cannot run inside a transaction")
         head = self.snapshot_id
+        if older_than_sec is not None:
+            if older_than_sec < 0:
+                raise ValueError("older_than_sec must be >= 0")
+            cutoff = time.time() - older_than_sec
+            # keep every snapshot whose manifest is younger than the
+            # cutoff; keep_last is the floor
+            young = 0
+            for s in range(head, self.min_retained_snapshot - 1, -1):
+                p = os.path.join(self.root, _META, f"v{s}.json")
+                if self._fs.exists(p) and self._fs.mtime(p) >= cutoff:
+                    young += 1
+                else:
+                    break  # commits are time-ordered: older from here on
+            keep_last = max(keep_last, young, 1)
         desired = head - keep_last + 1
         tags = self.manifest.get("tags") or {}
         if tags:

@@ -66,6 +66,8 @@ def main() -> int:
 
     s = sub.add_parser("expire")
     s.add_argument("--keep-last", type=int, default=8)
+    s.add_argument("--older-than-sec", type=float, default=None,
+                   help="age-based retention: keep snapshots younger than this; --keep-last becomes the floor")
 
     s = sub.add_parser("vacuum-orphans")
     s.add_argument("--grace-sec", type=float, default=86400.0)
@@ -164,7 +166,7 @@ def main() -> int:
                     r[k] = v.isoformat()
         out = {"rows": rows, "total": feed.count()}
     elif args.cmd == "expire":
-        out = t.expire_snapshots(keep_last=args.keep_last)
+        out = t.expire_snapshots(keep_last=args.keep_last, older_than_sec=args.older_than_sec)
     elif args.cmd == "vacuum-orphans":
         out = t.remove_orphan_files(grace_sec=args.grace_sec)
     elif args.cmd == "vacuum-tombstones":

@@ -261,3 +261,50 @@ def test_ledger_watermark_refuses_gapped_id_spaces(spark, table):
     # the id inside the gap is NOT claimed: it would re-apply, not drop
     assert not t.is_committed(5)
     assert not t.is_committed(0)
+
+
+def test_expire_snapshots_age_based(spark, tmp_path):
+    """older_than_sec keeps every younger-than-cutoff snapshot (mtime-
+    derived) with keep_last as the floor."""
+    import os
+    import time as _time
+
+    from test_merge import PAGES, mk_table
+    from dbp_etl_spark.cdc import CDCRunner
+    from datetime import datetime, timezone
+
+    t = mk_table(spark, tmp_path, name="age")
+    runner = CDCRunner(t)
+    for b in range(5):
+        df = spark.createDataFrame(
+            [
+                (
+                    f"u{b}",
+                    datetime.fromtimestamp(100 + b, tz=timezone.utc),
+                    b"<p>x</p>",
+                    "update",
+                    b,
+                )
+            ],
+            "url string, warc_ts timestamp, html binary, op string, batch_id long",
+        )
+        runner.run(df)
+    t = t.refresh()
+    head = t.snapshot_id
+    # age the three oldest manifests artificially
+    for s in range(0, head - 1):
+        p = tmp_path / "age" / "_meta" / f"v{s}.json"
+        if p.exists():
+            os.utime(p, (_time.time() - 3600, _time.time() - 3600))
+
+    before = t.state_hash()
+    t.expire_snapshots(keep_last=1, older_than_sec=600)
+    t = t.refresh()
+    # the two young pre-expiry snapshots are retained, aged ones expired
+    assert t.min_retained_snapshot == head - 1
+    assert t.state_hash() == before
+    # floor: with a huge keep_last, age changes nothing
+    t.expire_snapshots(keep_last=50, older_than_sec=0)
+    t = t.refresh()
+    assert t.min_retained_snapshot == head - 1  # floor kept everything retained
+    assert t.state_hash() == before
