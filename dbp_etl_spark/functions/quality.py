@@ -72,7 +72,15 @@ def repetition_exprs(tokens: Column) -> dict[str, Column]:
             lambda x: F.size(F.filter(tokens, lambda y: y == x)),
         )
     )
+    # n_tok < 2 would make sequence(0, n_tok-2) descend and element_at
+    # throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT (one-token and empty docs
+    # are certain in a web corpus); CaseWhen only evaluates the matched
+    # branch, so the guard keeps short docs out of the bigram expression.
     return {
-        "dup_bigram_frac": F.round(1 - n_dist / n_bi, 4),
-        "top_token_frac": F.round(top_c / n_tok, 4),
+        "dup_bigram_frac": F.when(n_tok >= 2, F.round(1 - n_dist / n_bi, 4)).otherwise(
+            F.lit(0.0)
+        ),
+        "top_token_frac": F.when(n_tok >= 1, F.round(top_c / n_tok, 4)).otherwise(
+            F.lit(0.0)
+        ),
     }

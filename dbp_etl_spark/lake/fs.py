@@ -265,6 +265,13 @@ def copy_file(src_fs: Filesystem, src_path: str, dst_fs: Filesystem, dst_path: s
         return
     h = src_fs if isinstance(src_fs, HadoopFS) else dst_fs
     assert isinstance(h, HadoopFS)
+    # A LocalFS-side path is scheme-less; resolved via the HadoopFS
+    # handle's conf it would land on fs.defaultFS (hdfs:// on a real
+    # cluster) instead of the local disk — pin it to file:// explicitly.
+    if isinstance(src_fs, LocalFS) and not is_uri(src_path):
+        src_path = "file://" + os.path.abspath(src_path)
+    if isinstance(dst_fs, LocalFS) and not is_uri(dst_path):
+        dst_path = "file://" + os.path.abspath(dst_path)
     jvm = h._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     sp, dp = Path(src_path), Path(dst_path)

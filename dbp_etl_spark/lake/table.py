@@ -519,6 +519,15 @@ class LakeTable:
             "cloned_from": self.root,
             "source_snapshot": src_m["snapshot_id"],
         }
+        # Snapshot-id-relative state must NOT carry over: the clone's
+        # history starts at 0, so a source min_retained_snapshot (set by
+        # expire_snapshots) would make remove_orphan_files scan an empty
+        # snapshot range and delete every live file; tags and staged-WAP
+        # bookkeeping point at snapshot ids the clone does not have.
+        new_m.pop("min_retained_snapshot", None)
+        new_m.pop("tags", None)
+        for k in [k for k in new_m if k.startswith("wap_")]:
+            del new_m[k]
         dest_fs.create_text_exclusive(
             os.path.join(dest_root, _META, "v0.json"), json.dumps(new_m, indent=1)
         )

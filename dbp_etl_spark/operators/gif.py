@@ -258,6 +258,12 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, int]:
         delays.append(delay)
         if disposal == 2:  # restore to background
             canvas[iy : iy + ih, ix : ix + iw] = bg
+        # GIF89a: a graphic-control extension applies only to the single
+        # rendering block that follows it — reset so stale transparency /
+        # disposal never leaks into GCE-less frames.
+        transparent = None
+        disposal = 0
+        delay = 0
     if not frames:
         raise ValueError("GIF has no image frames")
     med = sorted(delays)[len(delays) // 2]
