@@ -75,48 +75,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
-    "maxwell_tail_apply",
-    "canal_tail_apply",
-    "scd2_history",
-    "doc_repetition_filter",
-    "doc_pii_redact",
-    "warc_ingest",
-    "cdf_changelog_feed",
-    "vector_index_sync_topk",
-    "constraint_gated_ingest",
-    "replica_filtered_sync",
-    "wap_audit_publish",
-    "metadata_agg_pushdown",
-    # Round-4 rotation: new-this-round queries first, then the 13 whose
-    # last driver-green row is round 2 (VERDICT.md r3 "What's wrong"
-    # #2), so the driver's 50-query prefix re-verifies all of them.
-    "mor_delta_merge_state",
-    "migrate_online_rebucket",
-    "debezium_tail_apply",
-    "hll_distinct_prefilter",
-    "cm_heavy_hitters",
-    "stats_pruned_range_scan",
-    "session_incident_overlap",
-    "zorder_multidim_scan",
-    "incremental_rollup_maintain",
-    "rollback_replay_converges",
-    "dim_snapshot_apply",
-    "patch_update_events",
-    "text_search_and",
-    "text_search_phrase",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "carry_forward_fill",
-    "doc_bpe_token_count",
-    "doc_chunks",
-    "doc_filter_pipeline",
-    "doc_lang_id",
-    "embedding_neardup",
-    "scalar_gauntlet",
-    "session_window_agg",
-    "simhash_fingerprints",
-    "state_invariant_checks",
-    "xml_dim_source",
+    # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
+    # first, then the 39 whose last driver-green row is round 3
+    # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
+    # then has a green row within two rounds.
+    "activity_islands",
+    "ann_cosine_topk",
+    "asof_last_event_value",
+    "contamination_ngram_overlap",
+    "dedup_exact_docs",
+    "derived_variants",
+    "distinct_event_types",
+    "doc_fingerprint",
+    "doc_quality_score",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "embedding_norms_by_label",
+    "event_type_pivot",
+    "fuzzy_name_match",
+    "global_sequence_assignment",
+    "global_sequence_scalable",
+    "json_props_extract",
+    "merge_value_ranges",
+    "minhash_lsh_neardups",
+    "missing_days_per_user",
+    "normalized_host_rollup",
+    "sales_cube",
+    "sales_rollup",
+    "session_gaps",
+    "sessionize_events",
+    "setops_user_cohorts",
+    "shipping_priority_top10",
+    "status_priority_cube",
+    "stratified_sample_docs",
+    "text_to_embedding_ann",
+    "top3_orders_per_customer",
+    "top_tokens",
+    "tumbling_window_agg",
+    "user_active_days_list",
+    "user_event_path",
+    "user_segment_classifier",
+    "value_percentiles",
+    "value_statistics",
+    "window_stats_suite",
 ]
 
 
