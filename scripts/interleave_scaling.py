@@ -57,6 +57,7 @@ def main():
 
     per_level: dict[int, list[dict]] = {lo: [], hi: []}
     pair_effs = []
+    probes: list[dict] = []
     for r in range(rounds):
         row = {}
         for cores in (lo, hi):
@@ -71,11 +72,21 @@ def main():
                 bench.run_cdc_pipeline(
                     spark, max(n_events // 8, 100_000), work_dir=tmpfs, transform=tf
                 )  # warmup per level, once
+            p0 = bench.host_probe()
             res = bench.run_cdc_pipeline(spark, n_events, work_dir=tmpfs, transform=tf)
+            p1 = bench.host_probe()
             spark.stop()
+            res["probe_before"], res["probe_after"] = p0, p1
+            probes.append(
+                {"round": r, "cores": cores, "before": p0, "after": p1}
+            )
             per_level[cores].append(res)
             row[cores] = res["events_per_sec"]
-            print(f"round {r} cores {cores}: {res['events_per_sec']} ev/s", flush=True)
+            print(
+                f"round {r} cores {cores}: {res['events_per_sec']} ev/s "
+                f"(probe {p0}/{p1} s)",
+                flush=True,
+            )
         pair_effs.append(round((row[hi] / row[lo]) / (hi / lo), 3))
 
     best = {c: max(rs, key=lambda x: x["events_per_sec"]) for c, rs in per_level.items()}
@@ -96,10 +107,15 @@ def main():
                     str(c): {
                         "best_events_per_sec": best[c]["events_per_sec"],
                         "all_runs": [r["events_per_sec"] for r in per_level[c]],
+                        "probes": [
+                            [r.get("probe_before"), r.get("probe_after")]
+                            for r in per_level[c]
+                        ],
                     }
                     for c in (lo, hi)
                 },
                 "per_round_eff": pair_effs,
+                "probes": probes,
                 "state_identical": len(hashes) == 1,
                 "events": n_events,
                 "rounds": rounds,
