@@ -1181,7 +1181,9 @@ class LakeTable:
             rc = _row_change_of(m)
             if rc == "unknown":
                 return None
-            if rc == "log" and _changelog_paths(m):
+            if rc == "log" and (
+                _changelog_paths(m) or (m.get("summary") or {}).get("changelog_from_data")
+            ):
                 out.append((snap, m))
         return out
 
@@ -1240,8 +1242,29 @@ class LakeTable:
                     T.StructField("_change_type", T.StringType()),
                 ]
             )
-            paths = [os.path.join(self.root, p) for p in _changelog_paths(m)]
-            df = self.spark.read.schema(read_schema).parquet(*paths)
+            from_data = (m.get("summary") or {}).get("changelog_from_data")
+            if from_data:
+                # insert-only commit (append feed='insert'): the feed is
+                # the commit's own data files — every row an insert with
+                # no pre-image. No changelog bytes were ever written.
+                data_schema = T.StructType(
+                    [T.StructField(c, snap_struct[c].dataType) for c in snap_cols]
+                )
+                pre_t = T.StructType(
+                    [T.StructField(c, snap_struct[c].dataType) for c in snap_others]
+                )
+                df = (
+                    self.spark.read.schema(data_schema)
+                    .parquet(*[os.path.join(self.root, p) for p in from_data])
+                    .select(
+                        *snap_cols,
+                        F.lit(None).cast(pre_t).alias("_pre"),
+                        F.lit("insert").alias("_change_type"),
+                    )
+                )
+            else:
+                paths = [os.path.join(self.root, p) for p in _changelog_paths(m)]
+                df = self.spark.read.schema(read_schema).parquet(*paths)
 
             def _post(c: str):
                 src = name_by_id.get(to_id_by_name[c])
@@ -1825,21 +1848,75 @@ class LakeTable:
             pre_partitioned=True,
         )
 
-    def append(self, df: DataFrame, batch_id, summary: dict | None = None) -> "LakeTable":
-        """Append-only commit (bulk load path; no key semantics)."""
+    def append(
+        self,
+        df: DataFrame,
+        batch_id,
+        summary: dict | None = None,
+        feed: str = "none",
+    ) -> "LakeTable":
+        """Append-only commit (bulk load path; no key semantics).
+
+        ``feed='insert'`` (changelog tables only): declare the batch as
+        pure inserts so the change feed covers it — the seed-then-tail
+        lifecycle (bulk load a corpus, then tail CDC) without
+        ``onMissingChangelog='skip'``. The declaration is VERIFIED
+        (keys unique within the batch, disjoint from visible state, no
+        tombstones) and the commit is marked ``row_change='log'`` with
+        the feed served FROM the new data files themselves
+        (``changelog_from_data``) — zero changelog write amplification,
+        the Delta-CDF insert-only-commit strategy. Verification costs
+        two key-column-only jobs over the batch; at seed scale that is
+        noise against the data write itself.
+        """
+        if feed not in ("none", "insert"):
+            raise ValueError("feed must be 'none' or 'insert'")
         if self.is_committed(batch_id):
             return self
+        summary = dict(summary or {})
+        if feed == "insert":
+            if not self.manifest.get("changelog"):
+                raise ValueError("feed='insert' requires a changelog=True table")
+            if self._wap_id is not None:
+                raise ValueError("feed='insert' append is not supported under WAP")
+            key = self.key
+            if "_deleted" in df.columns:
+                if df.filter(F.coalesce(F.col("_deleted"), F.lit(False))).limit(1).count():
+                    raise ValueError("feed='insert' batch must not carry tombstones")
+            if df.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
+                raise ValueError(
+                    f"feed='insert' requires key-unique rows (duplicate {key}s "
+                    "in the batch); use the CDC merge path instead"
+                )
+            if (
+                df.select(key)
+                .join(self.read().select(key), key, "left_semi")
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    f"feed='insert' batch contains {key}s already visible in the "
+                    "table — those are updates, not inserts; use the CDC merge path"
+                )
         snap_id = self.snapshot_id + 1
-        new_files = self._write_data(df, snap_id, self.manifest["schema_version"])
+        ver = self.manifest["schema_version"]
+        new_files = self._write_data(df, snap_id, ver)
+        if feed == "insert":
+            summary["row_change"] = "log"
+            summary["changelog_from_data"] = [e["path"] for e in new_files]
+            summary["changelog_schema_version"] = ver
         new_manifest = dict(self.manifest)
         new_manifest["snapshot_id"] = snap_id
         new_manifest["parent_id"] = self.snapshot_id
         new_manifest["files"] = self.manifest["files"] + new_files
         self._unmigrate(new_manifest, {e["bucket"] for e in new_files})
         ledger = dict(self.manifest["committed_batches"])
-        ledger[str(batch_id)] = {"snapshot_id": snap_id, **(summary or {})}
+        ledger[str(batch_id)] = {
+            "snapshot_id": snap_id,
+            **{k: v for k, v in summary.items() if k != "changelog_from_data"},
+        }
         new_manifest["committed_batches"] = ledger
-        new_manifest["summary"] = summary or {}
+        new_manifest["summary"] = summary
         return self._commit(new_manifest)
 
     def create_view(

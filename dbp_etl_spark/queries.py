@@ -2406,6 +2406,48 @@ def text_search_phrase(spark, sf_dir):
 
 
 @q(
+    "text_search_bm25",
+    """
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents),
+    tfg AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tokd) GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tokd WHERE len(toks) > 0),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT tfg.doc_id,
+             ln((stats.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+             * (tfg.tf * 2.2)
+               / (tfg.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tfg
+      JOIN (SELECT tok, count(*) AS df FROM tfg
+            WHERE tok IN ('spark', 'query', 'index') GROUP BY 1) qdf USING (tok)
+      JOIN dl USING (doc_id) CROSS JOIN stats),
+    scored AS (SELECT doc_id AS doc, round(sum(s), 4) AS score FROM hits GROUP BY 1)
+    SELECT doc, score, rk FROM (
+      SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rk
+      FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def text_search_bm25(spark, sf_dir):
+    """BM25-ranked retrieval over the inverted index (k1=1.2, b=0.75,
+    OR semantics, one absent query term exercising the no-hit path) —
+    the relevance-ranked counterpart of the reference's FULLTEXT
+    MATCH...AGAINST (/root/reference/database/dbp.sql:759-764). Plan:
+    term-IN filter pushed to the postings scan, vocabulary-bounded df
+    agg broadcast back, one doc-keyed join to the doc-length table,
+    TakeOrdered top-k (the rank window sees only k rows)."""
+    from dbp_etl_spark.operators.text_search import build_postings, search_ranked
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_ranked(build_postings(docs), ["spark", "query", "index"], k=10)
+
+
+@q(
     "incremental_rollup_maintain",
     """
     WITH pre AS (

@@ -38,9 +38,13 @@ Options:
 * ``includePre`` — also emit ``update_pre`` rows (default false).
 * ``onMissingChangelog`` — ``error`` (default) or ``skip`` for commits
   that changed rows without a changelog. On a ``changelog=True`` table
-  MERGE / snapshot-apply / DML / same-schema rollback are all covered;
-  the uncovered commits are bulk ``append`` (may violate
-  key-uniqueness, so no per-key feed is derivable), merge-on-read
+  MERGE / snapshot-apply / DML / same-schema rollback are all covered,
+  and so is ``append(feed='insert')`` — the verified-insert-only bulk
+  load whose feed is served from the commit's own data files
+  (``changelog_from_data``), covering the seed-then-tail lifecycle with
+  zero changelog write amplification. The uncovered commits are plain
+  bulk ``append`` (may violate key-uniqueness, so no per-key feed is
+  derivable), merge-on-read
   ``delete_keys`` (unconditional equality deletes — deriving the feed
   would need the target read the fast path exists to avoid), WAP
   publishes (squashed multi-commit branches) and schema-reverting
@@ -104,12 +108,24 @@ class _ChangelogFilePartition(InputPartition):
     schema: ``post_srcs``/``pre_srcs`` map each output column to the
     file's column name for the same column id (None => NULL-fill)."""
 
-    def __init__(self, path: str, snapshot: int, post_srcs, pre_srcs, include_pre: bool):
+    def __init__(
+        self,
+        path: str,
+        snapshot: int,
+        post_srcs,
+        pre_srcs,
+        include_pre: bool,
+        insert_only: bool = False,
+    ):
         self.path = path
         self.snapshot = snapshot
         self.post_srcs = post_srcs  # list[(out_name, src_name|None)]
         self.pre_srcs = pre_srcs  # list[(out_name, src_name|None)], key pre = key
         self.include_pre = include_pre
+        # insert_only: the "file" is a DATA file of an append(feed=
+        # 'insert') commit — no _change_type/_pre columns on disk;
+        # every row streams as an insert with no pre-image.
+        self.insert_only = insert_only
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -186,7 +202,8 @@ class _CDFStreamReader(DataSourceStreamReader):
                 (name, name_by_id.get(cid)) for name, cid, _dt in self.schema_cols
             ]
             pre_srcs = post_srcs  # same id mapping; key handled in read()
-            for rel in _changelog_paths(m):
+            from_data = (m.get("summary") or {}).get("changelog_from_data")
+            for rel in from_data or _changelog_paths(m):
                 out.append(
                     _ChangelogFilePartition(
                         os.path.join(self.root, rel),
@@ -194,6 +211,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                         post_srcs,
                         pre_srcs,
                         self.include_pre,
+                        insert_only=bool(from_data),
                     )
                 )
         return out
@@ -209,9 +227,11 @@ class _CDFStreamReader(DataSourceStreamReader):
         # _pre struct duplicating the full row — skip decoding it (and
         # any column dropped since) unless the stream asked for it
         file_names = set(pq.read_schema(partition.path).names)
-        wanted = {src for _name, src in partition.post_srcs if src} | {"_change_type"}
-        if partition.include_pre:
-            wanted.add("_pre")
+        wanted = {src for _name, src in partition.post_srcs if src}
+        if not partition.insert_only:
+            wanted.add("_change_type")
+            if partition.include_pre:
+                wanted.add("_pre")
         tbl = pq.read_table(
             partition.path, columns=sorted(wanted & file_names)
         ).combine_chunks()
@@ -228,7 +248,10 @@ class _CDFStreamReader(DataSourceStreamReader):
 
         key_name = self.schema_cols[0][0]
         post = [col(src, name) for name, src in partition.post_srcs]
-        ct = pc.cast(tbl["_change_type"], pa.string())
+        if partition.insert_only:
+            ct = pa.array(["insert"] * n, type=pa.string())
+        else:
+            ct = pc.cast(tbl["_change_type"], pa.string())
         snap_arr = pa.array([partition.snapshot] * n, type=pa.int64())
         out_names = [name for name, _src in partition.post_srcs] + [
             "_change_type",
@@ -237,8 +260,8 @@ class _CDFStreamReader(DataSourceStreamReader):
         yield pa.RecordBatch.from_arrays(
             [_as_array(a) for a in post] + [_as_array(ct), snap_arr], names=out_names
         )
-        if not partition.include_pre:
-            return
+        if not partition.include_pre or partition.insert_only:
+            return  # inserts have no pre-image
         mask = pc.equal(tbl["_change_type"], pa.scalar("update_post"))
         upd = tbl.filter(mask)
         m_rows = upd.num_rows

@@ -373,3 +373,117 @@ def test_replicate_stream_filtered(spark, tmp_path):
     want = {(r["url"], r["text"]) for r in src.read().filter(pred).collect()}
     got = {(r["url"], r["text"]) for r in tgt.read().collect()}
     assert got == want and want
+
+
+def seed_rows(spark, urls, ts=100):
+    return spark.createDataFrame(
+        [(u, ts, f"<p>{u}</p>".encode(), f"text {u}", "en") for u in urls],
+        "url string, ts long, html binary, text string, lang string",
+    ).select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "text", "lang"
+    )
+
+
+def test_append_insert_feed_seed_then_tail(spark, tmp_path):
+    """append(feed='insert') covers the seed-then-tail lifecycle: bulk
+    load a corpus, then tail CDC — the stream (default
+    onMissingChangelog='error') sees the seed as inserts served from
+    the commit's own data files, then the merge commits as usual."""
+    t = mk_table(spark, tmp_path)
+    t = t.append(seed_rows(spark, ["u1", "u2", "u3"]), batch_id="seed", feed="insert")
+    merge_batch(t, ev(spark, [("u1", 200, b"<p>a2</p>", "update"),
+                              ("u2", 200, None, "delete"),
+                              ("u4", 200, b"<p>d</p>", "insert")]), "b2")
+    t = t.refresh()
+
+    batches = []
+    run_once(read_change_stream(spark, t.root, startingSnapshot=0),
+             str(tmp_path / "ck"), batches)
+    got = sorted(norm_row(r) for _i, rows in batches for r in rows)
+    assert got == expected_feed(t, 0, t.snapshot_id)
+    seed_types = {
+        (r["url"], r["_change_type"])
+        for _i, rows in batches for r in rows if r["_commit_snapshot"] == 1
+    }
+    assert seed_types == {("u1", "insert"), ("u2", "insert"), ("u3", "insert")}
+
+    # includePre over the insert-only commit: no pre rows for it
+    batches2 = []
+    run_once(read_change_stream(spark, t.root, startingSnapshot=0, includePre=True),
+             str(tmp_path / "ck2"), batches2)
+    pre = [r for _i, rows in batches2 for r in rows
+           if r["_change_type"] == "update_pre"]
+    assert {r["url"] for r in pre} == {"u1"}  # only the merge's update
+
+
+def test_append_insert_feed_batch_read_changes(spark, tmp_path):
+    """Batch half: read_changes(use_changelog=True) serves the append
+    from its data files, and a window spanning seed+merge NET-merges
+    (seed insert then update of the same key => net insert w/ final
+    values)."""
+    t = mk_table(spark, tmp_path)
+    t = t.append(seed_rows(spark, ["u1", "u2"]), batch_id="seed", feed="insert")
+    got = {(r["url"], r["_change_type"], r["text"])
+           for r in t.read_changes(0, 1, use_changelog=True).collect()}
+    assert got == {("u1", "insert", "text u1"), ("u2", "insert", "text u2")}
+
+    merge_batch(t, ev(spark, [("u1", 200, b"<p>a2</p>", "update"),
+                              ("u2", 200, None, "delete")]), "b2")
+    t = t.refresh()
+    netted = {(r["url"], r["_change_type"])
+              for r in t.read_changes(0, 2, use_changelog=True).collect()}
+    # u1: insert->update nets to insert; u2: insert->delete cancels
+    assert netted == {("u1", "insert")}
+    # parity with the join-path diff
+    join_path = {(r["url"], r["_change_type"])
+                 for r in t.read_changes(0, 2, use_changelog=False).collect()}
+    assert netted == join_path
+
+
+def test_append_insert_feed_verification(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    # duplicate keys within the batch
+    dup = seed_rows(spark, ["u1", "u1"])
+    with pytest.raises(ValueError, match="key-unique"):
+        t.append(dup, batch_id="s1", feed="insert")
+    t = t.append(seed_rows(spark, ["u1"]), batch_id="s2", feed="insert")
+    # key already visible in the table
+    with pytest.raises(ValueError, match="already visible"):
+        t.append(seed_rows(spark, ["u1", "u9"]), batch_id="s3", feed="insert")
+    # tombstones are not inserts
+    tomb = seed_rows(spark, ["u7"]).withColumn("_deleted", F.lit(True))
+    with pytest.raises(ValueError, match="tombstone"):
+        t.append(tomb, batch_id="s4", feed="insert")
+    # failed verifications committed nothing
+    assert t.refresh().snapshot_id == 1
+    # non-changelog table
+    plain = LakeTable.create(
+        spark, str(tmp_path / "plain"), TableSchema.from_struct(PAGES),
+        key="url", num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="changelog=True"):
+        plain.append(seed_rows(spark, ["u1"]), batch_id="s5", feed="insert")
+    # exactly-once: replaying the committed batch id is a no-op
+    assert t.append(seed_rows(spark, ["zz"]), "s2", feed="insert").snapshot_id == 1
+
+
+def test_append_insert_feed_replicator_bootstrap(spark, tmp_path):
+    """Replicator over a seed-then-tail source: the streaming replica
+    bootstraps from the insert feed and converges to source state."""
+    from dbp_etl_spark.streaming.cdf_replicate import replicate_stream
+
+    src = mk_table(spark, tmp_path)
+    src = src.append(seed_rows(spark, [f"u{i}" for i in range(20)]),
+                     batch_id="seed", feed="insert")
+    merge_batch(src, ev(spark, [("u3", 200, b"<p>n3</p>", "update"),
+                                ("u5", 200, None, "delete"),
+                                ("u99", 200, b"<p>x</p>", "insert")]), "b2")
+    src = src.refresh()
+    tgt = LakeTable.create(
+        spark, str(tmp_path / "replica"), TableSchema.from_struct(PAGES),
+        key="url", num_buckets=2,
+    )
+    q = replicate_stream(spark, src.root, tgt, str(tmp_path / "ck"),
+                         startingSnapshot=0)
+    q.awaitTermination(180); q.stop()
+    assert _state(tgt.refresh()) == _state(src)

@@ -74,3 +74,75 @@ def test_index_scan_pushes_token_filter(spark, docs, tmp_path):
     # and the pruned scan still answers correctly
     got = {r["doc"]: r["n_matches"] for r in search_phrase(idx, ["brown", "fox"]).collect()}
     assert got == {0: 1, 2: 1}
+
+
+def _bm25_expected(terms, k1=1.2, b=0.75):
+    """Closed-form BM25 over DOCS computed in plain Python."""
+    import math
+    import re
+
+    toks = {i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for i, s in DOCS}
+    dls = {i: len(ts) for i, ts in toks.items() if ts}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for term in set(terms):
+        hits = {i: ts.count(term) for i, ts in toks.items() if term in ts}
+        if not hits:
+            continue
+        idf = math.log((n - len(hits) + 0.5) / (len(hits) + 0.5) + 1.0)
+        for i, tf in hits.items():
+            tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+            scores[i] = scores.get(i, 0.0) + idf * tfn
+    return {i: round(s, 4) for i, s in scores.items()}
+
+
+def test_search_ranked_bm25_scores(spark, docs):
+    from dbp_etl_spark.operators.text_search import search_ranked
+
+    p = build_postings(docs)
+    terms = ["brown", "quick", "absentterm"]
+    got = search_ranked(p, terms, k=10).collect()
+    want = _bm25_expected(terms)
+    assert {r["doc"]: r["score"] for r in got} == pytest.approx(want, abs=1e-4)
+    # OR semantics: docs matching ANY term rank; ranks are dense 1..n
+    assert [r["rk"] for r in sorted(got, key=lambda r: -r["score"])] == list(
+        range(1, len(want) + 1)
+    )
+    # rarer term outranks common one at equal tf: doc3 matches nothing
+    assert 3 not in {r["doc"] for r in got}
+
+
+def test_search_ranked_topk_and_ties(spark, docs):
+    from dbp_etl_spark.operators.text_search import search_ranked
+
+    p = build_postings(docs)
+    got = search_ranked(p, ["brown", "quick"], k=2).collect()
+    want = _bm25_expected(["brown", "quick"])
+    top2 = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc"], r["score"], r["rk"]) for r in sorted(got, key=lambda r: r["rk"])] == [
+        (d, pytest.approx(s, abs=1e-4), i + 1) for i, (d, s) in enumerate(top2)
+    ]
+    # all query terms absent: empty result, no crash
+    assert search_ranked(p, ["nosuchtoken"], k=5).count() == 0
+
+
+def test_search_ranked_pushes_term_filter(spark, docs, tmp_path):
+    """Persisted index: the query terms reach the postings scan as
+    PushedFilters (only those terms' rows are read) and the plan stays
+    join-keyed — no cartesian, no full sort (top-k is TakeOrdered)."""
+    from dbp_etl_spark.operators.text_search import doc_lengths, search_ranked
+
+    idx_path = str(tmp_path / "postings")
+    build_postings(docs).repartition("token").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    dl = doc_lengths(idx)
+    res = search_ranked(idx, ["brown", "quick"], k=3, doclens=dl)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "token" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    got = {r["doc"]: r["score"] for r in res.collect()}
+    want = _bm25_expected(["brown", "quick"])
+    top3 = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert got == pytest.approx(top3, abs=1e-4)
