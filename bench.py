@@ -251,6 +251,19 @@ def bench_default() -> dict:
     fused = run_cdc_pipeline(spark, CDC_EVENTS, work_dir=tmpfs, fuse=CDC_BATCHES)
     assert fused["state_hash"] == cdc["state_hash"], "fused apply diverged"
 
+    # sf1-class leg: the 1M default barely amortizes the ~11 s serial
+    # floor per run (r1 addendum), so throughput there understates the
+    # engine. One 10M-event run is the round's headline figure. Skipped
+    # when BENCH_CDC_EVENTS is overridden (quick smokes) unless
+    # BENCH_CDC_BIG_EVENTS forces a size.
+    big_default = "10000000" if "BENCH_CDC_EVENTS" not in os.environ else "0"
+    big_events = int(os.environ.get("BENCH_CDC_BIG_EVENTS", big_default))
+    big = None
+    if big_events > 0:
+        probe_before_big = host_probe()
+        big = run_cdc_pipeline(spark, big_events, work_dir=tmpfs)
+        probe_after_big = host_probe()
+
     total = round(time.time() - t_all, 3)
 
     # merge-on-read vs copy-on-write on a low-churn batch (the regime
@@ -285,6 +298,12 @@ def bench_default() -> dict:
         "host_probe_sec_before_cdc": probe_before,
         "host_probe_sec_after_cdc": probe_after,
     }
+    if big is not None:
+        out["cdc_events_per_sec_10M"] = big["events_per_sec"]
+        out["cdc_10M_events"] = big["events"]
+        out["cdc_10M_state_hash"] = big["state_hash"]
+        out["cdc_10M_wall_sec"] = big["wall_sec"]
+        out["host_probe_sec_around_10M"] = [probe_before_big, probe_after_big]
     if mor_ab is not None:
         out["mor_ab"] = mor_ab
     if repl_ab is not None:

@@ -86,6 +86,13 @@ from dbp_etl_spark.lake.table import LakeTable
 # columns the runner owns; everything else on the change events is payload
 _META = ("url", "warc_ts", "op")
 
+# mode='auto' upgrade point: history scan size above which the frontier
+# path's second commit pays for itself. Set from the measured sandbox
+# crossover (BENCH/scd2_frontier_r5*.json: plain's per-batch cost is a
+# full history scan including payloads; frontier's is ~flat) — scale
+# deployments can pass their own measurement via frontier_auto_bytes.
+FRONTIER_AUTO_BYTES = 2_000_000_000
+
 
 def scd2_schema(payload: dict[str, str]) -> TableSchema:
     """History-table schema for a given payload column set
@@ -188,6 +195,8 @@ class SCD2Runner:
         count_late: bool = False,
         frontier: LakeTable | None = None,
         txn=None,
+        mode: str | None = None,
+        frontier_auto_bytes: int = FRONTIER_AUTO_BYTES,
     ):
         self.hist = hist
         self.salt_buckets = salt_buckets
@@ -206,6 +215,96 @@ class SCD2Runner:
         # history (apply_batch's catch-up branch).
         self.frontier = frontier
         self.txn = txn
+        # ``mode``: 'plain' | 'frontier' | 'auto' (None infers from
+        # whether a frontier table was given, the pre-r5 API). 'auto'
+        # starts plain and upgrades — STICKY, no flapping — once the
+        # history's scan size (data_bytes()) crosses
+        # ``frontier_auto_bytes``: below it the plain is_current scan
+        # is cheaper than the frontier's second commit at every point
+        # measured (BENCH/scd2_frontier_*), above it the scan the
+        # frontier avoids dominates. On upgrade the frontier table is
+        # bootstrapped from history if it wasn't maintained (idempotent
+        # ledger id scd2f::bootstrap::hist<N>).
+        if mode is None:
+            mode = "frontier" if frontier is not None else "plain"
+        if mode not in ("plain", "frontier", "auto"):
+            raise ValueError("mode must be 'plain', 'frontier' or 'auto'")
+        if mode in ("frontier", "auto") and frontier is None:
+            raise ValueError(f"mode={mode!r} requires a frontier table")
+        if mode == "plain" and frontier is not None:
+            raise ValueError(
+                "a frontier table with mode='plain' would silently go stale; "
+                "use mode='auto' (or 'frontier')"
+            )
+        self.mode = mode
+        self.frontier_auto_bytes = frontier_auto_bytes
+        self._frontier_active = mode == "frontier"
+
+    def _use_frontier(self) -> bool:
+        """Whether THIS batch applies through the frontier path. In
+        auto mode the upgrade is evaluated per batch until it fires
+        (one metadata stat pass over the history manifest), then
+        sticky — the bootstrap cost is paid once."""
+        if self._frontier_active:
+            return True
+        if self.mode != "auto":
+            return False
+        if self.hist.data_bytes() >= self.frontier_auto_bytes:
+            self._ensure_frontier_synced()
+            self._frontier_active = True
+            return True
+        return False
+
+    def _frontier_in_sync(self) -> bool:
+        """True iff every row-changing history batch newer than the
+        last bootstrap has its frontier companion commit. Ledger-only
+        check (no data reads). Pruned-ledger edge: a missing entry
+        reads as out-of-sync and triggers a (harmless, idempotent)
+        re-bootstrap."""
+        from dbp_etl_spark.lake.table import _STATE_PRESERVING_SUMMARY_KEYS
+
+        fled = self.frontier.manifest["committed_batches"]
+        boot = -1
+        for k in fled:
+            if k.startswith("scd2f::bootstrap::hist"):
+                boot = max(boot, int(k.rsplit("hist", 1)[1]))
+        for b, e in self.hist.manifest["committed_batches"].items():
+            if e.get("snapshot_id", 0) <= boot:
+                continue
+            if _STATE_PRESERVING_SUMMARY_KEYS & set(e):
+                continue  # compaction/layout commits never move the frontier
+            if f"scd2f::{b}" not in fled:
+                return False
+        return True
+
+    def _ensure_frontier_synced(self) -> None:
+        self.frontier = self.frontier.refresh()
+        if not self._frontier_in_sync():
+            self.bootstrap_frontier()
+
+    def bootstrap_frontier(self) -> None:
+        """Derive the full frontier from history and merge it in — the
+        adoption path for turning frontier mode on over an existing
+        history (auto upgrade, or migrating a plain deployment).
+        No-op when the frontier already reflects the history (ledger
+        check), and exactly-once per history snapshot via the ledger
+        id otherwise."""
+        if self._frontier_in_sync():
+            return
+        bid = f"scd2f::bootstrap::hist{self.hist.snapshot_id}"
+        if self.frontier.is_committed(bid):
+            return
+        rows = self._frontier_rows(
+            self.hist.read().select(
+                F.col("entity_url").alias("_ent"),
+                F.col("url").alias("_vkey"),
+                "warc_ts",
+                "is_current",
+                "valid_from",
+            )
+        )
+        merge_batch(self.frontier, rows, bid, salt_buckets=self.salt_buckets)
+        self.frontier = self.frontier.refresh()
 
     # ------------------------------------------------------------ plumbing
 
@@ -465,14 +564,15 @@ class SCD2Runner:
 
     def apply_batch(self, batch: DataFrame, batch_id) -> MergeResult:
         fid = f"scd2f::{batch_id}"
+        use_frontier = self._use_frontier()
         if self.hist.is_committed(batch_id):
-            if self.frontier is not None and not self.frontier.is_committed(fid):
+            if use_frontier and not self.frontier.is_committed(fid):
                 # non-txn crash window: history landed, frontier didn't
                 self._repair_frontier(batch, fid)
                 self.frontier = self.frontier.refresh()
             return MergeResult(batch_id=batch_id, skipped=True, snapshot_id=self.hist.snapshot_id)
         payload_cols = self._payload_cols(batch, batch_col="")
-        if self.frontier is not None:
+        if use_frontier:
             upserts, frontier_rows, late, live = self._versioned_upserts_frontier(
                 batch, payload_cols
             )

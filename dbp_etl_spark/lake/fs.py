@@ -46,6 +46,7 @@ class Filesystem:
     def delete(self, path: str, recursive: bool = False) -> bool: ...
     def is_dir(self, path: str) -> bool: ...
     def mtime(self, path: str) -> float: ...
+    def size(self, path: str) -> int: ...
 
 
 class LocalFS(Filesystem):
@@ -109,6 +110,9 @@ class LocalFS(Filesystem):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
 
 class HadoopFS(Filesystem):
@@ -229,6 +233,9 @@ class HadoopFS(Filesystem):
 
     def mtime(self, path: str) -> float:
         return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
 
 
 def is_uri(root: str) -> bool:

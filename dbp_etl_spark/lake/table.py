@@ -2759,6 +2759,18 @@ class LakeTable:
             out.setdefault(name_to_id[col], []).append((op, val))
         return out
 
+    def data_bytes(self) -> int:
+        """Total on-disk bytes of the current snapshot's data files
+        (metadata-only: one stat per file, no row reads). The size of a
+        full table scan — what operators that would scan state (e.g.
+        SCD2 plain-mode lookup) consult to decide whether a
+        state-avoiding strategy pays for itself."""
+        return sum(
+            self._fs.size(os.path.join(self.root, p))
+            for f in self.manifest["files"]
+            for p in _entry_paths(f)
+        )
+
     def count_rows(self, where: list[tuple] | None = None, detail: bool = False):
         """Exact live-row count — optionally under ``where`` predicates
         (same ``(col, op, value)`` grammar as ``read``) — answered from

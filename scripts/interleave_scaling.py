@@ -14,11 +14,24 @@ JVM-only control that hits the same ceiling. The 1v4 pair is the
 configuration that stays under the quota.
 
 Usage: python scripts/interleave_scaling.py [n_events] [rounds] [lo] [hi]
+                                             [--pin] [--jvm-only]
 Prints per-round lines then a JSON summary; tee into BENCH/.
+
+``--pin`` runs each level in a fresh subprocess bound with
+``taskset -c 0..N-1`` (scripts/run_cdc_level.py), so the WHOLE level —
+JVM task threads, GC, netty, Python/Arrow workers — shares exactly N
+CPUs. That is the faithful sandbox analog of "N single-core executors":
+unpinned, a local[1] driver actually burns ~2 CPUs (JVM task thread +
+overlapping Python worker), which inflates the lo baseline and deflates
+measured N->4N efficiency to ~0.67-0.70 even in quota-healthy windows
+(BENCH/scaling_r5_1_4_12M.log: eff 0.701 with the thread-matched CPU
+control at 0.935). On a real cluster each executor IS capped at its
+core count; pinning reproduces that boundary.
 """
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -51,14 +64,15 @@ def quota_control(lo: int, hi: int, iters: int = 40_000_000) -> dict:
     episode — this is the "same-window control proving the quota" the
     r4 verdict asked for.
 
-    Probes at THREE process counts: ``lo``, ``hi``, and ``2*hi`` — the
-    last because a Spark level at N cores actually demands ~2N threads
-    of CPU (N task threads + N Python/Arrow workers), so the quota that
-    matters for the hi engine level is the one visible at 2*hi procs.
+    Probes at FOUR process counts: ``lo``, ``2*lo``, ``hi``, ``2*hi``.
+    The doubled counts matter because a Spark level at N cores actually
+    demands ~2N threads of CPU (N JVM task threads + N Python/Arrow
+    workers), so the quota that bounds the ENGINE's lo→hi pair is the
+    one visible between 2*lo and 2*hi procs — ``eff_threads`` below.
     Measured r5 window: 1/4 procs scale ~1.0 but 8 procs read ~5.5
     effective cores — the host clamp engages between 4 and 8 threads."""
     rates = {}
-    for n in (lo, hi, 2 * hi):
+    for n in sorted({lo, 2 * lo, hi, 2 * hi}):
         t0 = bench.time.time()
         bench.host_probe(nproc=n, iters=iters)
         wall = bench.time.time() - t0
@@ -67,15 +81,40 @@ def quota_control(lo: int, hi: int, iters: int = 40_000_000) -> dict:
     return {
         "rates_mops": {str(k): v for k, v in rates.items()},
         "eff": eff,
+        # quota-implied ceiling for the engine pair: the engine's lo
+        # level runs ~2*lo threads and its hi level ~2*hi — this is the
+        # scaling a PERFECT engine could show under the same quota
+        "eff_threads": round((rates[2 * hi] / rates[2 * lo]) / (hi / lo), 3),
         # aggregate CPU available to a 2*hi-thread workload, in units
         # of single-proc cores — the engine's hi level needs 2*hi
         "effective_cores_at_2hi": round(rates[2 * hi] / rates[lo], 2),
     }
 
 
+def run_level_pinned(cores: int, n_events: int, warmup: int) -> dict:
+    """One measurement at ``cores``, in a fresh subprocess pinned to
+    exactly that many CPUs. Fresh process per level => the pin applies
+    to every thread from JVM birth, and JIT warmup happens inside the
+    pinned budget (as it would on a real executor)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "run_cdc_level.py")
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+        sys.executable, script, str(cores), str(n_events), str(warmup),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    for line in proc.stdout.splitlines():
+        if line.startswith("LEVEL_RESULT "):
+            return json.loads(line[len("LEVEL_RESULT "):])
+    raise RuntimeError(
+        f"pinned level cores={cores} produced no result; "
+        f"rc={proc.returncode} tail={proc.stdout[-500:]} {proc.stderr[-2000:]}"
+    )
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--jvm-only"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     jvm_only = "--jvm-only" in sys.argv
+    pin = "--pin" in sys.argv
     n_events = int(args[0]) if len(args) > 0 else 3_000_000
     rounds = int(args[1]) if len(args) > 1 else 2
     lo = int(args[2]) if len(args) > 2 else 1
@@ -96,21 +135,30 @@ def main():
         print(f"round {r} quota-control: {ctl}", flush=True)
         row = {}
         for cores in (lo, hi):
-            spark = get_spark(
-                app_name=f"interleave-{cores}",
-                cores=cores,
-                shuffle_partitions=max(cores, 2),
-                extra_conf=extra,
-            )
-            tf = _jvm_only_transform if jvm_only else None
-            if r == 0:
-                bench.run_cdc_pipeline(
-                    spark, max(n_events // 8, 100_000), work_dir=tmpfs, transform=tf
-                )  # warmup per level, once
-            p0 = bench.host_probe()
-            res = bench.run_cdc_pipeline(spark, n_events, work_dir=tmpfs, transform=tf)
-            p1 = bench.host_probe()
-            spark.stop()
+            if pin:
+                if jvm_only:
+                    raise SystemExit("--pin and --jvm-only are mutually exclusive")
+                # warmup inside the pinned subprocess every round: each
+                # level gets a fresh JVM, so JIT state never carries over
+                p0 = bench.host_probe()
+                res = run_level_pinned(cores, n_events, max(n_events // 8, 100_000))
+                p1 = bench.host_probe()
+            else:
+                spark = get_spark(
+                    app_name=f"interleave-{cores}",
+                    cores=cores,
+                    shuffle_partitions=max(cores, 2),
+                    extra_conf=extra,
+                )
+                tf = _jvm_only_transform if jvm_only else None
+                if r == 0:
+                    bench.run_cdc_pipeline(
+                        spark, max(n_events // 8, 100_000), work_dir=tmpfs, transform=tf
+                    )  # warmup per level, once
+                p0 = bench.host_probe()
+                res = bench.run_cdc_pipeline(spark, n_events, work_dir=tmpfs, transform=tf)
+                p1 = bench.host_probe()
+                spark.stop()
             res["probe_before"], res["probe_after"] = p0, p1
             probes.append(
                 {"round": r, "cores": cores, "before": p0, "after": p1}
@@ -132,16 +180,22 @@ def main():
     hashes = {r["state_hash"] for rs in per_level.values() for r in rs}
     eff = round((best[hi]["events_per_sec"] / best[lo]["events_per_sec"]) / (hi / lo), 3)
     control_eff = max(c["eff"] for c in controls)
+    # the quota-implied ceiling for THIS engine pair (2 threads/core):
+    # what a perfectly-scaling job could show in the same windows
+    control_eff_threads = max(c["eff_threads"] for c in controls)
+    eff_vs_control = round(eff / control_eff_threads, 3) if control_eff_threads else None
     print(
         f"best {lo}-core: {best[lo]['events_per_sec']} "
         f"best {hi}-core: {best[hi]['events_per_sec']} eff: {eff} "
-        f"control_eff: {control_eff} eff_vs_control: "
-        f"{round(eff / control_eff, 3) if control_eff else None}"
+        f"control_eff(procs={lo}v{hi}): {control_eff} "
+        f"control_eff(threads={2*lo}v{2*hi}): {control_eff_threads} "
+        f"eff_vs_control: {eff_vs_control}"
     )
     print(
         json.dumps(
             {
                 "metric": "cdc_scaling_efficiency_interleaved",
+                "pinned_cpus": pin,
                 "transform": "jvm_only" if jvm_only else "arrow_udf",
                 "value": eff,
                 "unit": "ratio",
@@ -159,9 +213,8 @@ def main():
                 "per_round_eff": pair_effs,
                 "quota_controls": controls,
                 "control_eff": control_eff,
-                "eff_vs_control": (
-                    round(eff / control_eff, 3) if control_eff else None
-                ),
+                "control_eff_threads": control_eff_threads,
+                "eff_vs_control": eff_vs_control,
                 "probes": probes,
                 "state_identical": len(hashes) == 1,
                 "events": n_events,

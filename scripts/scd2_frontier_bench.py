@@ -24,13 +24,21 @@ from dbp_etl_spark.lake import LakeTable  # noqa: E402
 from dbp_etl_spark.session import get_spark  # noqa: E402
 
 
-def mk_events(spark, n, n_entities, ts_base, batch_id):
+def mk_events(spark, n, n_entities, ts_base, batch_id, payload_bytes=0):
+    # payload_bytes pads html toward a realistic page size: the plain
+    # mode's per-batch cost is a full history scan INCLUDING payloads,
+    # so benching with 10-byte pages understates exactly the cost the
+    # frontier exists to avoid (r4 bench shape; Common-Crawl pages are
+    # tens of KB)
     rid = F.col("id")
+    pad = (
+        F.repeat(F.lit("x"), int(payload_bytes)) if payload_bytes else F.lit("")
+    )
     return spark.range(n).select(
         F.concat(F.lit("https://host"), (rid % 97).cast("string"),
                  F.lit(".example/p"), (rid % n_entities).cast("string")).alias("url"),
         F.timestamp_seconds(F.lit(ts_base) + rid).alias("warc_ts"),
-        F.encode(F.concat(F.lit("<p>v"), rid.cast("string"), F.lit("</p>")), "utf-8").alias("html"),
+        F.encode(F.concat(F.lit("<p>v"), rid.cast("string"), pad, F.lit("</p>")), "utf-8").alias("html"),
         F.lit("update").alias("op"),
         F.lit(batch_id).alias("batch_id"),
     )
@@ -42,15 +50,19 @@ def main() -> None:
     n_entities = int(args[0]) if args else 400_000
     batch_n = int(args[1]) if len(args) > 1 else 20_000
     versions = int(args[2]) if len(args) > 2 else 3
+    payload_bytes = int(args[3]) if len(args) > 3 else 0
 
     spark = get_spark(app_name="scd2-frontier-bench", cores=16, shuffle_partitions=32)
     root = tempfile.mkdtemp(prefix="scd2_fb_")
     seeds = [
-        mk_events(spark, n_entities, n_entities, 1_700_000_000 + i * 3_000_000, i)
+        mk_events(spark, n_entities, n_entities, 1_700_000_000 + i * 3_000_000, i,
+                  payload_bytes)
         for i in range(versions)
     ]
-    small1 = mk_events(spark, batch_n, n_entities, 1_800_000_000, versions + 10)
-    small2 = mk_events(spark, batch_n, n_entities, 1_810_000_000, versions + 11)
+    small1 = mk_events(spark, batch_n, n_entities, 1_800_000_000, versions + 10,
+                       payload_bytes)
+    small2 = mk_events(spark, batch_n, n_entities, 1_810_000_000, versions + 11,
+                       payload_bytes)
 
     def seeded(name, frontier):
         # merge-on-read history in BOTH modes: the history MERGE's
@@ -101,6 +113,9 @@ def main() -> None:
         "n_entities": n_entities,
         "batch_events": batch_n,
         "history_versions": versions,
+        "payload_bytes": payload_bytes,
+        "history_data_bytes": front.hist.data_bytes()
+        if hasattr(front.hist, "data_bytes") else None,
         "plain_lookup_apply_sec": round(min(t_plain_a, t_plain_b), 2),
         "frontier_lookup_apply_sec": round(min(t_front_a, t_front_b), 2),
         "speedup": round(min(t_plain_a, t_plain_b) / min(t_front_a, t_front_b), 2),

@@ -384,3 +384,65 @@ def test_frontier_crash_repair_on_resume(spark, tmp_path):
     SCD2Runner(ref).run(log_df(spark))
     assert hist_state(runner.hist) == hist_state(ref)
     assert frontier_state(runner.frontier) == expected_frontier_from_hist(runner.hist)
+
+
+def test_auto_mode_upgrades_bootstraps_and_matches_plain(spark, tmp_path):
+    """mode='auto': batch 0 applies plain (history below the byte
+    threshold), the next batch crosses it — frontier bootstrapped from
+    history, sticky frontier applies from then on; final history equals
+    the all-plain reference and the frontier equals its derivation."""
+    hist = mk_hist(spark, tmp_path, "ahist")
+    fr = mk_frontier(spark, tmp_path, "afr")
+    runner = SCD2Runner(hist, frontier=fr, mode="auto", frontier_auto_bytes=1,
+                        count_late=True)
+    assert not runner._frontier_active
+    rep = runner.run(log_df(spark))
+    assert rep.n_late == 0 and runner._frontier_active
+
+    ref = mk_hist(spark, tmp_path, "ref")
+    SCD2Runner(ref).run(log_df(spark))
+    assert hist_state(runner.hist) == hist_state(ref)
+    assert frontier_state(runner.frontier) == expected_frontier_from_hist(runner.hist)
+    fled = runner.frontier.manifest["committed_batches"]
+    boots = [k for k in fled if k.startswith("scd2f::bootstrap::hist")]
+    assert len(boots) == 1  # one upgrade, one bootstrap
+    assert "scd2f::0" not in fled  # batch 0 was applied plain
+    assert "scd2f::1" in fled and "scd2f::2" in fled
+
+    # late guard still holds through the upgraded frontier path
+    late = [("u2", ts("2024-01-02 00:30:00"), b"<p>zombie</p>", "update", 9.0, 7)]
+    before = hist_state(runner.hist)
+    rep2 = runner.run(log_df(spark, late))
+    assert rep2.n_late == 1 and hist_state(runner.hist) == before
+
+
+def test_auto_mode_stays_plain_below_threshold(spark, tmp_path):
+    hist = mk_hist(spark, tmp_path, "bhist")
+    fr = mk_frontier(spark, tmp_path, "bfr")
+    runner = SCD2Runner(hist, frontier=fr, mode="auto",
+                        frontier_auto_bytes=10**15)
+    runner.run(log_df(spark))
+    assert not runner._frontier_active
+    assert runner.frontier.refresh().snapshot_id == 0  # never touched
+    ref = mk_hist(spark, tmp_path, "ref2")
+    SCD2Runner(ref).run(log_df(spark))
+    assert hist_state(runner.hist) == hist_state(ref)
+
+
+def test_auto_mode_bootstrap_idempotent_and_validation(spark, tmp_path):
+    import pytest
+
+    hist = mk_hist(spark, tmp_path, "chist")
+    fr = mk_frontier(spark, tmp_path, "cfr")
+    runner = SCD2Runner(hist, frontier=fr, mode="auto", frontier_auto_bytes=1)
+    runner.run(log_df(spark, [r for r in LOG if r[5] <= 1]))
+    snap = runner.frontier.snapshot_id
+    runner.bootstrap_frontier()  # same hist snapshot: ledger no-op
+    assert runner.frontier.snapshot_id == snap
+
+    with pytest.raises(ValueError, match="requires a frontier"):
+        SCD2Runner(hist, mode="frontier")
+    with pytest.raises(ValueError, match="stale"):
+        SCD2Runner(hist, frontier=fr, mode="plain")
+    with pytest.raises(ValueError, match="mode must be"):
+        SCD2Runner(hist, frontier=fr, mode="bogus")
