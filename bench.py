@@ -54,6 +54,35 @@ def _burn(n: int) -> int:
     return s
 
 
+def _stream_copy(args) -> float:
+    """One worker of host_probe_mem: repeated 128 MiB buffer copies.
+    Returns aggregate GiB moved (read+write)."""
+    mib, reps = args
+    import numpy as np
+
+    src = np.ones(mib * 1024 * 1024 // 8, dtype=np.int64)
+    dst = np.empty_like(src)
+    for _ in range(reps):
+        np.copyto(dst, src)
+        src[0] += 1  # defeat any copy-elision
+    return reps * mib * 2 / 1024.0
+
+
+def host_probe_mem(nproc: int = 4, mib: int = 128, reps: int = 20) -> float:
+    """Memory-BANDWIDTH control: aggregate GiB/s of N concurrent
+    streaming copies. The ALU probe (host_probe) tests the CPU quota
+    only; a shuffle/parquet/Arrow-heavy engine can instead hit the
+    host's DRAM or cgroup IO ceiling, which shows up here as sub-linear
+    GiB/s growth with nproc while the ALU probe still scales ~1.0.
+    Complements host_probe in scaling-run quota controls."""
+    from multiprocessing import Pool
+
+    t0 = time.time()
+    with Pool(nproc) as p:
+        moved = sum(p.map(_stream_copy, [(mib, reps)] * nproc))
+    return round(moved / (time.time() - t0), 2)
+
+
 def host_probe(nproc: int = 8, iters: int = 20_000_000) -> float:
     """Same-file host-health control: aggregate CPU quota probe.
 
@@ -198,7 +227,12 @@ def bench_default() -> dict:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmpfs = "/dev/shm" if os.path.isdir("/dev/shm") else None
     extra = {"spark.local.dir": f"{tmpfs}/spark-local"} if tmpfs else {}
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus, extra_conf=extra)
+    # 2 waves/core here (not 4: the query suite's inputs are small and
+    # per-task overhead would dominate at 128 partitions); the big CDC
+    # legs still get tail-packing headroom. AQE coalesces the rest.
+    spark = get_spark(
+        app_name="bench", cores=cpus, shuffle_partitions=2 * cpus, extra_conf=extra
+    )
 
     # warm the session (codegen, parquet reader init) OUTSIDE the
     # per-query timers so the first query's time is the query, not JVM
@@ -669,7 +703,10 @@ def bench_scaling(levels=(4, 16), n_events: int | None = None) -> dict:
         spark = get_spark(
             app_name=f"bench-scaling-{cores}",
             cores=cores,
-            shuffle_partitions=cores,
+            # 4 waves/core (same rule at every level): one-wave reduce
+            # stages idle every core behind their slowest task — see
+            # scripts/run_cdc_level.py for the measured 1.57x at 4 cores
+            shuffle_partitions=4 * cores,
             extra_conf=extra,
         )
         run_cdc_pipeline(spark, max(n_events // 8, 100_000), work_dir=tmpfs)  # warmup

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
+from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest, dedup_latest_cdc
 from dbp_etl_spark.functions.extract import extract_and_lang_udf
 from dbp_etl_spark.lake.table import LakeTable
 
@@ -388,8 +388,18 @@ def merge_batch(
             salt_buckets=salt_buckets,
         )
     else:
-        src = dedup_latest(
-            valid, key, cdc_order(batch_col=batch_tiebreak), salt_buckets=salt_buckets
+        # agg-based dedup (map-side combine, shuffle ~keys not events;
+        # winner identical to dedup_latest(cdc_order) — see dedup.py).
+        # ``salt_buckets`` is unused here: partial aggregation already
+        # collapses hot keys per mapper, which is what the salt
+        # simulated for the window form.
+        src = dedup_latest_cdc(
+            valid,
+            key,
+            batch_col=batch_tiebreak,
+            batch_order=(
+                list(batch_id) if isinstance(batch_id, (list, tuple)) else [batch_id]
+            ),
         )
 
     # --- candidate buckets from the RAW batch keys (file pruning):

@@ -147,7 +147,9 @@ def main():
                 spark = get_spark(
                     app_name=f"interleave-{cores}",
                     cores=cores,
-                    shuffle_partitions=max(cores, 2),
+                    # 4 waves/core — see run_cdc_level.py: one-wave
+                    # stages idle every core behind the slowest task
+                    shuffle_partitions=4 * cores,
                     extra_conf=extra,
                 )
                 tf = _jvm_only_transform if jvm_only else None

@@ -32,6 +32,14 @@ def main() -> None:
     cores = int(args[0])
     n_events = int(args[1])
     warmup = int(args[2]) if len(args) > 2 else max(n_events // 8, 100_000)
+    # 4 task waves per core: shuffle_partitions == cores gives each
+    # reduce stage exactly one wave, so ANY straggler leaves the other
+    # cores idle for its whole tail — measured 278k -> 436k ev/s at 4
+    # cores just from 4 -> 16 partitions (12M events). Finer tasks
+    # pack the tail; AQE coalesces them back when they are tiny. Same
+    # RULE at every level (partitions proportional to cores), as a real
+    # cluster would configure it.
+    shuffle = int(args[3]) if len(args) > 3 else 4 * cores
     tmpfs = "/dev/shm" if os.path.isdir("/dev/shm") else None
     extra = {"spark.ui.showConsoleProgress": "false"}
     if tmpfs:
@@ -39,7 +47,7 @@ def main() -> None:
     spark = get_spark(
         app_name=f"cdc-level-{cores}",
         cores=cores,
-        shuffle_partitions=max(cores, 2),
+        shuffle_partitions=shuffle,
         extra_conf=extra,
     )
     if warmup:

@@ -26,13 +26,27 @@ from dbp_etl_spark.session import get_spark  # noqa: E402
 
 def mk_events(spark, n, n_entities, ts_base, batch_id, payload_bytes=0):
     # payload_bytes pads html toward a realistic page size: the plain
-    # mode's per-batch cost is a full history scan INCLUDING payloads,
-    # so benching with 10-byte pages understates exactly the cost the
-    # frontier exists to avoid (r4 bench shape; Common-Crawl pages are
-    # tens of KB)
+    # mode's per-batch cost is a full history scan INCLUDING payloads
+    # (the open-row semi-join can't push entity predicates into the
+    # scan), so benching with 10-byte pages understates exactly the
+    # cost the frontier exists to avoid (r4 bench shape; Common-Crawl
+    # pages are tens of KB). The pad is a per-row md5 chain — hex is
+    # ~2x snappy-compressible, close to real HTML's 3-5x, where an
+    # 'x'-repeat would RLE away to nothing and rig the bench the other
+    # way.
     rid = F.col("id")
     pad = (
-        F.repeat(F.lit("x"), int(payload_bytes)) if payload_bytes else F.lit("")
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(payload_bytes) // 32 - 1)),
+                lambda k: F.md5(
+                    F.concat(rid.cast("string"), F.lit(":"), k.cast("string"))
+                ),
+            ),
+        )
+        if payload_bytes >= 32
+        else F.lit("")
     )
     return spark.range(n).select(
         F.concat(F.lit("https://host"), (rid % 97).cast("string"),
@@ -105,10 +119,16 @@ def main() -> None:
     t_front_b = apply_small(front, small2)
     t_plain_b = apply_small(plain, small2)
 
-    h1 = sorted((r["entity_url"], str(r["valid_from"]), r["is_current"])
-                for r in plain.hist.read().collect())
-    h2 = sorted((r["entity_url"], str(r["valid_from"]), r["is_current"])
-                for r in front.hist.read().collect())
+    def state(t):
+        # project + hash distributed-side: never collect payload columns
+        return t.read().select(
+            F.md5(F.concat_ws("|", "entity_url", F.col("valid_from").cast("string"),
+                              F.col("is_current").cast("string"))).alias("h")
+        ).agg(F.count("*").alias("n"), F.sum(F.conv(F.substring("h", 1, 15), 16, 10)
+                                             .cast("decimal(38,0)")).alias("s")).collect()[0]
+
+    h1, h2 = state(plain.hist), state(front.hist)
+    h1, h2 = (h1["n"], str(h1["s"])), (h2["n"], str(h2["s"]))
     res = {
         "n_entities": n_entities,
         "batch_events": batch_n,

@@ -106,3 +106,82 @@ def test_stage_by_batch_preserves_string_batch_ids(spark, tmp_path):
         "07",
     ]
     assert staged.columns == df.columns
+
+
+def _full_row_set(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(
+            (v is None, repr(bytes(v)) if isinstance(v, (bytes, bytearray)) else repr(v))
+            for v in (r[c] for c in cols)
+        )
+        for r in df.collect()
+    )
+
+
+def test_agg_dedup_equals_window_dedup(spark):
+    """dedup_latest_cdc (groupBy+max_by) must pick the EXACT row the
+    window form picks, on a generated log with hot keys, deletes,
+    same-ts ties and payload ties."""
+    from dbp_etl_spark.cdc.dedup import dedup_latest_cdc
+
+    events = generate_changes(
+        spark, n_events=8000, n_urls=150, n_batches=1, hot_fraction_pct=40, hot_urls=3
+    ).drop("batch_id")
+    win = dedup_latest(events, "url", cdc_order(), salt_buckets=8)
+    agg = dedup_latest_cdc(events, "url")
+    assert _full_row_set(win) == _full_row_set(agg)
+
+
+def test_agg_dedup_nulls_and_ties(spark):
+    """Adversarial null/tie shapes: null ts loses, null payload loses
+    the md5 tiebreak, delete beats write at equal ts, full-tie rows
+    resolve identically (hash tiebreak)."""
+    from dbp_etl_spark.cdc.dedup import dedup_latest_cdc
+
+    rows = [
+        ("u1", 100, b"a", "update"),
+        ("u1", None, b"z", "update"),     # null ts loses to any ts
+        ("u2", 100, None, "update"),      # null payload...
+        ("u2", 100, b"a", "update"),      # ...loses md5 tiebreak
+        ("u3", 100, b"a", "update"),
+        ("u3", 100, None, "delete"),      # delete beats write at equal ts
+        ("u4", 100, b"a", "update"),      # exact duplicate pair:
+        ("u4", 100, b"a", "update"),      # hash tiebreak, either row same bytes
+        ("u5", None, None, "update"),     # all-null-order key still yields a row
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op")
+    win = dedup_latest(df, "url", cdc_order())
+    agg = dedup_latest_cdc(df, "url")
+    assert _full_row_set(win) == _full_row_set(agg)
+    got = {r["url"]: (bytes(r["html"]) if r["html"] is not None else None, r["op"])
+           for r in agg.collect()}
+    assert got["u1"] == (b"a", "update")
+    assert got["u2"] == (b"a", "update")
+    assert got["u3"] == (None, "delete")
+    assert got["u4"] == (b"a", "update")
+    assert len(got) == 5
+
+
+def test_agg_dedup_batch_tiebreak(spark):
+    """Fused-group earliest-batch-wins: rows tying on (ts, op, payload)
+    resolve to the lowest batch ordinal, matching cdc_order(batch_col)
+    asc; a batch value outside batch_order loses like nulls-last."""
+    from dbp_etl_spark.cdc.dedup import dedup_latest_cdc
+
+    rows = [
+        ("u1", 100, b"a", "update", "b2"),
+        ("u1", 100, b"a", "update", "b1"),   # same everything: b1 wins
+        ("u2", 100, b"a", "update", "b9"),   # outside the order: loses
+        ("u2", 100, b"a", "update", "b2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts long, html binary, op string, batch_id string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "html", "op", "batch_id")
+    win = dedup_latest(df, "url", cdc_order(batch_col="batch_id"))
+    agg = dedup_latest_cdc(df, "url", batch_col="batch_id", batch_order=["b1", "b2"])
+    got = {r["url"]: r["batch_id"] for r in agg.collect()}
+    assert got == {"u1": "b1", "u2": "b2"}
+    assert _full_row_set(win) == _full_row_set(agg)
