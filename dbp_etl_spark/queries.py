@@ -3314,7 +3314,7 @@ def canal_tail_apply(spark, sf_dir):
     beats write, then md5(payload) desc) at minute granularity."""
     from pyspark.sql import types as T
 
-    from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
+    from dbp_etl_spark.cdc.dedup import dedup_latest_cdc
     from dbp_etl_spark.sources import from_canal
 
     ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
@@ -3357,7 +3357,9 @@ def canal_tail_apply(spark, sf_dir):
         ]
     )
     changes = from_canal(envelopes, row_schema)
-    latest = dedup_latest(changes, "url", cdc_order())
+    # agg-based dedup (merge.py's hot-path operator): winner identical
+    # to dedup_latest(cdc_order()) — the oracle below pins it
+    latest = dedup_latest_cdc(changes, "url")
     return latest.filter(F.col("op") != "delete").select(
         "url",
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),

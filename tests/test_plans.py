@@ -98,6 +98,25 @@ def test_dedup_exchange_budget(spark):
     assert count_exchanges(dedup_latest(ev, "url", cdc_order(), salt_buckets=8)) == 2
 
 
+def test_agg_dedup_one_exchange_with_partial_agg(spark):
+    """The merge hot path's dedup (dedup_latest_cdc) must plan as ONE
+    exchange with map-side partial aggregation below it — the shape
+    that collapses hot keys per mapper and shuffles ~distinct keys
+    instead of every event. A window-based plan (exchange directly over
+    the scan, no partial agg) would shuffle the full event volume."""
+    from dbp_etl_spark.cdc import generate_changes
+    from dbp_etl_spark.cdc.dedup import dedup_latest_cdc
+
+    ev = generate_changes(spark, 1000, 100, n_batches=1).drop("batch_id")
+    df = dedup_latest_cdc(ev, "url")
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial + final aggregate = two agg operators around the exchange
+    n_aggs = sum(plan.count(k) for k in ("SortAggregate", "HashAggregate", "ObjectHashAggregate"))
+    assert n_aggs >= 2, plan
+    assert "max_by" in plan or "maxby" in plan.lower(), plan
+
+
 def test_semi_anti_join_no_extra_exchange(spark):
     """Left-semi/anti keep the two-input single-shuffle shape."""
     from dbp_etl_spark.queries import QUERIES
