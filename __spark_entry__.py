@@ -79,6 +79,9 @@ _CHECK_FIRST = [
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
     # then has a green row within two rounds.
+    "neardup_cluster_dedup",
+    "purchase_graph_pagerank",
+    "doc_bigram_lm_score",
     "text_search_bm25",
     "activity_islands",
     "ann_cosine_topk",

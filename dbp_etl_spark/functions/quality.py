@@ -84,3 +84,77 @@ def repetition_exprs(tokens: Column) -> dict[str, Column]:
             F.lit(0.0)
         ),
     }
+
+
+def bigram_lm_nll(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+):
+    """In-corpus bigram language-model scoring — the CCNet-style "LM
+    quality" filter with the pretrained model replaced by an n-gram
+    model estimated on the corpus itself (no external artifacts, fully
+    oracle-checkable): fluent/typical documents score low negative
+    log-likelihood, gibberish and boilerplate-shuffled text score high.
+
+    P(w2|w1) = (c(w1,w2) + a) / (c(w1) + a*V) with add-a smoothing
+    (a = ``alpha``), c(.) corpus counts, V the corpus vocabulary size.
+    Per doc: nll = -mean over bigram instances of ln P.
+
+    Returns one row per input doc: (id, n_bigrams, nll) — nll NULL for
+    docs with fewer than 2 tokens.
+
+    Scale shape: the model IS two map-side-combinable aggregates
+    (vocabulary-bounded unigram + bigram count tables); scoring is
+    token-keyed equi-joins over the per-doc bigram groups (vocab side
+    broadcastable) and one doc-keyed agg. No Python anywhere, and no
+    per-instance join: instances are pre-grouped per (doc, w1, w2) so
+    the join input is the doc's distinct-bigram set, not its length.
+    """
+    from pyspark.sql import DataFrame  # local import keeps module header light
+
+    assert isinstance(docs, DataFrame)
+    t = F.split(F.col(text_col), " ")
+    toks = docs.select(F.col(id_col), t.alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    dbig = big.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("k")
+    )
+    c2 = dbig.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    lp = F.log(
+        (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    scored = (
+        dbig.join(c2, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(vocab)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("k") * lp).alias("s"), F.sum("k").alias("nb"))
+    )
+    return docs.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("nb"), F.lit(0.0)).cast("bigint").alias("n_bigrams"),
+        F.round(-F.col("s") / F.col("nb"), 4).alias("nll"),
+    )

@@ -4226,3 +4226,206 @@ def warc_ingest(spark, sf_dir):
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.octet_length("html").cast("long").alias("html_len"),
     )
+
+
+# =====================================================================
+# Graph ops: near-dup cluster dedup (connected components) + PageRank
+# =====================================================================
+
+
+def _neardup_cluster_oracle_sql(num_hashes=16, bands=4, shingle_n=3, threshold=0.3):
+    """The full minhash pipeline (same math as _minhash_oracle_sql)
+    extended with a recursive-CTE connected-components pass: every
+    node collects the labels of all nodes reachable from it (the graph
+    is symmetrized), min(label) == component min."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(CAST('0x' || substr(md5(sh || '|{i}'), 1, 15) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    bands_sql = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_lists AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - {shingle_n}, 0) + 1),
+                            i -> array_to_string(t[i:i + {shingle_n - 1}], ' ')) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_lists),
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM ex GROUP BY doc_id),
+    banded AS (
+      {bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh_lists),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sset, sb.sset))), 4) >= {threshold}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    cc(id, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.id),
+    lab AS (
+      SELECT d.doc_id, coalesce(min(cc.lbl), d.doc_id) AS component
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+      GROUP BY d.doc_id),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM lab GROUP BY component)
+    SELECT l.doc_id, l.component, s.cluster_size,
+           l.doc_id = l.component AS is_keeper
+    FROM lab l JOIN sizes s USING (component)
+    """
+
+
+@q("neardup_cluster_dedup", _neardup_cluster_oracle_sql())
+def neardup_cluster_dedup(spark, sf_dir):
+    """The ACTION half of near-dup dedup: LSH candidate pairs (md5_60
+    oracle-reproducible mode) -> exact-jaccard verify >= 0.3 ->
+    connected components (large-star/small-star) -> one keeper per
+    cluster (component-min). One row per document with its cluster
+    label, cluster size, and keep/drop decision; a corpus dedup is
+    then `WHERE is_keeper`. Generalizes the reference's exact-key
+    keeper election (/root/reference/load/FilenameReducer.py:73-120)
+    to content equivalence classes."""
+    from dbp_etl_spark.operators.dedup_ops import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from dbp_etl_spark.operators.graph import neardup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5_60")
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.3).select("id_a", "id_b")
+    return neardup_components(docs, pairs)
+
+
+def _pagerank_oracle_sql(iters=3, damping=0.85):
+    """3 unrolled power iterations; dangling mass (suppliers have no
+    out-edges) redistributed uniformly each step, textbook formulation.
+    Arithmetic mirrors the Spark operator op-for-op; only cross-row
+    accumulation order differs (handled by round)."""
+    steps = []
+    prev = "r0"
+    for i in range(iters):
+        cur = f"r{i + 1}"
+        steps.append(
+            f"""d{i} AS (
+      SELECT coalesce(sum(r.pr), 0) AS dang
+      FROM {prev} r LEFT JOIN outdeg o USING (node) WHERE o.node IS NULL),
+    c{i} AS (
+      SELECT e.d AS node, sum(r.pr / o.od) AS contrib
+      FROM edges e JOIN {prev} r ON r.node = e.s JOIN outdeg o ON o.node = e.s
+      GROUP BY e.d),
+    {cur} AS (
+      SELECT n.node,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+             + {damping} * (coalesce(c.contrib, 0)
+                            + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS pr
+      FROM nodes n LEFT JOIN c{i} c USING (node))"""
+        )
+        prev = cur
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT s AS node, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY s),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    {steps_sql}
+    SELECT node, round(pr * (SELECT n FROM nn), 4) AS pr_scaled FROM {prev}
+    """
+
+
+@q("purchase_graph_pagerank", _pagerank_oracle_sql())
+def purchase_graph_pagerank(spark, sf_dir):
+    """PageRank over the customer->supplier purchase graph (distinct
+    edges from orders x lineitem; node ids prefixed to keep the two
+    key spaces disjoint). 3 power iterations, damping 0.85, dangling
+    mass redistributed uniformly. pr is reported scaled by node count
+    (mean 1.0) and rounded: per-row math is identical across engines,
+    only summation order differs."""
+    from dbp_etl_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, src="s", dst="d", iters=3, damping=0.85)
+    n_nodes = (
+        edges.select(F.col("s").alias("node")).union(edges.select("d")).distinct().count()
+    )
+    return pr.select(
+        "node", F.round(F.col("pr") * F.lit(float(n_nodes)), 4).alias("pr_scaled")
+    )
+
+
+_BIGRAM_LM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, CAST(count(*) AS DOUBLE) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+    big AS (
+      -- parallel unnest of the two shifted slices zips them positionally
+      SELECT doc_id,
+             unnest(t[1:len(t) - 1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    dbig AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS k
+      FROM big GROUP BY doc_id, w1, w2),
+    c2 AS (SELECT w1, w2, sum(k) AS c2 FROM dbig GROUP BY w1, w2),
+    sc AS (
+      SELECT d.doc_id,
+             sum(d.k * ln((c2.c2 + 0.5) / (u.c1 + 0.5 * (SELECT v FROM vv)))) AS s,
+             sum(d.k) AS nb
+      FROM dbig d JOIN c2 USING (w1, w2) JOIN uni u ON u.w = d.w1
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+           round(-sc.s / sc.nb, 4) AS nll
+    FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+    """
+
+
+@q("doc_bigram_lm_score", _BIGRAM_LM_ORACLE)
+def doc_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring with an in-corpus bigram model
+    (add-0.5 smoothing): per-doc mean negative log-likelihood. The
+    model is two vocabulary-bounded count aggregates; scoring joins
+    per-doc DISTINCT bigram groups (not instances) to the model — see
+    functions/quality.py:bigram_lm_nll. Per-row math is engine-exact
+    (integer counts into ln); only cross-row sums differ in order,
+    handled by round."""
+    from dbp_etl_spark.functions.quality import bigram_lm_nll
+
+    return bigram_lm_nll(_t(spark, sf_dir, "documents"))

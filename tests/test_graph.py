@@ -1,0 +1,141 @@
+"""Connected components + PageRank (operators/graph.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.operators.graph import (
+    connected_components,
+    neardup_components,
+    pagerank,
+)
+
+
+def _cc_map(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def _python_cc(edges):
+    """Union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # path-compress to roots, then relabel roots to component min
+    comp = {}
+    for x in list(parent):
+        comp[x] = find(x)
+    return comp
+
+
+def test_cc_path_graph_worst_case(spark):
+    # a path is the worst case for naive label propagation — the
+    # star-contraction algorithm must still collapse it
+    edges = [(i, i + 1) for i in range(30)]
+    got = _cc_map(spark, edges)
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_cc_multiple_components_dirty_edges(spark):
+    # duplicates, reversed edges and self-loops are tolerated
+    edges = [(1, 2), (2, 1), (2, 3), (3, 3), (10, 11), (12, 11), (12, 11), (20, 20)]
+    got = _cc_map(spark, edges)
+    want = _python_cc([(u, v) for u, v in edges if u != v])
+    assert got == want
+    assert got[3] == 1 and got[12] == 10
+    # pure self-loop node 20 drops out (no real edge): not in output
+    assert 20 not in got
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _cc_map(spark, edges)
+    assert got == _python_cc(edges)
+
+
+def test_cc_string_ids(spark):
+    got = _cc_map(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_neardup_components_keeper_election(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in neardup_components(docs, pairs).collect()}
+    assert rows[1]["component"] == 1 and rows[3]["component"] == 1
+    assert rows[5]["component"] == 1 and rows[5]["cluster_size"] == 3
+    assert not rows[5]["is_keeper"] and rows[1]["is_keeper"]
+    assert rows[2]["component"] == 2 and rows[6]["component"] == 2
+    # singletons keep themselves
+    for d in (0, 4, 7):
+        assert rows[d]["is_keeper"] and rows[d]["cluster_size"] == 1
+    # a dedup keeps exactly one doc per cluster
+    keepers = [d for d, r in rows.items() if r["is_keeper"]]
+    assert sorted(keepers) == [0, 1, 2, 4, 7]
+
+
+def _python_pagerank(edges, iters, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    pr = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dang = sum(p for x, p in pr.items() if x not in out)
+        contrib = {x: 0.0 for x in nodes}
+        for s, t in edges:
+            contrib[t] += pr[s] / out[s]
+        pr = {
+            x: (1.0 - d) / n + d * (contrib[x] + dang / n) for x in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_python_mirror_and_sums_to_one(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("e", "d"), ("e", "c"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=5).collect()}
+    want = _python_pagerank(edges, iters=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # b and c are dangling: without redistribution sum(pr) would decay
+    df = spark.createDataFrame([("a", "b"), ("a", "c")], ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=4).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["b"] == pytest.approx(got["c"], abs=1e-15)
+    assert got["b"] > got["a"]
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    df1 = spark.createDataFrame([("a", "b"), ("a", "b"), ("b", "a")], ["src", "dst"])
+    df2 = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    g1 = sorted((r["node"], round(r["pr"], 12)) for r in pagerank(df1, iters=3).collect())
+    g2 = sorted((r["node"], round(r["pr"], 12)) for r in pagerank(df2, iters=3).collect())
+    assert g1 == g2

@@ -71,3 +71,34 @@ def test_quality_plans_are_map_only(spark, tmp_path):
     for p in (plan, plan2):
         assert "Exchange" not in p
         assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    import math
+
+    from dbp_etl_spark.functions.quality import bigram_lm_nll
+
+    import pytest
+
+    docs = spark.createDataFrame([(0, "a b a"), (1, "a")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in bigram_lm_nll(docs).collect()}
+    # corpus: c1(a)=3, c1(b)=1, V=2; c2(a,b)=1, c2(b,a)=1
+    p_b_a = (1 + 0.5) / (3 + 0.5 * 2)
+    p_a_b = (1 + 0.5) / (1 + 0.5 * 2)
+    want = -(math.log(p_b_a) + math.log(p_a_b)) / 2
+    assert rows[0]["n_bigrams"] == 2
+    assert rows[0]["nll"] == pytest.approx(round(want, 4), abs=1e-9)
+    # <2 tokens: no bigrams, NULL score (never a crash — r4 advice class)
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["nll"] is None
+
+
+def test_bigram_lm_nll_ranks_gibberish_above_fluent(spark):
+    from dbp_etl_spark.functions.quality import bigram_lm_nll
+
+    fluent = "the cat sat on the mat " * 10
+    docs = spark.createDataFrame(
+        [(0, fluent.strip()), (1, fluent.strip()), (2, "mat the on sat zq cat qz xx")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["nll"] for r in bigram_lm_nll(docs).collect()}
+    assert rows[2] > rows[0]  # shuffled/rare-token doc scores worse
