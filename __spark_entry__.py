@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
     # then has a green row within two rounds.
     "neardup_cluster_dedup",
+    "neardup_index_probe",
     "purchase_graph_pagerank",
     "doc_bigram_lm_score",
     "text_search_bm25",

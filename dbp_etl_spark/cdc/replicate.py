@@ -76,6 +76,18 @@ class TableReplicator:
         projection — a derived replica (redaction, casting, enrichment).
         Must preserve the key and ``warc_ts`` columns and must be
         deterministic (a replayed sync re-runs it).
+    key_expand:
+        Enables 1->N fan-out replicas whose TARGET key differs from
+        the source key (e.g. a doc -> per-band LSH posting index,
+        operators/neardup_index.py, or a doc -> chunk replica with a
+        fixed chunk fan-out). A ``df -> df`` over (source_key, warc_ts)
+        rows returning (target_key, warc_ts) rows: the full set of
+        target keys a source row owns. Contract: the key SET must be
+        derivable from the source key alone (payload-independent and
+        fixed-arity), because deletes carry no payload — ``transform``
+        must emit exactly these keys for upserts. With ``key_expand``
+        set, ``transform`` is required and the key-name equality check
+        is waived.
     """
 
     def __init__(
@@ -85,16 +97,21 @@ class TableReplicator:
         name: str = "default",
         where: Column | str | None = None,
         transform=None,
+        key_expand=None,
     ):
-        if source.key != target.key:
-            raise ValueError(
-                f"replica key column {target.key!r} must match source {source.key!r}"
-            )
+        if key_expand is None:
+            if source.key != target.key:
+                raise ValueError(
+                    f"replica key column {target.key!r} must match source {source.key!r}"
+                )
+        elif transform is None:
+            raise ValueError("key_expand requires transform (it produces the fanned-out rows)")
         self.source = source
         self.target = target
         self.name = name
         self.where = where
         self.transform = transform
+        self.key_expand = key_expand
 
     # ------------------------------------------------------------ cursor
 
@@ -159,7 +176,8 @@ class TableReplicator:
                     "fresh target"
                 )
             feed, mode = src.read_changes(cur, to), "cdf"
-        counts = self._apply(feed, bid)
+        apply = self._apply_fanout if self.key_expand is not None else self._apply
+        counts = apply(feed, bid)
         return SyncResult(
             cur,
             to,
@@ -269,4 +287,89 @@ class TableReplicator:
                 )
         finally:
             feed.unpersist()
+        return counts
+
+    def _apply_fanout(self, feed: DataFrame, bid: str) -> dict:
+        """1->N replica apply: ``transform`` fans kept rows out to
+        target-keyed rows; ``key_expand`` fans DELETED source keys out
+        to the same target key set (payload-independent by contract).
+        Counts report TARGET rows. The transform output is persisted —
+        it is typically the expensive leg (e.g. minhash over text) and
+        feeds both the stats job and the write job."""
+        tgt = self.target
+        key = tgt.key
+        src_key = self.source.key
+        cols = [c for c in tgt.schema.names() if c != "_deleted"]
+        cur_struct = tgt.schema.to_struct()
+        keep = self._classify(feed)
+
+        ups = self.transform(feed.filter(keep))
+        missing = [c for c in cols if c not in ups.columns]
+        if missing:
+            raise ValueError(
+                f"replica columns {missing} absent from the transformed feed"
+            )
+        ups = ups.select(
+            *[F.col(c).cast(cur_struct[c].dataType).alias(c) for c in cols]
+        ).persist()
+        dels = self.key_expand(
+            feed.filter(~keep).select(F.col(src_key), F.col("warc_ts"))
+        )
+        if key not in dels.columns:
+            raise ValueError(f"key_expand must emit the target key column {key!r}")
+        dels = dels.select(
+            F.col(key).cast(cur_struct[key].dataType).alias(key),
+            F.col("warc_ts").cast(cur_struct["warc_ts"].dataType).alias("warc_ts"),
+        ).persist()
+        try:
+            per_bucket = (
+                ups.select(tgt.bucket_expr(key).alias("_b"), F.lit(True).alias("_keep"))
+                .unionByName(
+                    dels.select(tgt.bucket_expr(key).alias("_b"), F.lit(False).alias("_keep"))
+                )
+                .groupBy("_b")
+                .agg(
+                    F.sum(F.col("_keep").cast("long")).alias("up"),
+                    F.sum((~F.col("_keep")).cast("long")).alias("del"),
+                )
+                .collect()
+            )
+            buckets = sorted(r["_b"] for r in per_bucket)
+            counts = {
+                "upsert": int(sum(r["up"] for r in per_bucket)),
+                "delete": int(sum(r["del"] for r in per_bucket)),
+                "buckets": len(buckets),
+            }
+            summary = {"replication": {"name": self.name, **counts}}
+            dels_full = dels.select(
+                key,
+                "warc_ts",
+                *[
+                    F.lit(None).cast(cur_struct[c].dataType).alias(c)
+                    for c in cols
+                    if c not in (key, "warc_ts")
+                ],
+            )
+            if tgt.manifest.get("merge_on_read"):
+                rows = (
+                    ups.withColumn("_deleted", F.lit(False))
+                    .unionByName(dels_full.withColumn("_deleted", F.lit(True)))
+                    .withColumn("_bucket", tgt.bucket_expr(key))
+                    .repartition("_bucket")
+                )
+                self.target = tgt.write_deltas(
+                    rows, buckets, bid, summary=summary, pre_partitioned=True
+                )
+            else:
+                all_keys = (
+                    ups.select(key).unionByName(dels.select(key)).distinct()
+                )
+                kept_state = tgt.read(buckets=buckets).join(all_keys, key, "left_anti")
+                new_state = kept_state.select(*cols).unionByName(ups)
+                self.target = tgt.overwrite_buckets(
+                    new_state, buckets, bid, summary=summary
+                )
+        finally:
+            ups.unpersist()
+            dels.unpersist()
         return counts

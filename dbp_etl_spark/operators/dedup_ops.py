@@ -84,6 +84,42 @@ def minhash_signatures(
     )
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bh) — one row per LSH band per document: the posting
+    rows an equi-join (or a maintained index table,
+    operators/neardup_index.py) matches on. In ``md5_60`` mode ``bh``
+    is the raw comma-joined signature slice (engine-neutral string an
+    oracle can re-derive); the xxhash64 default compresses it to a
+    long for a smaller shuffle key."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, content_col, num_hashes, shingle_n, hash_fn)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")),
+        )
+        return joined if hash_fn == "md5_60" else F.xxhash64(joined)
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bh")),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,25 +135,7 @@ def minhash_lsh_candidates(
     band key is the raw comma-joined signature slice (string): the
     engine-neutral form an oracle can re-derive; the xxhash64 default
     compresses it to a long for a smaller shuffle key."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, content_col, num_hashes, shingle_n, hash_fn)
-
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")),
-        )
-        return joined if hash_fn == "md5_60" else F.xxhash64(joined)
-
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), band_key(b).alias("bh")),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = lsh_band_rows(df, id_col, content_col, num_hashes, bands, shingle_n, hash_fn)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (

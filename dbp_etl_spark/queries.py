@@ -4429,3 +4429,141 @@ def doc_bigram_lm_score(spark, sf_dir):
     from dbp_etl_spark.functions.quality import bigram_lm_nll
 
     return bigram_lm_nll(_t(spark, sf_dir, "documents"))
+
+
+def _neardup_index_oracle_sql(num_hashes=16, bands=4, shingle_n=3, threshold=0.3):
+    """Mirror of neardup_index_probe: the post-churn corpus state and
+    the held-out probe batch re-derived relationally, then the same
+    md5_60 LSH cross-side candidate join + jaccard verify."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(CAST('0x' || substr(md5(sh || '|{i}'), 1, 15) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    bands_sql = "\n  UNION ALL\n  ".join(
+        f"SELECT side, doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 1 THEN text || ' xyzzy xyzzy xyzzy'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 13 <> 2),
+    probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    all_docs AS (
+      SELECT 'c' AS side, doc_id, text FROM corpus
+      UNION ALL
+      SELECT 'p' AS side, doc_id, text FROM probe),
+    toks AS (SELECT side, doc_id, string_split(text, ' ') AS t FROM all_docs),
+    sh_lists AS (
+      SELECT side, doc_id,
+             list_transform(generate_series(1, greatest(len(t) - {shingle_n}, 0) + 1),
+                            i -> array_to_string(t[i:i + {shingle_n - 1}], ' ')) AS shingles
+      FROM toks),
+    ex AS (SELECT side, doc_id, unnest(shingles) AS sh FROM sh_lists),
+    sig AS (
+      SELECT side, doc_id,
+         {mins}
+      FROM ex GROUP BY side, doc_id),
+    banded AS (
+      {bands_sql}),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS doc_id
+      FROM banded p JOIN banded c ON p.band = c.band AND p.bh = c.bh
+      WHERE p.side = 'p' AND c.side = 'c'),
+    sets AS (SELECT side, doc_id, list_distinct(shingles) AS sset FROM sh_lists),
+    verified AS (
+      SELECT cd.probe_id, cd.doc_id,
+             round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sset, sb.sset))), 4) AS jaccard
+      FROM cand cd
+      JOIN sets sa ON sa.side = 'p' AND sa.doc_id = cd.probe_id
+      JOIN sets sb ON sb.side = 'c' AND sb.doc_id = cd.doc_id)
+    SELECT probe_id, doc_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@q("neardup_index_probe", _neardup_index_oracle_sql())
+def neardup_index_probe(spark, sf_dir):
+    """Incremental LSH near-dup index, end-to-end: seed a corpus lake
+    table with 90% of the documents, build the posting index (md5_60
+    oracle-reproducible hashing), CHURN the corpus (rewrites + deletes
+    through the CDC merge), sync the index — the query RAISES unless
+    the sync is a cdf-mode O(churn) delta — then probe the held-out
+    10% against the resident state. The oracle re-derives the same
+    post-churn state and cross-side LSH relationally. See
+    operators/neardup_index.py (index-follows-the-data; the content
+    generalization of the reference's batch-vs-state key dedup,
+    FilenameReducer.py:73-120)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc.merge import merge_batch
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+    from dbp_etl_spark.operators.neardup_index import NearDupIndex
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def tf(d):
+        return d.withColumn("text", F.decode(F.col("html"), "utf-8"))
+
+    def events(base, ts0, op_col, batch):
+        return base.select(
+            F.col("doc_id").alias("url"),
+            F.timestamp_seconds(F.lit(ts0) + F.col("doc_id")).alias("warc_ts"),
+            F.when(op_col != "delete", F.encode(F.col("text"), "utf-8")).alias("html"),
+            F.when(op_col != "delete", F.col("text")).alias("text"),
+            op_col.alias("op"),
+            F.lit(batch).alias("batch_id"),
+        )
+
+    schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("url", T.LongType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+    )
+    root = tempfile.mkdtemp(prefix="neardup_idx_")
+    table = LakeTable.create(
+        spark, f"{root}/corpus", schema, key="url", num_buckets=8
+    )
+    seed = docs.filter(F.col("doc_id") % 10 != 0)
+    merge_batch(table, events(seed, 1700000000, F.lit("update"), "b1"), "b1", transform=tf)
+    table = table.refresh()
+
+    idx = NearDupIndex.build(
+        table, f"{root}/index", hash_fn="md5_60", num_buckets=8
+    )
+
+    ups = seed.filter((F.col("doc_id") % 7 == 1) & (F.col("doc_id") % 13 != 2)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" xyzzy xyzzy xyzzy"))
+    )
+    dels = seed.filter(F.col("doc_id") % 13 == 2)
+    churn = events(ups, 1800000000, F.lit("update"), "b2").unionByName(
+        events(dels, 1800000000, F.lit("delete"), "b2")
+    )
+    merge_batch(table.refresh(), churn, "b2", transform=tf)
+    res = idx.sync()
+    if res.mode != "cdf" or res.skipped:
+        raise AssertionError(f"index sync must be an incremental cdf apply, got {res}")
+    n_up, n_del = ups.count(), dels.count()
+    if res.counts["upsert"] != n_up * 4 or res.counts["delete"] != n_del * 4:
+        raise AssertionError(
+            f"sync must be O(churn): expected {n_up}x4 upserts / {n_del}x4 "
+            f"posting deletes, got {res.counts}"
+        )
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    return idx.near_dups_of(batch, id_col="doc_id", threshold=0.3).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("doc").alias("doc_id"),
+        "jaccard",
+    )
