@@ -114,11 +114,12 @@ def connected_components(
             break
         prev = cur
 
-    return (
-        nodes.join(e.select(F.col("hi").alias("node"), F.col("lo").alias("comp")), "node", "left")
-        .select(
-            F.col("node"), F.coalesce(F.col("comp"), F.col("node")).alias("component")
-        )
+    # at convergence every node has exactly one (node -> component-min)
+    # edge; the groupBy-min also keeps the mapping single-valued (best
+    # known label) if max_iter cut the loop short on an adversarial graph
+    labels = e.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("comp"))
+    return nodes.join(labels, "node", "left").select(
+        F.col("node"), F.coalesce(F.col("comp"), F.col("node")).alias("component")
     )
 
 

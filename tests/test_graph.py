@@ -139,3 +139,15 @@ def test_pagerank_duplicate_edges_collapse(spark):
     g1 = sorted((r["node"], round(r["pr"], 12)) for r in pagerank(df1, iters=3).collect())
     g2 = sorted((r["node"], round(r["pr"], 12)) for r in pagerank(df2, iters=3).collect())
     assert g1 == g2
+
+
+def test_cc_truncated_iterations_mapping_stays_single_valued(spark):
+    # with max_iter too small for full convergence the labels may not
+    # all reach the component min, but each node still gets EXACTLY ONE
+    # row (no join fan-out) and labels never leave the component
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, max_iter=1).collect()
+    nodes = [r["node"] for r in out]
+    assert sorted(nodes) == list(range(31))  # one row per node
+    assert all(r["component"] <= r["node"] for r in out)
