@@ -171,6 +171,34 @@ class NearDupIndex:
         self.index = self._replicator.target
         return res
 
+    def tail(self, checkpoint: str, available_now: bool = True, **source_options):
+        """Maintain the index as a STREAM over the corpus change feed
+        (streaming/cdf_replicate.py with this index's transform +
+        key_expand). Shares the batch ``sync()`` ledger namespace, so
+        the two modes are interchangeable mid-life. Returns the
+        StreamingQuery; call ``refresh()`` afterwards."""
+        from dbp_etl_spark.streaming.cdf_replicate import replicate_stream
+
+        return replicate_stream(
+            self.source.spark,
+            self.source.root,
+            self.index,
+            checkpoint,
+            name=self._replicator.name,
+            transform=self._transform,
+            key_expand=self._key_expand,
+            available_now=available_now,
+            **source_options,
+        )
+
+    def refresh(self) -> "NearDupIndex":
+        """Re-load both table handles (after tail() or another writer)."""
+        self.source = self.source.refresh()
+        self.index = self.index.refresh()
+        self._replicator.source = self.source
+        self._replicator.target = self.index
+        return self
+
     # ------------------------------------------------------------- query
 
     def candidates(self, batch: DataFrame, id_col: str = "probe_id",

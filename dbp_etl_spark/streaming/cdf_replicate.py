@@ -62,6 +62,7 @@ def replicate_stream(
     name: str = "stream",
     where=None,
     transform=None,
+    key_expand=None,
     available_now: bool = True,
     **source_options,
 ):
@@ -69,6 +70,9 @@ def replicate_stream(
 
     ``available_now=True`` drains the current backlog and stops — the
     scheduled-catch-up deployment shape; ``False`` runs continuously.
+    ``key_expand`` enables 1->N fan-out targets (same contract as
+    ``TableReplicator(key_expand=...)``) — e.g. a streaming-maintained
+    LSH posting index (operators/neardup_index.py:NearDupIndex.tail).
     ``source_options`` pass through to the ``lake_cdf`` reader (e.g.
     ``maxSnapshotsPerBatch`` to bound per-trigger work — pair it with
     ``available_now=False`` + ``processAllAvailable()``: Spark's
@@ -91,6 +95,7 @@ def replicate_stream(
             name=name,
             where=where,
             transform=transform,
+            key_expand=key_expand,
         )
         cur = rep.cursor()
         if cur is not None and hi <= cur:
@@ -107,7 +112,8 @@ def replicate_stream(
                 "the stream at (or before) the cursor, or bootstrap with "
                 "TableReplicator.sync() first"
             )
-        rep._apply(_net_per_key(batch, rep.target.key), f"{rep._prefix}{hi}")
+        apply = rep._apply_fanout if key_expand is not None else rep._apply
+        apply(_net_per_key(batch, rep.source.key), f"{rep._prefix}{hi}")
 
     writer = (
         read_change_stream(spark, source_root, **source_options)

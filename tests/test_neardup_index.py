@@ -37,7 +37,7 @@ def _text(family: int, variant: int) -> str:
 def _events(spark, rows, batch_id):
     return spark.createDataFrame(
         [(u, ts, txt, op, batch_id) for (u, ts, txt, op) in rows],
-        ["url", "warc_ts_s", "text", "op", "batch_id"],
+        "url string, warc_ts_s long, text string, op string, batch_id string",
     ).select(
         "url",
         F.timestamp_seconds(F.col("warc_ts_s")).alias("warc_ts"),
@@ -53,13 +53,14 @@ def _tf(d):
     return d.withColumn("text", F.decode(F.col("html"), "utf-8"))
 
 
-def mk_corpus(spark, tmp_path, n_docs=20):
+def mk_corpus(spark, tmp_path, n_docs=20, **kw):
     t = LakeTable.create(
         spark,
         str(tmp_path / "corpus"),
         TableSchema.from_struct(CORPUS),
         key="url",
         num_buckets=4,
+        **kw,
     )
     rows = [(f"u{i}", 1700000000 + i, _text(i % 5, 0), "update") for i in range(n_docs)]
     merge_batch(t, _events(spark, rows, "b1"), "b1", transform=_tf)
@@ -165,3 +166,42 @@ def test_open_recovers_handle_and_cursor(spark, built):
     reopened = NearDupIndex.open(idx.source, idx.index)
     assert reopened.sync().skipped  # cursor recovered from the ledger
     assert reopened.bands == 4 and reopened.hash_fn == "xxhash64"
+
+
+def test_streaming_tail_maintains_index(spark, tmp_path):
+    """tail() drives the same fan-out apply from the lake_cdf stream:
+    postings equal batch LSH of the final state, and the batch sync()
+    ledger sees the stream's work (interchangeable modes)."""
+    corpus = mk_corpus(spark, tmp_path, changelog=True)
+    idx = NearDupIndex.build(corpus, str(tmp_path / "index"), num_buckets=4)
+    merge_batch(
+        corpus.refresh(),
+        _events(spark, [("u3", 1800000000, _text(1, 5), "update")], "b2"),
+        "b2",
+        transform=_tf,
+    )
+    merge_batch(
+        corpus.refresh(),
+        _events(spark, [("u5", 1800000100, None, "delete")], "b3"),
+        "b3",
+        transform=_tf,
+    )
+    idx.refresh()
+    q = idx.tail(str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    q.stop()
+    idx.refresh()
+
+    state = idx.source.read().select("url", "text")
+    want = sorted(
+        (r["url"], r["band"], r["bh"])
+        for r in lsh_band_rows(state, id_col="url").collect()
+    )
+    got = sorted(
+        (r["doc"], r["band"], r["bh"])
+        for r in idx.index.read().select("doc", "band", "bh").collect()
+    )
+    assert got == want
+    assert idx.index.read().filter(F.col("doc") == "u5").count() == 0
+    # the stream advanced the shared ledger cursor: batch sync is a noop
+    assert idx.sync().skipped
