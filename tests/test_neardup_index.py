@@ -205,3 +205,30 @@ def test_streaming_tail_maintains_index(spark, tmp_path):
     assert idx.index.read().filter(F.col("doc") == "u5").count() == 0
     # the stream advanced the shared ledger cursor: batch sync is a noop
     assert idx.sync().skipped
+
+
+def test_cow_index_parity_with_mor(spark, tmp_path):
+    """The fan-out apply's copy-on-write branch (merge_on_read=False)
+    produces the same postings as the MOR default across churn."""
+    corpus = mk_corpus(spark, tmp_path)
+    idx = NearDupIndex.build(
+        corpus, str(tmp_path / "index_cow"), num_buckets=4, merge_on_read=False
+    )
+    rows = [
+        ("u1", 1800000000, _text(4, 9), "update"),
+        ("u6", 1800000001, None, "delete"),
+    ]
+    merge_batch(corpus.refresh(), _events(spark, rows, "b2"), "b2", transform=_tf)
+    res = idx.sync()
+    assert res.mode == "cdf" and res.counts == {"upsert": 4, "delete": 4, "buckets": res.counts["buckets"]}
+    state = idx.source.read().select("url", "text")
+    want = sorted(
+        (r["url"], r["band"], r["bh"])
+        for r in lsh_band_rows(state, id_col="url").collect()
+    )
+    got = sorted(
+        (r["doc"], r["band"], r["bh"])
+        for r in idx.index.read().select("doc", "band", "bh").collect()
+    )
+    assert got == want
+    assert not idx.index.manifest.get("merge_on_read")
