@@ -166,6 +166,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list (edges
     deduplicated; unweighted). Returns (node, pr) over every node that
@@ -175,13 +176,15 @@ def pagerank(
     Every iteration is: one equi-join (ranks -> edges on src), one
     groupBy-sum keyed by dst, and a 1-row dangling-mass aggregate
     cross-joined back (Spark broadcasts single-row frames). No driver
-    collect inside the loop; lineage truncated per iteration.
+    collect inside the loop; lineage truncated per iteration
+    (``checkpoint=False`` keeps the plan lazy — small graphs / plan
+    inspection; leave True for production iteration counts).
     """
-    e = (
+    ckpt = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
+    e = ckpt(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("s").alias("node")).union(e.select("d")).distinct()
     n_nodes = nodes.count()  # one scalar: fixes the 1/N constants
@@ -189,9 +192,7 @@ def pagerank(
         return nodes.select(F.col("node"), F.lit(0.0).alias("pr"))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     # (node, outdeg or null) — null marks dangling nodes
-    base = nodes.join(outdeg.withColumnRenamed("s", "node"), "node", "left").localCheckpoint(
-        eager=True
-    )
+    base = ckpt(nodes.join(outdeg.withColumnRenamed("s", "node"), "node", "left"))
 
     ranks = base.select("node", "outdeg", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):
@@ -218,6 +219,6 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n_nodes)
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = ckpt(ranks)
     return ranks.select("node", "pr")

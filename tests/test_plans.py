@@ -221,3 +221,46 @@ def test_mor_read_plan_no_base_shuffle(spark, tmp_path):
     ro_plan = ro._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in ro_plan and "Join" not in ro_plan
     assert count_exchanges(ro) == 0
+
+
+def test_bigram_lm_plan_is_pure_jvm(spark):
+    """LM scoring must stay inside whole-stage codegen: no Python
+    evaluation nodes anywhere (the model and the scoring are plain
+    aggregates + equi-joins)."""
+    from dbp_etl_spark.functions.quality import bigram_lm_nll
+    from dbp_etl_spark.plans.checks import plan_str
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(bigram_lm_nll(docs))
+    assert "Python" not in p and "BatchEval" not in p
+
+
+def test_lsh_probe_join_is_equi_not_cartesian(spark):
+    """The band-key candidate join (batch LSH and the index probe both
+    compile to it) must be an equi-join — a cartesian/BNL plan here
+    would be the O(n^2) near-dup anti-pattern."""
+    from dbp_etl_spark.operators.dedup_ops import minhash_lsh_candidates
+    from dbp_etl_spark.plans.checks import plan_str
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(minhash_lsh_candidates(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Python" not in p
+
+
+def test_pagerank_dangling_mass_broadcasts(spark):
+    """Each iteration folds the 1-row dangling aggregate in via a
+    broadcast nested-loop over a SINGLE row (never a shuffled join),
+    and the loop contains no Python nodes."""
+    from dbp_etl_spark.operators.graph import pagerank
+    from dbp_etl_spark.plans.checks import plan_str
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    pr = pagerank(edges, iters=1, checkpoint=False)
+    p = plan_str(pr)
+    assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert node not in p
