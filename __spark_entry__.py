@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "neardup_index_probe",
     "purchase_graph_pagerank",
     "doc_bigram_lm_score",
+    "text_search_fuzzy",
     "text_search_bm25",
     "activity_islands",
     "ann_cosine_topk",

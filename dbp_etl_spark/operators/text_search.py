@@ -156,3 +156,79 @@ def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
         .filter((F.col("_no") == n) & (F.col("start") >= 0))
     )
     return starts.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+
+
+def _deletion_variants(col):
+    """Array of the term's single-character-deletion strings (JVM
+    expression; empty for 1-char terms yields [''])."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            F.substring(col, i + 1, F.length(col)),
+        ),
+    )
+
+
+def fuzzy_expand_terms(
+    postings: DataFrame, terms: list[str], max_edits: int = 1
+) -> DataFrame:
+    """(query_term, token) — vocabulary terms within levenshtein
+    ``max_edits`` (only 1 supported) of each query term, found
+    SymSpell-style: a token is a candidate iff its deletion
+    neighborhood (itself + single-char deletions) intersects the query
+    term's, then the exact distance filter removes the distance-2
+    leakage the neighborhood join admits (e.g. transpositions).
+
+    Scale shape: the candidate pass is vocabulary-bounded — one
+    distinct over the index key, one explode of ~word-length variants
+    per vocab term, and an IN filter against the (tiny, driver-built)
+    query neighborhood that pushes down to the scan. The corpus/
+    postings themselves are never touched until the caller joins the
+    matched terms back.
+    """
+    if max_edits != 1:
+        raise ValueError("only max_edits=1 is supported")
+    qn: list[tuple[str, str]] = []
+    for t in sorted(set(terms)):
+        qn.append((t, t))
+        for i in range(len(t)):
+            qn.append((t, t[:i] + t[i + 1 :]))
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(qn, "qt string, variant string").distinct()
+    vocab = postings.select("token").distinct()
+    cand = (
+        vocab.select(
+            "token",
+            F.explode(
+                F.array_union(F.array(F.col("token")), _deletion_variants(F.col("token")))
+            ).alias("variant"),
+        )
+        .join(F.broadcast(qdf), "variant")
+        .select("qt", "token")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein(F.col("token"), F.col("qt")) <= max_edits)
+
+
+def search_fuzzy_and(
+    postings: DataFrame, terms: list[str], max_edits: int = 1
+) -> DataFrame:
+    """Typo-tolerant AND search: docs containing, for EVERY query
+    term, at least one vocabulary token within ``max_edits`` of it
+    (OR within a term's match set, AND across terms). Returns
+    ``(doc, total_tf)`` where total_tf sums tf over (query term,
+    matched token) pairs — a token matching two query terms counts
+    for both, mirroring per-term scoring downstream."""
+    matched = fuzzy_expand_terms(postings, terms, max_edits)
+    uniq = sorted(set(terms))
+    hit = postings.join(F.broadcast(matched), "token").select("qt", "doc", "tf")
+    return (
+        hit.groupBy("doc")
+        .agg(
+            F.count_distinct("qt").alias("_nq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("_nq") == len(uniq))
+        .drop("_nq")
+    )

@@ -4567,3 +4567,40 @@ def neardup_index_probe(spark, sf_dir):
         F.col("doc").alias("doc_id"),
         "jaccard",
     )
+
+
+@q(
+    "text_search_fuzzy",
+    """
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents),
+    tfg AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tokd) GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT tok FROM tfg),
+    m AS (
+      SELECT q.qt, vocab.tok
+      FROM vocab, (VALUES ('sparc'), ('windoq')) q(qt)
+      WHERE levenshtein(vocab.tok, q.qt) <= 1),
+    hit AS (SELECT m.qt, tfg.doc_id, tfg.tf FROM tfg JOIN m ON m.tok = tfg.tok)
+    SELECT doc_id AS doc, CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM hit GROUP BY doc_id
+    HAVING count(DISTINCT qt) = 2
+    """,
+)
+def text_search_fuzzy(spark, sf_dir):
+    """Typo-tolerant AND search over the inverted index: neither query
+    term exists in the corpus ('sparc', 'windoq'), both match real
+    vocabulary within edit distance 1 ('spark', 'window'). Candidates
+    come SymSpell-style from a vocabulary-bounded symmetric-deletion
+    join (never a vocab x query-term distance scan at the corpus
+    level), verified with the exact levenshtein filter; the oracle
+    shortcuts straight to the distance predicate — the deletion
+    neighborhood is an implementation detail the verify makes exact.
+    See operators/text_search.py:fuzzy_expand_terms."""
+    from dbp_etl_spark.operators.text_search import build_postings, search_fuzzy_and
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_fuzzy_and(build_postings(docs), ["sparc", "windoq"])

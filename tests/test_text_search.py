@@ -146,3 +146,45 @@ def test_search_ranked_pushes_term_filter(spark, docs, tmp_path):
     want = _bm25_expected(["brown", "quick"])
     top3 = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
     assert got == pytest.approx(top3, abs=1e-4)
+
+
+def test_fuzzy_expand_and_search(spark):
+    from dbp_etl_spark.operators.text_search import (
+        build_postings,
+        fuzzy_expand_terms,
+        search_fuzzy_and,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark table merge"),
+            (1, "spars table window"),
+            (2, "sparkle table"),
+            (3, "quantum leap"),
+        ],
+        ["doc_id", "text"],
+    )
+    post = build_postings(docs)
+    got = sorted(
+        (r["qt"], r["token"]) for r in fuzzy_expand_terms(post, ["sparc"]).collect()
+    )
+    # distance 1: spark (sub), spars (sub); NOT sparkle (distance 3)
+    assert got == [("sparc", "spark"), ("sparc", "spars")]
+
+    hits = sorted(
+        (r["doc"], r["total_tf"])
+        for r in search_fuzzy_and(post, ["sparc", "tabl"]).collect()
+    )
+    # docs 0,1 have a sparc-match AND a tabl-match (table, dist 1);
+    # doc 2's only sparc-neighbor candidate 'sparkle' fails the verify
+    assert hits == [(0, 2), (1, 2)]
+
+
+def test_fuzzy_neighborhood_rejects_distance_two(spark):
+    from dbp_etl_spark.operators.text_search import build_postings, fuzzy_expand_terms
+
+    # 'ab' vs 'ba': deletion neighborhoods intersect ({a,b}) but the
+    # levenshtein verify rejects the transposition (distance 2)
+    docs = spark.createDataFrame([(0, "ba xx")], ["doc_id", "text"])
+    got = fuzzy_expand_terms(build_postings(docs), ["ab"]).collect()
+    assert got == []
