@@ -84,6 +84,7 @@ _CHECK_FIRST = [
     "purchase_graph_pagerank",
     "doc_bigram_lm_score",
     "text_search_fuzzy",
+    "funnel_conversion",
     "text_search_bm25",
     "activity_islands",
     "ann_cosine_topk",

@@ -4604,3 +4604,56 @@ def text_search_fuzzy(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return search_fuzzy_and(build_postings(docs), ["sparc", "windoq"])
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT s.user_id,
+             min(e.ts) AS first_purchase_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id)
+    SELECT s.user_id,
+           strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_at,
+           p.first_purchase_ts IS NOT NULL AS converted,
+           CAST(date_diff('second', s.signup_ts, p.first_purchase_ts) AS BIGINT)
+             AS secs_to_convert
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis over the event stream: for every user who
+    signed up, did a purchase follow (at or after the first signup),
+    and how long did conversion take. Two event-type-filtered
+    aggregations joined by user — the filters push to the scan, both
+    aggs are map-side-combinable, and the join keys are the (already
+    shuffled) user ids; no windows over the raw stream."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .join(s, "user_id")
+        .filter(F.col("pts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_at"),
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+        (
+            F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+        ).cast("bigint").alias("secs_to_convert"),
+    )
