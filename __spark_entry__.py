@@ -79,6 +79,10 @@ _CHECK_FIRST = [
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
     # then has a green row within two rounds.
+    "line_dedup_ccnet",
+    "semdedup_prune",
+    "pack_sequences_lm",
+    "dup_span_dedup",
     "neardup_cluster_dedup",
     "neardup_index_probe",
     "purchase_graph_pagerank",

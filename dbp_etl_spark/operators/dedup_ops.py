@@ -337,3 +337,137 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def segment_windows(text_col, width: int, sep: str = " "):
+    """Deterministic fixed-width word-window segmenter: split ``text``
+    on ``sep`` and regroup into ``width``-token segments (the last one
+    may be shorter). A stand-in line splitter for corpora without
+    newline structure — ``segment_dedup`` itself takes ANY
+    ``array<string>`` segmentation (real lines, sentences,
+    paragraphs). Pure JVM expression, map-only."""
+    toks = F.split(text_col, sep)
+    n_segs = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    return F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), sep),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    segs_col: str = "segments",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide segment-level dedup — CCNet's line dedup (Wenzek et
+    al. 2020, arXiv:1911.00359 §3.1): a segment whose exact content
+    already appeared at a smaller (doc, position) anywhere in the
+    corpus is dropped; only the FIRST occurrence survives (in-document
+    repeats are deduped by the same rule). This is the pass that strips
+    boilerplate headers/footers/nav text repeated across a crawl.
+
+    Returns one row per input document:
+    (id, n_segs, n_kept, clean_text) — kept segments re-joined with
+    ``sep`` in original order (NULL clean_text when everything was
+    dropped, which can only happen for non-first docs).
+
+    Scale shape: posexplode -> groupBy(content hash) with a
+    min(struct(doc,pos)) aggregate (map-side partial agg collapses a
+    hot segment to ONE 16-byte struct per mapper, so a header shared
+    by 10^9 pages is an ordinary agg key, not a skew problem) ->
+    equi-join back on the hash -> groupBy(doc) positional rebuild
+    (collect_list bounded by document size). Two shuffles total, both
+    hash-keyed; candidates never pair up, so there is no O(n^2) term
+    anywhere.
+    """
+    seg = df.select(F.col(id_col), F.posexplode(F.col(segs_col)).alias("pos", "seg"))
+    segh = seg.withColumn("h", F.md5(F.col("seg")))
+    first = segh.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f")
+    )
+    kept = segh.join(first, "h").where(
+        (F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p"))
+    )
+    kept_by_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda s: s["seg"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(F.col(segs_col)).cast("long").alias("n_segs"))
+    return base.join(kept_by_doc, id_col, "left").select(
+        id_col,
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "clean_text",
+    )
+
+
+def dup_span_mask(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): any
+    k-token window whose exact content already appeared at a smaller
+    (doc, position) marks its span as duplicated; duplicated spans are
+    removed from the document (the FIRST occurrence corpus-wide keeps
+    its text). Catches copied passages that whole-doc and line-level
+    dedup both miss.
+
+    Returns (id, n_tok, n_masked, clean_text).
+
+    Spark-idiomatic substitute for the paper's suffix array: rolling
+    k-token window fingerprints at every position (one explode, ~n
+    rows per n-token doc), corpus-wide keep-first election per
+    fingerprint (min-struct agg — a window repeated across 10^9 pages
+    is a map-side-combined agg key), dup positions regrouped per doc
+    (collect_set bounded by doc length), and a pure-JVM
+    higher-order-function rebuild — token p survives unless some dup
+    window start s covers it (s <= p < s+k). Shuffles are keyed by
+    fingerprint and doc id only; nothing pairs up, nothing is
+    quadratic.
+    """
+    toks = F.split(F.col(text_col), sep)
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    wins = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("_toks"), i + 1, k), sep)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    first = wins.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f")
+    )
+    dup_starts = (
+        wins.join(first, "h")
+        .where((F.col(id_col) != F.col("f.d")) | (F.col("pos") != F.col("f.p")))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("_starts"))
+    )
+    out = d.join(dup_starts, id_col, "left")
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(F.col("_toks"), lambda t, p: F.struct(t.alias("t"), p.alias("p"))),
+        lambda s: ~F.exists(starts, lambda st: (s["p"] >= st) & (s["p"] < st + k)),
+    )
+    return out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tok"),
+        (n - F.size(kept)).cast("long").alias("n_masked"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), sep).alias("clean_text"),
+    )

@@ -351,3 +351,59 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select(probe_id, "cid", F.round("cos_sim", 3).alias("cos_sim"))
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    eps: float = 0.4,
+    train_iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup over an embedding column. K-means clusters the corpus, then
+    WITHIN each cluster a vector is dropped when a lower-id vector in
+    the same cluster is a semantic duplicate (round(cosine, 4) >=
+    ``eps`` — rounded so the threshold compare is engine-exact).
+    Deterministic keeper election (lowest id survives) replaces the
+    paper's random keeper, making the whole pass value-checkable.
+
+    Returns (id, cell, keep).
+
+    Scale shape: the clustering step IS the scalability argument — the
+    pairwise cosine check runs only inside a cell, so candidate pairs
+    are sum(|cell|^2) instead of n^2, and cell count is chosen to
+    bound |cell| (the paper uses 50k clusters at 5B docs). Assignment
+    is a zero-shuffle map-side projection over inlined centroids
+    (`assign_cells`); the self-join shuffles by cell id; a hot cell is
+    an ordinary AQE skew key. Centroid training is bounded by k and
+    can run on a sample at corpus scale.
+    """
+    cents_df = kmeans_centroids(
+        emb, dim=dim, k=n_cells, iterations=train_iterations, id_col=id_col, vec_col=vec_col
+    )
+    rows = cents_df.orderBy("centroid_id").collect()  # bounded: k centroids
+    cent_list = [list(r["centroid"]) for r in rows]
+    assigned = assign_cells(emb.select(id_col, vec_col), cent_list, vec_col, out_col="cell")
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cell"
+    )
+    sim = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4)
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(sim >= F.lit(eps))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+    )

@@ -268,3 +268,73 @@ def assign_global_sequence(
     return d.withColumn(
         seq_col, (off_expr + F.col("_lrn")).cast("long")
     ).drop(*drop_cols)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    order_by: list | None = None,
+    coarse_key: "Column | None" = None,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chop): documents are
+    concatenated in a deterministic order and chopped into fixed
+    ``seq_len``-token training sequences; each document learns which
+    packs it lands in. The LM-pretraining batching op — the answer to
+    "which context windows does doc X occupy" without materializing
+    token streams.
+
+    Adds: ``start_offset`` (global tokens before this doc),
+    ``first_pack``/``last_pack`` (``start_offset // seq_len`` and the
+    pack of the doc's last token) and ``n_packs`` (how many windows
+    the doc spans; 0-token docs span none).
+
+    The global prefix sum uses the same two-phase decomposition as
+    ``assign_global_sequence`` — per-``coarse_key`` window cumsum +
+    bounded per-bucket totals as offsets — so nothing funnels through
+    a single-partition ORDER BY. ``coarse_key`` must be order-aligned
+    (every row of bucket k sorts before bucket k+1).
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in (order_by or ["doc_id"])]
+    ck = coarse_key if coarse_key is not None else F.lit(0)
+    d = df.withColumn("_ck", ck)
+    w = (
+        Window.partitionBy("_ck")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prefix = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0)).cast("long")
+    totals = {
+        r["_ck"]: r["s"]
+        for r in df.groupBy(ck.alias("_ck"))
+        .agg(F.coalesce(F.sum(tokens_col), F.lit(0)).alias("s"))
+        .collect()  # bounded: one row per coarse bucket
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals, key=lambda x: (x is not None, x)):
+        offsets[b] = acc
+        acc += totals[b]
+    null_off = offsets.pop(None, None)
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        off_expr = mapping[F.col("_ck")]
+    else:
+        off_expr = F.lit(None).cast("long")
+    if null_off is not None:
+        off_expr = F.when(F.col("_ck").isNull(), F.lit(null_off)).otherwise(off_expr)
+    start = (off_expr + local_prefix).cast("long")
+    n_tok = F.col(tokens_col).cast("long")
+    first_pack = (start / seq_len).cast("long")
+    last_pack = ((start + n_tok - 1) / seq_len).cast("long")
+    return (
+        d.withColumn("start_offset", start)
+        .withColumn("first_pack", F.when(n_tok > 0, first_pack))
+        .withColumn("last_pack", F.when(n_tok > 0, last_pack))
+        .withColumn(
+            "n_packs",
+            F.when(n_tok > 0, last_pack - first_pack + 1).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_ck")
+    )

@@ -4657,3 +4657,197 @@ def funnel_conversion(spark, sf_dir):
             F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
         ).cast("bigint").alias("secs_to_convert"),
     )
+
+
+@q(
+    "line_dedup_ccnet",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segs AS (
+      SELECT doc_id, i AS pos, array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+      FROM d, UNNEST(generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1)) AS u(i)
+      WHERE len(t) > 0),
+    firsts AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM segs),
+    kept AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM firsts WHERE rn = 1 GROUP BY doc_id),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE CAST(ceil(len(t)/8.0) AS BIGINT) END AS n_segs
+      FROM d)
+    SELECT b.doc_id, b.n_segs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(k.clean_text, '')) AS clean_md5
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def line_dedup_ccnet(spark, sf_dir):
+    """CCNet line-level dedup (training-data op, Wenzek et al.
+    arXiv:1911.00359 §3.1): the corpus is segmented (8-word windows —
+    the synthetic docs are single-line; the operator takes any
+    array<string> segmentation), every segment that already appeared
+    at a smaller (doc, position) anywhere in the corpus is dropped,
+    and documents are rebuilt from the surviving segments. The pass
+    that strips crawl boilerplate repeated across pages. Oracle
+    mirrors the keep-first election with a window over the identical
+    segmentation and compares per-doc md5 of the rebuilt text."""
+    from dbp_etl_spark.operators.dedup_ops import segment_dedup, segment_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    segs = docs.select("doc_id", segment_windows(F.col("text"), 8).alias("segments"))
+    out = segment_dedup(segs, "segments", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+    )
+
+
+def _semdedup_oracle_sql(n_cells=8, eps=0.4):
+    d2 = (
+        "list_sum(list_transform(list_zip({v}, c.centroid), "
+        "r -> (CAST(r[1] AS DOUBLE) - r[2]) * (CAST(r[1] AS DOUBLE) - r[2])))"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2.format(v="e.embedding")}, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cs
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+    dropped AS (SELECT DISTINCT b_id FROM pairs WHERE cs >= {eps})
+    SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS cell,
+           (d.b_id IS NULL) AS keep
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.b_id
+    """
+
+
+@q("semdedup_prune", _semdedup_oracle_sql())
+def semdedup_prune_query(spark, sf_dir):
+    """SemDeDup (training-data op, Abbas et al. arXiv:2303.09540):
+    k-means-cluster the embedding corpus, then inside each cluster
+    drop every vector with a lower-id semantic duplicate
+    (round(cosine,4) >= 0.4). Clustering bounds candidate pairs to
+    sum(|cell|^2) — the paper's scalability trick — and the
+    deterministic keeper election makes the full pass value-checkable:
+    the oracle re-derives cells from the same deterministic quantizer
+    init (lowest-id vectors, as ann_ivf_topk) and re-runs the in-cell
+    pairwise rule in SQL. Trained (Lloyd) centroids are pytest-pinned
+    separately via kmeans_centroids."""
+    from dbp_etl_spark.operators.similarity import semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, dim=64, n_cells=8, eps=0.4, train_iterations=0)
+
+
+@q(
+    "pack_sequences_lm",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM d)
+    SELECT doc_id, start_offset,
+           CASE WHEN n_tok > 0 THEN start_offset // 512 END AS first_pack,
+           CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 512 END AS last_pack,
+           CAST(CASE WHEN n_tok > 0
+                THEN (start_offset + n_tok - 1) // 512 - start_offset // 512 + 1
+                ELSE 0 END AS BIGINT) AS n_packs
+    FROM c
+    """,
+)
+def pack_sequences_lm(spark, sf_dir):
+    """LM sequence packing (training-data op): documents concatenated
+    in doc_id order and chopped into 512-token context windows — each
+    doc learns its global token offset and the pack range it occupies.
+    The global prefix sum runs as the two-phase coarse-bucket
+    decomposition (pack_sequences), NOT a single-partition ORDER BY
+    window, so the plan survives 10^10 docs; the oracle is the naive
+    global window it must equal."""
+    from dbp_etl_spark.operators.windows import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    out = pack_sequences(
+        d,
+        seq_len=512,
+        tokens_col="n_tok",
+        order_by=["doc_id"],
+        coarse_key=(F.col("doc_id") / 64).cast("long"),
+    )
+    return out.select("doc_id", "start_offset", "first_pack", "last_pack", "n_packs")
+
+
+@q(
+    "dup_span_dedup",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[(i+1):(i+8)], ' ')) AS h
+      FROM d, UNNEST(generate_series(0, len(t) - 8)) AS u(i)
+      WHERE len(t) >= 8),
+    firsts AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM wins),
+    ds AS (
+      SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+      FROM firsts WHERE rn > 1 GROUP BY doc_id),
+    rebuilt AS (
+      SELECT d.doc_id, len(d.t) AS n_tok,
+             list_transform(
+               list_filter(generate_series(0, len(d.t) - 1),
+                 p -> ds.starts IS NULL
+                      OR len(list_filter(ds.starts,
+                                         s -> p >= s AND p < s + 8)) = 0),
+               p -> d.t[p + 1]) AS kept
+      FROM d LEFT JOIN ds USING (doc_id))
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_tok - len(kept) AS BIGINT) AS n_masked,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+    FROM rebuilt
+    """,
+)
+def dup_span_dedup(spark, sf_dir):
+    """Exact substring dedup (training-data op, Lee et al.
+    arXiv:2107.06499): rolling 8-token window fingerprints at every
+    position, corpus-wide keep-first election, duplicated spans masked
+    out of the rebuilt document. The pass that removes copied passages
+    whole-doc/line dedup miss (1086 duplicated windows across 24 docs
+    at sf0.01). Oracle re-runs the identical fingerprint election and
+    span rebuild in SQL and compares per-doc md5 of the cleaned
+    text."""
+    from dbp_etl_spark.operators.dedup_ops import dup_span_mask
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dup_span_mask(docs, k=8)
+    return out.select(
+        "doc_id", "n_tok", "n_masked", F.md5(F.col("clean_text")).alias("clean_md5")
+    )
