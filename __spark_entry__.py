@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "semdedup_prune",
     "pack_sequences_lm",
     "dup_span_dedup",
+    "dsir_importance_select",
     "neardup_cluster_dedup",
     "neardup_index_probe",
     "purchase_graph_pagerank",

@@ -158,3 +158,64 @@ def bigram_lm_nll(
         F.coalesce(F.col("nb"), F.lit(0.0)).cast("bigint").alias("n_bigrams"),
         F.round(-F.col("s") / F.col("nb"), 4).alias("nll"),
     )
+
+
+def dsir_log_ratio_table(
+    docs, target_filter, n_buckets: int = 64, seed: int = 7,
+    text_col: str = "text", sep: str = " ",
+):
+    """Hashed-unigram importance-weight table for DSIR-style data
+    selection (Xie et al. 2023, arXiv:2302.03169): tokens hash into
+    ``n_buckets`` features; each bucket's weight is the add-1-smoothed
+    log probability ratio ln(p_target/p_raw), where target is the
+    ``target_filter`` slice and raw is the whole corpus.
+
+    Returns a python list of ``n_buckets`` floats (two bounded
+    aggregations, each collecting at most n_buckets rows — the bucket
+    COUNTS cross the driver, never documents; at corpus scale both
+    count passes are plain map-side-combined groupBys over 10^10 rows).
+    """
+    import math
+
+    from dbp_etl_spark.operators.dedup_ops import _h60
+
+    tok = docs.select(
+        target_filter.alias("_is_target"),
+        F.explode(F.split(F.col(text_col), sep)).alias("t"),
+    ).select("_is_target", (_h60(F.col("t"), seed) % n_buckets).alias("bkt"))
+    counts = (
+        tok.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tc"),
+        )
+        .collect()  # bounded: n_buckets rows
+    )
+    rc = {r["bkt"]: r["rc"] for r in counts}
+    tc = {r["bkt"]: (r["tc"] or 0) for r in counts}
+    r_tot, t_tot = sum(rc.values()), sum(tc.values())
+    return [
+        math.log((tc.get(b, 0) + 1.0) / (t_tot + n_buckets))
+        - math.log((rc.get(b, 0) + 1.0) / (r_tot + n_buckets))
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_score_expr(
+    log_ratios: list, text_col: str = "text", seed: int = 7, sep: str = " "
+):
+    """Per-document DSIR importance score: a sequential JVM fold over
+    the document's own token array summing the bucket log-ratios
+    (map-only — the table is inlined as literals, so scoring runs at
+    IO speed with zero shuffles and zero Python in the hot path).
+    Sequential fold order makes the float sum engine-reproducible."""
+    from dbp_etl_spark.operators.dedup_ops import _h60
+
+    n_buckets = len(log_ratios)
+    arr = F.array(*[F.lit(float(x)) for x in log_ratios])
+    toks = F.split(F.col(text_col), sep)
+    return F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(arr, (_h60(t, seed) % n_buckets + 1).cast("int")),
+    )

@@ -4851,3 +4851,51 @@ def dup_span_dedup(spark, sf_dir):
     return out.select(
         "doc_id", "n_tok", "n_masked", F.md5(F.col("clean_text")).alias("clean_md5")
     )
+
+
+@q(
+    "dsir_importance_select",
+    """
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    tok AS (SELECT source,
+                   CAST('0x' || substr(md5(t || '|7'), 1, 15) AS BIGINT) % 64 AS bkt
+            FROM d, UNNEST(toks) AS u(t)),
+    counts AS (
+      SELECT bkt, count(*) AS rc,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+      FROM tok GROUP BY bkt),
+    tots AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM counts),
+    lr AS (
+      SELECT g.bkt,
+             ln((coalesce(c.tc, 0) + 1.0) / (t.t_tot + 64))
+             - ln((coalesce(c.rc, 0) + 1.0) / (t.r_tot + 64)) AS w
+      FROM generate_series(0, 63) g(bkt)
+      LEFT JOIN counts c ON g.bkt = c.bkt CROSS JOIN tots t),
+    lrl AS (SELECT list(w ORDER BY bkt) AS l FROM lr)
+    SELECT doc_id,
+           round(list_sum(list_transform(d.toks,
+             t -> lrl.l[CAST(CAST('0x' || substr(md5(t || '|7'), 1, 15) AS BIGINT) % 64 + 1 AS INT)])),
+             4) AS dsir_score,
+           (round(list_sum(list_transform(d.toks,
+             t -> lrl.l[CAST(CAST('0x' || substr(md5(t || '|7'), 1, 15) AS BIGINT) % 64 + 1 AS INT)])),
+             4) > 0) AS selected
+    FROM d CROSS JOIN lrl
+    """,
+)
+def dsir_importance_select(spark, sf_dir):
+    """DSIR-style data selection (training-data op, Xie et al.
+    arXiv:2302.03169): hashed-unigram importance weights — per-bucket
+    add-1-smoothed ln(p_target/p_raw) with source='src0' as the target
+    distribution — scored per document as a sequential JVM fold over
+    its own tokens (map-only, table inlined; the only shuffles are the
+    two bounded bucket-count aggs). selected = more target-like than
+    raw-like. Oracle recomputes the identical table and fold in SQL."""
+    from dbp_etl_spark.functions.quality import dsir_log_ratio_table, dsir_score_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = dsir_log_ratio_table(docs, F.col("source") == "src0", n_buckets=64, seed=7)
+    score = F.round(dsir_score_expr(lr, seed=7), 4)
+    return docs.select(
+        "doc_id", score.alias("dsir_score"), (score > 0).alias("selected")
+    )

@@ -102,3 +102,31 @@ def test_bigram_lm_nll_ranks_gibberish_above_fluent(spark):
     )
     rows = {r["doc_id"]: r["nll"] for r in bigram_lm_nll(docs).collect()}
     assert rows[2] > rows[0]  # shuffled/rare-token doc scores worse
+
+
+def test_dsir_scores_target_docs_higher(spark):
+    """Docs drawn from the target vocabulary must outscore docs drawn
+    from a disjoint raw-only vocabulary (the selection invariant)."""
+    from pyspark.sql import functions as F
+
+    from dbp_etl_spark.functions.quality import (
+        dsir_log_ratio_table,
+        dsir_score_expr,
+    )
+
+    rows = [(i, "alpha beta gamma delta alpha beta", "wiki") for i in range(5)]
+    rows += [(i + 5, "zork quux blarg snark zork quux", "crawl") for i in range(5)]
+    rows += [(10, "alpha beta zork quux", "crawl")]  # mixed doc
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    lr = dsir_log_ratio_table(docs, F.col("source") == "wiki", n_buckets=32, seed=7)
+    assert len(lr) == 32
+    got = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", dsir_score_expr(lr, seed=7).alias("s")
+        ).collect()
+    }
+    target_like = min(got[i] for i in range(5))
+    raw_only = max(got[i + 5] for i in range(5))
+    assert target_like > raw_only
+    assert raw_only < got[10] < target_like  # mixed doc lands between
