@@ -264,3 +264,66 @@ def test_pagerank_dangling_mass_broadcasts(spark):
     assert "CartesianProduct" not in p
     for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert node not in p
+
+
+def test_segment_and_span_dedup_plans_are_agg_join_shaped(spark):
+    """The keep-first election must be a partial-aggregated groupBy +
+    equi-join — never a pairing join: no cartesian/nested-loop, and
+    the min-struct agg carries map-side partials."""
+    from dbp_etl_spark.operators.dedup_ops import (
+        dup_span_mask,
+        segment_dedup,
+        segment_windows,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    segs = docs.select("doc_id", segment_windows(F.col("text"), 8).alias("segments"))
+    for out in (segment_dedup(segs), dup_span_mask(docs, k=8)):
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+        assert "partial_min" in p or "partial" in p.lower()
+
+
+def test_semdedup_pairs_join_is_equi_on_cell(spark):
+    """SemDeDup's in-cell pairwise check must join by cell id (hash
+    exchange), not cross the corpus."""
+    from dbp_etl_spark.operators.similarity import semdedup_prune
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semdedup_prune(emb, dim=64, n_cells=4, eps=0.4)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_pack_sequences_avoids_single_partition_window(spark):
+    """The packing prefix sum must window per coarse bucket (hash
+    exchange on _ck), never SinglePartition."""
+    from dbp_etl_spark.operators.windows import pack_sequences
+
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 1).alias("n_tok")
+    )
+    out = pack_sequences(
+        d,
+        seq_len=128,
+        tokens_col="n_tok",
+        order_by=["doc_id"],
+        coarse_key=(F.col("doc_id") / 200).cast("long"),
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(_ck" in p
+
+
+def test_dsir_scoring_pass_is_shuffle_free(spark):
+    """After the bounded table build, DSIR scoring must be a map-only
+    projection over the scan: zero exchanges, zero Python."""
+    from dbp_etl_spark.functions.quality import dsir_log_ratio_table, dsir_score_expr
+    from dbp_etl_spark.plans import count_exchanges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lr = dsir_log_ratio_table(docs, F.col("source") == "src0", n_buckets=16, seed=7)
+    scored = docs.select("doc_id", dsir_score_expr(lr, seed=7).alias("s"))
+    assert count_exchanges(scored) == 0
+    p = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
