@@ -84,6 +84,7 @@ _CHECK_FIRST = [
     "pack_sequences_lm",
     "dup_span_dedup",
     "dsir_importance_select",
+    "robots_longest_match",
     "neardup_cluster_dedup",
     "neardup_index_probe",
     "purchase_graph_pagerank",

@@ -4899,3 +4899,85 @@ def dsir_importance_select(spark, sf_dir):
     return docs.select(
         "doc_id", score.alias("dsir_score"), (score > 0).alias("selected")
     )
+
+
+@q(
+    "robots_longest_match",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT source AS host,
+             regexp_extract(source, 'src(\\d+)', 1) AS hn
+      FROM documents),
+    robots AS (
+      SELECT host,
+             'User-agent: *' || chr(10)
+             || 'Disallow: /p' || hn || chr(10)
+             || 'Allow: /p' || hn || '/page1' || chr(10)
+             || '# crawl policy' || chr(10)
+             || 'Disallow:' AS txt
+      FROM hosts),
+    prules AS (
+      SELECT host,
+             lower(regexp_extract(trim(line), '^([A-Za-z-]+)\\s*:', 1)) = 'allow' AS allow,
+             trim(regexp_extract(trim(line), '^[A-Za-z-]+\\s*:\\s*(\\S+)', 1)) AS prefix
+      FROM robots, UNNEST(string_split(txt, chr(10))) AS u(line)
+      WHERE lower(regexp_extract(trim(line), '^([A-Za-z-]+)\\s*:', 1))
+              IN ('allow', 'disallow')
+        AND trim(regexp_extract(trim(line), '^[A-Za-z-]+\\s*:\\s*(\\S+)', 1)) <> ''),
+    urls AS (
+      SELECT doc_id, source AS host,
+             '/p' || CAST(doc_id % 25 AS VARCHAR) || '/page'
+                  || CAST(doc_id AS VARCHAR) AS path
+      FROM documents),
+    matched AS (
+      SELECT u.doc_id, u.host, u.path, r.allow, r.prefix, len(r.prefix) AS pl
+      FROM urls u LEFT JOIN prules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)),
+    ranked AS (
+      SELECT doc_id, host, path, allow, prefix,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY (prefix IS NOT NULL) DESC, pl DESC, allow DESC, prefix DESC)
+               AS rn
+      FROM matched)
+    SELECT doc_id, host, path, prefix AS matched_prefix,
+           coalesce(allow, TRUE) AS allowed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def robots_longest_match(spark, sf_dir):
+    """robots.txt fetchability (crawl op, RFC 9309): per-host robots
+    bodies are parsed into Allow/Disallow prefix rules (comments and
+    empty Disallow dropped) and every URL takes its host's most
+    specific (longest-prefix) matching rule, allow winning ties, no
+    match meaning allowed. Rules are per-host metadata — broadcast —
+    so the filter is a map-side join + one agg keyed by the URL row.
+    The oracle re-runs parsing and the longest-match election in SQL
+    over identically synthesized robots bodies and URL paths."""
+    from dbp_etl_spark.operators.crawl import parse_robots, robots_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(F.col("source").alias("host")).distinct().withColumn(
+        "hn", F.regexp_extract(F.col("host"), r"src(\d+)", 1)
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p"),
+            F.col("hn"),
+            F.lit("\nAllow: /p"),
+            F.col("hn"),
+            F.lit("/page1\n# crawl policy\nDisallow:"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    return robots_filter(urls, rules)

@@ -1,0 +1,71 @@
+"""robots.txt parsing and RFC 9309 longest-match filtering."""
+
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.operators.crawl import parse_robots, robots_filter
+
+
+def _rules(spark, txt, host="h"):
+    robots = spark.createDataFrame([(host, txt)], "host string, robots_txt string")
+    return parse_robots(robots)
+
+
+def test_parse_robots_directives_comments_and_empty(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "allow: /private/ok\n"     # case-insensitive directive
+        "# Disallow: /commented\n"
+        "Disallow:\n"              # empty = allow-all, no rule
+        "Crawl-delay: 10\n"
+        "  Disallow:   /spaced  \n"
+    )
+    got = {(r["allow"], r["prefix"]) for r in _rules(spark, txt).collect()}
+    assert got == {
+        (False, "/private"),
+        (True, "/private/ok"),
+        (False, "/spaced"),
+    }
+
+
+def test_robots_filter_longest_match_and_allow_tie(spark):
+    txt = "Disallow: /a\nAllow: /a/b\nDisallow: /a/b/c\nAllow: /same\nDisallow: /same\n"
+    rules = _rules(spark, txt)
+    urls = spark.createDataFrame(
+        [
+            (1, "h", "/a/x"),        # /a disallow
+            (2, "h", "/a/b/x"),      # /a/b allow beats /a
+            (3, "h", "/a/b/c/x"),    # /a/b/c disallow beats /a/b
+            (4, "h", "/free"),       # no rule -> allowed
+            (5, "h", "/same/x"),     # equal length: allow wins
+            (6, "other", "/a/x"),    # other host has no rules
+        ],
+        "id int, host string, path string",
+    )
+    got = {
+        r["id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got[1] == (False, "/a")
+    assert got[2] == (True, "/a/b")
+    assert got[3] == (False, "/a/b/c")
+    assert got[4] == (True, None)
+    assert got[5] == (True, "/same")
+    assert got[6] == (True, None)
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    from dbp_etl_spark.plans import assert_broadcast_join
+
+    rules = _rules(spark, "Disallow: /x\n")
+    # host must be a real column: a literal host constant-folds the
+    # equi-key away and degrades the join to a nested loop
+    urls = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.concat(F.lit("/p"), F.col("id")).alias("path"),
+    )
+    out = robots_filter(urls, rules)
+    assert_broadcast_join(out)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
