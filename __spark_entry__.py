@@ -78,7 +78,11 @@ _CHECK_FIRST = [
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
-    # then has a green row within two rounds.
+    # then has a green row within two rounds. 13 new + 39 stale = 52
+    # overflows the driver's 50-query prefix by two; the two placed
+    # last (value_statistics, window_stats_suite — classic SQL
+    # stat/window batteries, r3-green and pytest-covered) are the
+    # deliberate sacrifices.
     "line_dedup_ccnet",
     "semdedup_prune",
     "pack_sequences_lm",
