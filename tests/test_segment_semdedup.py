@@ -148,3 +148,17 @@ def test_dup_span_mask_overlapping_windows_merge(spark):
     # all 10 run tokens covered by the union of overlapping windows
     assert out[2]["n_masked"] == 10
     assert out[2]["clean_text"] == "tailtwo"
+
+
+def test_semdedup_with_trained_centroids(spark):
+    """The Lloyd-trained quantizer path must work through semdedup and
+    still keep exactly one representative per planted dup pair."""
+    vecs = [[float(i % 4), float((i * 3) % 5), 1.0] for i in range(10)]
+    vecs += [[x + 0.0005 for x in vecs[i]] for i in range(3)]  # dups of 0..2
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    out = semdedup_prune(df, dim=3, n_cells=3, eps=0.999, train_iterations=2)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert all(got[i] for i in range(10))         # originals kept
+    assert not any(got[10 + i] for i in range(3))  # planted dups dropped
