@@ -86,12 +86,21 @@ from dbp_etl_spark.lake.table import LakeTable
 # columns the runner owns; everything else on the change events is payload
 _META = ("url", "warc_ts", "op")
 
-# mode='auto' upgrade point: history scan size above which the frontier
-# path's second commit pays for itself. Set from the measured sandbox
-# crossover (BENCH/scd2_frontier_r5*.json: plain's per-batch cost is a
-# full history scan including payloads; frontier's is ~flat) — scale
-# deployments can pass their own measurement via frontier_auto_bytes.
-FRONTIER_AUTO_BYTES = 2_000_000_000
+# mode='auto' upgrade point: history data size above which the frontier
+# path's second commit pays for itself. NOT yet reached at any
+# sandbox-feasible point — measured plain:frontier best-batch ratios
+# rise toward 1 with history size but stay below it
+# (BENCH/scd2_frontier_r4.json 0.63x @ ~0.1 GB, scd2_frontier_deep_r4
+# 0.77x @ ~0.3 GB deep history, scd2_frontier_r5.json 0.83x @ 8.1 GB
+# with 4 KB payloads; parquet column pruning keeps the plain lookup
+# from paying for payload bytes, so the frontier's win accrues with
+# history ROW count, not bytes). Extrapolating the measured trend puts
+# the crossover near ~32 GB; the frontier's measured advantage today
+# is variance (stable 35-36 s vs plain's 29-51 s swings at the 8 GB
+# point) because its batch cost does not depend on history-scan
+# weather. Scale deployments should pass their own measurement via
+# frontier_auto_bytes.
+FRONTIER_AUTO_BYTES = 32_000_000_000
 
 
 def scd2_schema(payload: dict[str, str]) -> TableSchema:
