@@ -78,17 +78,19 @@ _CHECK_FIRST = [
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
-    # then has a green row within two rounds. 13 new + 39 stale = 52
-    # overflows the driver's 50-query prefix by two; the two placed
-    # last (value_statistics, window_stats_suite — classic SQL
-    # stat/window batteries, r3-green and pytest-covered) are the
-    # deliberate sacrifices.
+    # then has a green row within two rounds. 14 new + 39 stale = 53
+    # overflows the driver's 50-query prefix by three; the three
+    # placed last (value_percentiles, value_statistics,
+    # window_stats_suite — classic SQL stat/window batteries,
+    # r3-green and pytest-covered) are the deliberate sacrifices:
+    # never-driver-checked new queries outrank re-checking them.
     "line_dedup_ccnet",
     "semdedup_prune",
     "pack_sequences_lm",
     "dup_span_dedup",
     "dsir_importance_select",
     "robots_longest_match",
+    "corpus_shard_assignment",
     "neardup_cluster_dedup",
     "neardup_index_probe",
     "purchase_graph_pagerank",

@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "doc_filter_pipeline",
+    "line_dedup_ccnet",
+    "dup_span_dedup",
+    "semdedup_prune",
 ]
 
 # 2 batches of 500k events: production-representative batch size while

@@ -4981,3 +4981,54 @@ def robots_longest_match(spark, sf_dir):
         ).alias("path"),
     )
     return robots_filter(urls, rules)
+
+
+@q(
+    "corpus_shard_assignment",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM d),
+    a AS (SELECT doc_id, n_tok, start_offset // 4096 AS shard_id FROM c)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM a GROUP BY shard_id
+    """,
+)
+def corpus_shard_assignment(spark, sf_dir):
+    """Token-balanced corpus sharding (training-data sink op): docs in
+    deterministic order are assigned to ~4096-token shards by their
+    global token offset — the write-side counterpart of sequence
+    packing, giving equal-work output files for a downstream
+    tokenizer. Reuses the two-phase scalable prefix sum
+    (pack_sequences); per-shard totals prove the balance. At 100 TB
+    the shard id becomes the write partition/repartitionByRange key,
+    so output files are size-uniform regardless of document skew."""
+    from dbp_etl_spark.operators.windows import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    packed = pack_sequences(
+        d,
+        seq_len=4096,
+        tokens_col="n_tok",
+        order_by=["doc_id"],
+        coarse_key=(F.col("doc_id") / 64).cast("long"),
+    )
+    a = packed.select(
+        "doc_id", "n_tok", (F.col("start_offset") / 4096).cast("long").alias("shard_id")
+    )
+    return a.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
