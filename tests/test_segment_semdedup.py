@@ -162,3 +162,79 @@ def test_semdedup_with_trained_centroids(spark):
     got = {r["vec_id"]: r["keep"] for r in out.collect()}
     assert all(got[i] for i in range(10))         # originals kept
     assert not any(got[10 + i] for i in range(3))  # planted dups dropped
+
+
+def _py_segment_dedup(rows):
+    """Python mirror of the corpus-wide keep-first election."""
+    first = {}
+    for doc, segs in rows:
+        for pos, s in enumerate(segs):
+            if s not in first:
+                first[s] = (doc, pos)
+    out = {}
+    for doc, segs in rows:
+        kept = [s for pos, s in enumerate(segs) if first[s] == (doc, pos)]
+        out[doc] = (len(segs), len(kept), " ".join(kept) if kept else None)
+    return out
+
+
+def test_segment_dedup_fuzz_matches_python_mirror(spark):
+    import random
+
+    rnd = random.Random(4321)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for doc in range(60):
+        n = rnd.randint(0, 6)
+        segs = [
+            " ".join(rnd.choices(vocab, k=rnd.randint(1, 3))) for _ in range(n)
+        ]
+        if n:
+            rows.append((doc, segs))
+    df = spark.createDataFrame(rows, "doc_id int, segments array<string>")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+        for r in segment_dedup(df).collect()
+    }
+    assert got == _py_segment_dedup(rows)
+
+
+def test_dup_span_mask_fuzz_matches_python_mirror(spark):
+    import random
+
+    from dbp_etl_spark.operators.dedup_ops import dup_span_mask
+
+    rnd = random.Random(99)
+    vocab = [f"t{i}" for i in range(8)]
+    k = 4
+    rows = []
+    for doc in range(50):
+        toks = rnd.choices(vocab, k=rnd.randint(1, 24))
+        rows.append((doc, " ".join(toks)))
+
+    # python mirror
+    first = {}
+    for doc, text in rows:
+        t = text.split(" ")
+        for i in range(len(t) - k + 1):
+            w = tuple(t[i : i + k])
+            if w not in first:
+                first[w] = (doc, i)
+    expect = {}
+    for doc, text in rows:
+        t = text.split(" ")
+        starts = [
+            i
+            for i in range(len(t) - k + 1)
+            if first[tuple(t[i : i + k])] != (doc, i)
+        ]
+        masked = {p for s in starts for p in range(s, s + k)}
+        kept = [tok for p, tok in enumerate(t) if p not in masked]
+        expect[doc] = (len(t), len(masked), " ".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_masked"], r["clean_text"])
+        for r in dup_span_mask(df, k=k).collect()
+    }
+    assert got == expect
