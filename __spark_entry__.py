@@ -84,6 +84,11 @@ _CHECK_FIRST = [
     # window_stats_suite — classic SQL stat/window batteries,
     # r3-green and pytest-covered) are the deliberate sacrifices:
     # never-driver-checked new queries outrank re-checking them.
+    "dblog_chunked_bootstrap",
+    "bpe_pair_counts",
+    "url_canonical_dedup",
+    "surt_host_keys",
+    "html_outlink_graph",
     "line_dedup_ccnet",
     "semdedup_prune",
     "pack_sequences_lm",

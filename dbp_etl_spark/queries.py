@@ -5032,3 +5032,366 @@ def corpus_shard_assignment(spark, sf_dir):
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# =====================================================================
+# DBLog-style chunked snapshot bootstrap (cdc/dblog.py)
+# =====================================================================
+
+
+@q(
+    "dblog_chunked_bootstrap",
+    """
+    WITH init AS (
+      SELECT DISTINCT user_id,
+             TIMESTAMP '2023-12-01 00:00:00' AS ts,
+             0 AS is_del,
+             '<html><body><p>i' || CAST(user_id AS VARCHAR)
+               || '</p></body></html>' AS html,
+             round(user_id * 1.5, 2) AS val
+      FROM events),
+    tail AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             '<html><body><p>d' || CAST(event_id AS VARCHAR)
+               || '</p></body></html>' AS html,
+             round(value, 2) AS val
+      FROM events),
+    allrows AS (SELECT * FROM init UNION ALL SELECT * FROM tail),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, is_del DESC, md5(html) DESC) AS rn
+      FROM allrows)
+    SELECT 'https://d.example/u' || CAST(user_id AS VARCHAR) AS url,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           val,
+           CAST(length(html) AS BIGINT) AS html_len
+    FROM ranked WHERE rn = 1 AND is_del = 0
+    """,
+)
+def dblog_chunked_bootstrap(spark, sf_dir):
+    """DBLog watermark-chunked snapshot bootstrap END-TO-END
+    (cdc/dblog.py; Netflix DBLog / Debezium incremental snapshot): a
+    pre-existing source table is discovered through 4 hash-range
+    snapshot chunks interleaved with 5 weekly tail batches, every
+    chunk read simulating a LIVE source mid-way through its watermark
+    window (events <= the window midpoint are folded into the read).
+    The supersede rule must drop exactly the racing keys, so the final
+    replica state equals plain latest-wins replay over init+tail —
+    which is what the oracle computes, with the engine's own total
+    order (ts desc, delete-beats-write, md5(payload) desc; payloads
+    are event-unique so the hash is decisive cross-engine).
+
+    The whole schedule runs through CDCRunner, so each chunk is its
+    own ledger batch: the bootstrap is exactly-once and crash-
+    resumable per chunk (pytest covers the replay path)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbp_etl_spark.cdc import CDCRunner
+    from dbp_etl_spark.cdc.dblog import (
+        ChunkSpec,
+        chunk_predicate,
+        chunked_bootstrap,
+        plan_chunks,
+    )
+    from dbp_etl_spark.cdc.dedup import cdc_order, dedup_latest
+    from dbp_etl_spark.lake import LakeTable, TableSchema
+
+    n_chunks = 4
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    url = F.concat(F.lit("https://d.example/u"), F.col("user_id").cast("string"))
+    nul_s = F.lit(None).cast("string")
+
+    init = (
+        ev.select("user_id").distinct().select(
+            F.concat(F.lit("https://d.example/u"), F.col("user_id").cast("string")).alias("url"),
+            F.lit("2023-12-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>i"),
+                    F.col("user_id").cast("string"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ).alias("html"),
+            nul_s.alias("text"),
+            nul_s.alias("lang"),
+            F.round(F.col("user_id") * 1.5, 2).alias("val"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    tail = ev.select(
+        url.alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>d"),
+                F.col("event_id").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        nul_s.alias("text"),
+        nul_s.alias("lang"),
+        F.round("value", 2).alias("val"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("update").alias("op"),
+        ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
+    )
+
+    # watermark windows: low inside week c, high inside week c+1; the
+    # simulated source read position is strictly between them
+    def watermarks(c):
+        return (f"2024-01-{7 * c + 5:02d} 00:00:00", f"2024-01-{7 * c + 10:02d} 00:00:00")
+
+    chunks = plan_chunks(n_chunks, [0, 1, 2, 3], watermarks)
+    all_src = init.unionByName(tail.drop("batch_id"))
+
+    def read_chunk(spec: ChunkSpec) -> DataFrame:
+        mid = F.lit(f"2024-01-{7 * spec.chunk_id + 6:02d} 12:00:00").cast("timestamp")
+        at_mid = all_src.filter(F.col("warc_ts") <= mid)
+        latest = dedup_latest(at_mid, "url", cdc_order())
+        live = latest.filter(F.col("op") != "delete").drop("op")
+        return live.filter(chunk_predicate("url", spec.chunk_id, n_chunks))
+
+    row_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dblog_")
+    table = LakeTable.create(
+        spark, f"{root}/pages", TableSchema.from_struct(row_schema), key="url", num_buckets=8
+    )
+    runner = CDCRunner(table)
+    chunked_bootstrap(runner, read_chunk, tail, chunks)
+    return runner.table.read().select(
+        "url",
+        F.unix_micros("warc_ts").alias("last_ts_us"),
+        "val",
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
+
+
+# =====================================================================
+# URL canonicalization / SURT keys / outlink graph (functions/urls.py)
+# =====================================================================
+# All three synthesize deliberately-messy URLs from the events table
+# with modular-arithmetic variants; the oracle states the EXPECTED
+# canonical form in closed form from the same generator variables, so
+# it cross-checks the operator's semantics without reimplementing it.
+
+
+@q(
+    "url_canonical_dedup",
+    """
+    WITH raw AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+             CASE WHEN event_id % 7 IN (0, 1, 2) THEN '/x' ELSE '' END AS xpart,
+             event_id % 4 AS qv
+      FROM events),
+    canon AS (
+      SELECT scheme || '://example.com/p' || CAST(user_id AS VARCHAR) || xpart
+             || CASE WHEN qv IN (0, 1) THEN '?id=' || CAST(user_id AS VARCHAR)
+                     WHEN qv = 2 THEN '?id=' || CAST(user_id AS VARCHAR) || '&z=2'
+                     ELSE '' END AS curl
+      FROM raw)
+    SELECT curl, CAST(count(*) AS BIGINT) AS n_raw
+    FROM canon GROUP BY curl
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization as a dedup key (functions/urls.py
+    canonicalize_url; reference key-hygiene analog
+    /root/reference/load/InputFileset.py:61-83): six orthogonal mess
+    axes — scheme-default ports, Www./case-varied hosts, duplicate and
+    trailing slashes, tracking params, unsorted params, fragments —
+    collapse to one canonical key per page. Pure JVM expressions, so
+    the canonical key costs nothing extra in the ingest hot path."""
+    from dbp_etl_spark.functions.urls import canonicalize_url
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id").cast("string")
+    scheme = F.when(eid % 2 == 0, "http").otherwise("https")
+    host = (
+        F.when(eid % 3 == 0, "www.Example.com")
+        .when(eid % 3 == 1, "example.COM")
+        .otherwise("example.com")
+    )
+    port = (
+        F.when((eid % 5 == 0) & (eid % 2 == 0), ":80")
+        .when((eid % 5 == 0) & (eid % 2 == 1), ":443")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/p"),
+        uid,
+        F.when(eid % 7 == 0, "//x").when(eid % 7 == 1, "/x/").when(eid % 7 == 2, "/x").otherwise(""),
+    )
+    query = (
+        F.when(eid % 4 == 0, F.concat(F.lit("?utm_source=tw&id="), uid))
+        .when(eid % 4 == 1, F.concat(F.lit("?id="), uid, F.lit("&utm_campaign=z")))
+        .when(eid % 4 == 2, F.concat(F.lit("?z=2&id="), uid))
+        .otherwise("")
+    )
+    frag = F.when(eid % 6 == 0, "#sec").otherwise(F.lit(""))
+    raw = ev.select(
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url")
+    )
+    return raw.select(canonicalize_url(F.col("url")).alias("curl")).groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+
+
+@q(
+    "surt_host_keys",
+    """
+    WITH hosts AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 'com,example'
+                  WHEN user_id % 3 = 1 THEN 'org,site,news'
+                  ELSE 'com,example,blog,m' END AS rhost,
+             user_id
+      FROM events)
+    SELECT rhost || ')/p' || CAST(user_id AS VARCHAR) AS surt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM hosts GROUP BY surt
+    """,
+)
+def surt_host_keys(spark, sf_dir):
+    """SURT keys (functions/urls.py surt_key — the Common Crawl CDX /
+    Wayback key format): reversed host labels cluster a domain's pages
+    adjacently in sort order, so range-partitioning the corpus by SURT
+    turns per-site scans and robots joins into partition-pruned range
+    reads. The www. label is stripped by canonicalization first."""
+    from dbp_etl_spark.functions.urls import surt_key
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    host = (
+        F.when(uid % 3 == 0, "WWW.example.com")
+        .when(uid % 3 == 1, "news.site.org")
+        .otherwise("m.blog.example.com")
+    )
+    raw = ev.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"), uid.cast("string")).alias("url")
+    )
+    return raw.select(surt_key(F.col("url")).alias("surt")).groupBy("surt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "html_outlink_graph",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 'example.com'
+                  WHEN user_id % 3 = 1 THEN 'site.org' ELSE 'blog.net' END AS src_host,
+             CASE WHEN (user_id + 1) % 3 = 0 THEN 'example.com'
+                  WHEN (user_id + 1) % 3 = 1 THEN 'site.org' ELSE 'blog.net' END AS d1,
+             CASE WHEN event_id % 3 = 0 THEN 'example.com'
+                  WHEN event_id % 3 = 1 THEN 'site.org' ELSE 'blog.net' END AS d2
+      FROM events),
+    links AS (
+      SELECT src_host, d1 AS dst_host FROM e
+      UNION ALL
+      SELECT src_host, d2 AS dst_host FROM e)
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM links GROUP BY src_host, dst_host
+    """,
+)
+def html_outlink_graph(spark, sf_dir):
+    """Host-level outlink graph extracted from raw HTML (webtext core:
+    the link graph feeding pagerank/crawl-frontier ops): hrefs pulled
+    with one JVM regexp_extract_all over the html payload — no UDF —
+    then canonicalized (messy forms: Www-prefix, default ports,
+    fragments) and rolled up to (src_host, dst_host) edge weights.
+    At 100 TB this is one map + one count shuffle keyed by host pair;
+    the explode is bounded by links-per-page."""
+    from dbp_etl_spark.functions.urls import canonicalize_url
+
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+
+    def hostof(n):
+        return (
+            F.when(n % 3 == 0, "example.com")
+            .when(n % 3 == 1, "site.org")
+            .otherwise("blog.net")
+        )
+
+    # messy outlink targets inside an html payload
+    u1 = F.concat(F.lit("https://www."), hostof(uid + 1), F.lit("/a#frag"))
+    u2 = F.concat(F.lit("http://"), hostof(eid), F.lit(":80/b?utm_source=x"))
+    html = F.concat(
+        F.lit('<html><body><a href="'), u1, F.lit('">x</a><p>t</p><a href="'),
+        u2, F.lit('">y</a></body></html>'),
+    )
+    pages = ev.select(hostof(uid).alias("src_host"), html.alias("html"))
+    links = pages.select(
+        "src_host",
+        F.explode(F.regexp_extract_all(F.col("html"), F.lit('href="([^"]*)"'), F.lit(1))).alias(
+            "raw_url"
+        ),
+    )
+    dst = F.regexp_extract(canonicalize_url(F.col("raw_url")), r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+    return links.select("src_host", dst.alias("dst_host")).groupBy(
+        "src_host", "dst_host"
+    ).agg(F.count(F.lit(1)).alias("n_links"))
+
+
+@q(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE length(w) >= 2
+      GROUP BY w),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 1) || substr(word, CAST(i AS INTEGER) + 1, 1) AS pair,
+             freq
+      FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM words))
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer training, step one (training-data pipeline op):
+    corpus-wide adjacent-symbol-pair frequencies — the statistic whose
+    argmax drives every merge of byte-pair-encoding training (Sennrich
+    et al. 2016). Two-level aggregation keeps the explode bounded: the
+    corpus first collapses to the DISTINCT-word frequency table (the
+    classic BPE trick — pair counts are word-frequency-weighted, so
+    the per-position explode runs over unique words, not over 100 TB
+    of running text), then one explode per word position and a
+    pair-keyed count shuffle. Pure JVM (split/explode/substring);
+    deterministic top-20 under (n desc, pair asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"), "word", "freq"
+    ).select(
+        F.expr("substring(word, i, 1) || substring(word, i + 1, 1)").alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )

@@ -91,16 +91,28 @@ def quota_control(lo: int, hi: int, iters: int = 40_000_000) -> dict:
     }
 
 
-def run_level_pinned(cores: int, n_events: int, warmup: int) -> dict:
+def run_level_pinned(cores: int, n_events: int, warmup: int, sp: int | None = None) -> dict:
     """One measurement at ``cores``, in a fresh subprocess pinned to
     exactly that many CPUs. Fresh process per level => the pin applies
     to every thread from JVM birth, and JIT warmup happens inside the
-    pinned budget (as it would on a real executor)."""
+    pinned budget (as it would on a real executor).
+
+    ``sp`` fixes shuffle_partitions at BOTH levels. On a real cluster
+    shuffle partitioning is sized to the DATA (target bytes/partition),
+    not to the executor count — the same job at N and 4N executors runs
+    the identical plan with identical task counts and shuffle bytes,
+    and only the parallelism differs. The per-core rule (sp=4*cores,
+    the default) instead hands the hi level 2.3x more tasks and +12%
+    shuffle bytes than the lo level (BENCH/BASELINE.md fifth artifact),
+    charging the efficiency ratio for a plan asymmetry no cluster
+    comparison would have."""
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "run_cdc_level.py")
     cmd = [
         "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
         sys.executable, script, str(cores), str(n_events), str(warmup),
     ]
+    if sp is not None:
+        cmd.append(str(sp))
     proc = subprocess.run(cmd, capture_output=True, text=True)
     for line in proc.stdout.splitlines():
         if line.startswith("LEVEL_RESULT "):
@@ -115,6 +127,10 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     jvm_only = "--jvm-only" in sys.argv
     pin = "--pin" in sys.argv
+    sp = None  # fixed data-sized shuffle partitions at both levels
+    for a in sys.argv[1:]:
+        if a.startswith("--sp="):
+            sp = int(a.split("=", 1)[1])
     n_events = int(args[0]) if len(args) > 0 else 3_000_000
     rounds = int(args[1]) if len(args) > 1 else 2
     lo = int(args[2]) if len(args) > 2 else 1
@@ -141,7 +157,7 @@ def main():
                 # warmup inside the pinned subprocess every round: each
                 # level gets a fresh JVM, so JIT state never carries over
                 p0 = bench.host_probe()
-                res = run_level_pinned(cores, n_events, max(n_events // 8, 100_000))
+                res = run_level_pinned(cores, n_events, max(n_events // 8, 100_000), sp=sp)
                 p1 = bench.host_probe()
             else:
                 spark = get_spark(
@@ -237,6 +253,7 @@ def main():
                 "state_identical": len(hashes) == 1,
                 "events": n_events,
                 "rounds": rounds,
+                "shuffle_partitions": sp if sp is not None else "4*cores",
             }
         )
     )

@@ -327,3 +327,30 @@ def test_dsir_scoring_pass_is_shuffle_free(spark):
     assert count_exchanges(scored) == 0
     p = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_url_queries_plan_shapes(spark):
+    """New URL/tokenizer ops stay JVM-only and shuffle-minimal:
+    canonicalization/SURT/outlink extraction are map-side expression
+    trees (their only exchange is the final count shuffle); BPE pair
+    counting pays exactly its two aggregations (word freq, pair sum)."""
+    from dbp_etl_spark.plans.checks import plan_str
+
+    from dbp_etl_spark.queries import QUERIES
+
+    for name, n_exchanges in (
+        ("url_canonical_dedup", 1),
+        ("surt_host_keys", 1),
+        ("html_outlink_graph", 1),
+    ):
+        df = QUERIES[name](spark, SF)
+        p = plan_str(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        # one partial+final agg pair = one shuffle
+        assert count_exchanges(df) == n_exchanges, name
+
+    bpe = QUERIES["bpe_pair_counts"](spark, SF)
+    p = plan_str(bpe)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # word-freq shuffle + pair-count shuffle + top-k single partition
+    assert count_exchanges(bpe) <= 3
