@@ -78,12 +78,17 @@ _CHECK_FIRST = [
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
-    # then has a green row within two rounds. 14 new + 39 stale = 53
-    # overflows the driver's 50-query prefix by three; the three
-    # placed last (value_percentiles, value_statistics,
-    # window_stats_suite — classic SQL stat/window batteries,
-    # r3-green and pytest-covered) are the deliberate sacrifices:
-    # never-driver-checked new queries outrank re-checking them.
+    # then has a green row within two rounds. The 61-entry list
+    # overflows the driver's 50-query prefix by eleven; the eleven
+    # placed last (stratified_sample_docs … window_stats_suite —
+    # classic SQL stat/window/sample batteries, r3-green,
+    # pytest-covered, and locally re-verified 111/111 by
+    # scripts/check_oracle.py this round) are the deliberate
+    # sacrifices: never-driver-checked new queries outrank
+    # re-checking them.
+    "crawl_frontier_schedule",
+    "anchor_text_profile",
+    "hist_quantile_sketch",
     "dblog_chunked_bootstrap",
     "bpe_pair_counts",
     "url_canonical_dedup",

@@ -35,6 +35,67 @@ def parse_robots(robots: DataFrame, host_col: str = "host", txt_col: str = "robo
     )
 
 
+def frontier_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    priority_cols: list | None = None,
+    delay_col: str = "crawl_delay_sec",
+    budget: int | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling.
+
+    Within each host, URLs are ranked by ``priority_cols`` (default:
+    descending ``priority``, then the URL itself for determinism) and
+    assigned ``fetch_slot`` (1-based) and ``fetch_offset_sec`` =
+    ``(fetch_slot - 1) * crawl_delay_sec`` — the earliest instant the
+    URL may be fetched without violating the host's crawl delay.
+    ``budget`` keeps only the first N slots per host (per-host crawl
+    budget — the frontier-pruning knob of a recrawl pass).
+
+    Scale: per-host serialization is inherent to politeness (a host's
+    fetches form one queue by definition), so ONE window shuffle keyed
+    by host is the minimal plan; per-host state is a rank counter, not
+    a buffer. A hot host (10^7 queued URLs) makes one long partition,
+    but its schedule is also 10^7 * delay seconds long — the budget cut
+    is the real-world remedy and prunes before anything downstream.
+    """
+    if priority_cols is None:
+        priority_cols = [F.col("priority").desc(), F.col("url").asc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(*priority_cols)
+    out = frontier.withColumn("fetch_slot", F.row_number().over(w))
+    if budget is not None:
+        out = out.where(F.col("fetch_slot") <= budget)
+    return out.withColumn(
+        "fetch_offset_sec",
+        ((F.col("fetch_slot") - 1) * F.col(delay_col)).cast("long"),
+    )
+
+
+def anchor_text_pairs(
+    pages: DataFrame,
+    html_col: str = "html",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Extract (href, anchor_text) pairs from raw HTML — the anchor
+    corpus behind target-side relevance signals (anchor-text search
+    indexes, seed expansion, link-spam features).
+
+    One JVM ``regexp_extract_all`` per capture group over the same
+    pattern — the two arrays index the same match spans, so
+    ``arrays_zip`` realigns them without a UDF — then one explode
+    bounded by links-per-page. Map-only; no shuffle."""
+    pat = F.lit(r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>')
+    hrefs = F.regexp_extract_all(F.col(html_col), pat, 1)
+    texts = F.regexp_extract_all(F.col(html_col), pat, 2)
+    keep = keep_cols if keep_cols is not None else [c for c in pages.columns if c != html_col]
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))).alias("_p")
+    return pages.select(*keep, pair).select(
+        *keep, F.col("_p.href").alias("href"), F.col("_p.anchor").alias("anchor")
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,

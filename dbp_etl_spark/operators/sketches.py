@@ -193,3 +193,93 @@ def cm_heavy_hitters_exact(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+# ------------------------------------------------- fixed-bin histogram
+
+
+def fixed_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram: ``nbins`` equal-width bins over
+    [lo, hi); values outside clamp to the edge bins. Returns
+    (group..., bin, cnt) — at any scale the reduce state is <= nbins
+    rows per group (map-side partial sums do the heavy lifting), and
+    two histograms merge by bin-wise ``sum`` — the property that lets
+    each of 1000 executors summarize its shard locally.
+
+    Deterministic (no sampling, no randomized compaction — unlike KLL/
+    t-digest), which is what makes the quantile estimate below exactly
+    reproducible across partitionings AND expressible as an oracle.
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    w = (hi - lo) / nbins
+    x = F.col(col).cast("double")
+    raw_bin = F.floor((x - F.lit(lo)) / F.lit(w)).cast("long")
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw_bin))
+    keys = [F.col(g) for g in (group_by or [])]
+    return (
+        df.filter(x.isNotNull())
+        .select(*keys, bin_.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Bin-wise sum — the lossless merge of same-shape histograms."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin histogram by linear
+    interpolation inside the covering bin (the lower-edge convention:
+    the q-quantile's target rank is ``q * n``, the covering bin is the
+    first whose running count reaches it, and the estimate is
+    ``lo + w * (bin + (target - cum_before) / cnt)``).
+
+    Error bound: one bin width (hi-lo)/nbins, by construction — the
+    trade is bins vs accuracy, independent of data size. The window
+    below runs over the AGGREGATED frame (<= nbins rows per group),
+    not the data, so the plan is: narrow scan -> partial-agg shuffle
+    of <= nbins rows -> tiny window. No global sort of the data — the
+    thing exact percentile_disc would need.
+
+    Returns (group..., q, est).
+    """
+    from pyspark.sql import Window
+
+    w = (hi - lo) / nbins
+    keys = list(group_by or [])
+    win = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin") if keys else Window.orderBy("bin")
+    cum = hist.withColumn("_cum", F.sum("cnt").over(win)).withColumn(
+        "_n", F.sum("cnt").over(Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy())
+    )
+    qdf = cum.crossJoin(
+        cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    target = F.col("q") * F.col("_n")
+    covering = qdf.where((F.col("_cum") >= target) & (F.col("_cum") - F.col("cnt") < target))
+    est = F.lit(lo) + F.lit(w) * (
+        F.col("bin") + (target - (F.col("_cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return covering.select(*keys, "q", est.alias("est"))

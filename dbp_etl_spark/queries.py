@@ -5395,3 +5395,153 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@q(
+    "crawl_frontier_schedule",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'https://h' || CAST(user_id % 5 AS VARCHAR) || '.example/p'
+               || CAST(event_id AS VARCHAR) AS url,
+             round(value, 2) AS priority,
+             CAST(1 + (user_id % 5) AS BIGINT) AS crawl_delay_sec
+      FROM events),
+    r AS (
+      SELECT host, url, crawl_delay_sec,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC)
+               AS fetch_slot
+      FROM f)
+    SELECT host, url, CAST(fetch_slot AS BIGINT) AS fetch_slot,
+           CAST((fetch_slot - 1) * crawl_delay_sec AS BIGINT) AS fetch_offset_sec
+    FROM r WHERE fetch_slot <= 100
+    """,
+)
+def crawl_frontier_schedule(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling (operators/crawl.py
+    frontier_schedule): per-host fetch queue ordered by priority,
+    1-based fetch_slot, fetch_offset_sec = (slot-1) * host crawl
+    delay, per-host budget of 100. The reference trusts an upstream
+    crawler for fetch policy; a recrawl pass over a 10^10-URL frontier
+    has to derive the schedule itself. One window shuffle keyed by
+    host (politeness is per-host serial by definition — see the
+    operator docstring for the hot-host story)."""
+    from dbp_etl_spark.operators.crawl import frontier_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    frontier = ev.select(
+        F.concat(F.lit("h"), (uid % 5).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (uid % 5).cast("string"), F.lit(".example/p"),
+            eid.cast("string"),
+        ).alias("url"),
+        F.round("value", 2).alias("priority"),
+        (1 + uid % 5).cast("long").alias("crawl_delay_sec"),
+    )
+    out = frontier_schedule(frontier, budget=100)
+    return out.select(
+        "host", "url",
+        F.col("fetch_slot").cast("long").alias("fetch_slot"),
+        F.col("fetch_offset_sec"),
+    )
+
+
+@q(
+    "anchor_text_profile",
+    """
+    WITH e AS (
+      SELECT CASE WHEN (user_id + 1) % 3 = 0 THEN 'example.com'
+                  WHEN (user_id + 1) % 3 = 1 THEN 'site.org' ELSE 'blog.net' END AS d1,
+             CASE WHEN event_id % 3 = 0 THEN 'example.com'
+                  WHEN event_id % 3 = 1 THEN 'site.org' ELSE 'blog.net' END AS d2,
+             'alpha v' || CAST(user_id % 7 AS VARCHAR) AS a1,
+             'beta v' || CAST(event_id % 5 AS VARCHAR) AS a2
+      FROM events),
+    pairs AS (
+      SELECT d1 AS dst_host, a1 AS anchor FROM e
+      UNION ALL
+      SELECT d2 AS dst_host, a2 AS anchor FROM e),
+    terms AS (
+      SELECT dst_host, unnest(string_split(anchor, ' ')) AS term FROM pairs)
+    SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+    FROM terms GROUP BY dst_host, term
+    """,
+)
+def anchor_text_profile(spark, sf_dir):
+    """Anchor-text aggregation (operators/crawl.py anchor_text_pairs):
+    (href, anchor text) pairs pulled from raw HTML with two group-
+    indexed regexp_extract_all over ONE pattern + arrays_zip (no UDF),
+    targets canonicalized to their host, anchor text tokenized, and
+    rolled up to (dst_host, term) weights — the target-side relevance
+    signal a web index builds from the link graph. Map-only extract,
+    one count shuffle keyed by (host, term); explode bounded by
+    links-per-page * terms-per-anchor."""
+    from dbp_etl_spark.functions.urls import canonicalize_url
+    from dbp_etl_spark.operators.crawl import anchor_text_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+
+    def hostof(n):
+        return (
+            F.when(n % 3 == 0, "example.com")
+            .when(n % 3 == 1, "site.org")
+            .otherwise("blog.net")
+        )
+
+    u1 = F.concat(F.lit("https://www."), hostof(uid + 1), F.lit("/a#frag"))
+    u2 = F.concat(F.lit("http://"), hostof(eid), F.lit(":80/b?x=1"))
+    a1 = F.concat(F.lit("alpha v"), (uid % 7).cast("string"))
+    a2 = F.concat(F.lit("beta v"), (eid % 5).cast("string"))
+    html = F.concat(
+        F.lit('<html><body><a href="'), u1, F.lit('">'), a1,
+        F.lit('</a><p>t</p><a class="x" href="'), u2, F.lit('">'), a2,
+        F.lit("</a></body></html>"),
+    )
+    pages = ev.select(html.alias("html"))
+    pairs = anchor_text_pairs(pages, keep_cols=[])
+    dst = F.regexp_extract(
+        canonicalize_url(F.col("href")), r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1
+    )
+    return (
+        pairs.select(dst.alias("dst_host"), F.explode(F.split("anchor", " ")).alias("term"))
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "hist_quantile_sketch",
+    """
+    WITH b AS (
+      SELECT greatest(0, least(49, CAST(floor(value / 10.0) AS BIGINT))) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY bin),
+    c AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS n
+      FROM b),
+    qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+    SELECT q, round(0.0 + 10.0 * (bin + (q * n - (cum - cnt)) / cnt), 4) AS est
+    FROM c, qs
+    WHERE cum >= q * n AND cum - cnt < q * n
+    """,
+)
+def hist_quantile_sketch(spark, sf_dir):
+    """Mergeable fixed-bin histogram quantiles (operators/sketches.py
+    fixed_histogram + hist_quantiles): p50/p90/p99 of events.value via
+    50 equal-width bins over [0, 500) with in-bin linear interpolation.
+    The scale story vs exact percentile_disc: each executor reduces its
+    shard to <= 50 (bin, cnt) rows map-side, one tiny shuffle merges
+    them bin-wise, and the window runs over the 50-row aggregate — no
+    global sort of 10^10 rows. Deterministic (unlike KLL/t-digest), so
+    the estimate is reproducible across partitionings and the oracle
+    is closed-form; error bound = one bin width."""
+    from dbp_etl_spark.operators.sketches import fixed_histogram, hist_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    hist = fixed_histogram(ev, "value", lo=0.0, hi=500.0, nbins=50)
+    out = hist_quantiles(hist, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, nbins=50)
+    return out.select("q", F.round("est", 4).alias("est"))

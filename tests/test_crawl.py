@@ -69,3 +69,62 @@ def test_robots_filter_broadcasts_rules(spark):
     assert_broadcast_join(out)
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+# ------------------------------------------------- frontier scheduling
+
+
+def test_frontier_schedule_slots_offsets_and_budget(spark):
+    from dbp_etl_spark.operators.crawl import frontier_schedule
+
+    rows = [
+        ("a", "u1", 5.0, 2),
+        ("a", "u2", 9.0, 2),
+        ("a", "u3", 9.0, 2),   # priority tie -> url asc: u2 before u3
+        ("b", "u4", 1.0, 7),
+    ]
+    f = spark.createDataFrame(
+        rows, "host string, url string, priority double, crawl_delay_sec long"
+    )
+    got = {
+        r["url"]: (r["fetch_slot"], r["fetch_offset_sec"])
+        for r in frontier_schedule(f).collect()
+    }
+    assert got == {"u2": (1, 0), "u3": (2, 2), "u1": (3, 4), "u4": (1, 0)}
+    # budget prunes past the first N slots per host
+    kept = {r["url"] for r in frontier_schedule(f, budget=2).collect()}
+    assert kept == {"u2", "u3", "u4"}
+
+
+def test_frontier_schedule_single_window_shuffle(spark):
+    from dbp_etl_spark.operators.crawl import frontier_schedule
+
+    f = spark.createDataFrame(
+        [("a", "u", 1.0, 1)], "host string, url string, priority double, crawl_delay_sec long"
+    )
+    plan = frontier_schedule(f)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 and "Python" not in plan
+
+
+# ------------------------------------------------- anchor-text pairs
+
+
+def test_anchor_text_pairs_extracts_aligned_pairs(spark):
+    from dbp_etl_spark.operators.crawl import anchor_text_pairs
+
+    html = (
+        '<html><a href="https://x.test/1">one link</a>'
+        '<p>noise</p><a class="c" href="http://y.test/2">two</a>'
+        "<a>no href</a></html>"
+    )
+    pages = spark.createDataFrame([(7, html), (8, "<html>none</html>")], "page_id long, html string")
+    got = sorted(map(tuple, anchor_text_pairs(pages).select("page_id", "href", "anchor").collect()))
+    assert got == [(7, "http://y.test/2", "two"), (7, "https://x.test/1", "one link")]
+
+
+def test_anchor_text_pairs_is_map_only(spark):
+    from dbp_etl_spark.operators.crawl import anchor_text_pairs
+
+    pages = spark.createDataFrame([(1, "<a href=\"u\">t</a>")], "page_id long, html string")
+    plan = anchor_text_pairs(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

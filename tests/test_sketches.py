@@ -125,3 +125,51 @@ def test_sketch_plans_have_no_python_udf(spark, items):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+# ------------------------------------------------- fixed-bin histogram
+
+
+def test_fixed_histogram_bins_clamp_and_merge(spark):
+    from dbp_etl_spark.operators.sketches import fixed_histogram, hist_merge
+
+    df = spark.createDataFrame([(v,) for v in [-5.0, 0.0, 9.9, 10.0, 55.0, 999.0]], "v double")
+    got = {r["bin"]: r["cnt"] for r in fixed_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert got == {0: 3, 1: 1, 5: 1, 9: 1}  # out-of-range clamps to edge bins
+    a = df.filter(F.col("v") < 10)
+    b = df.filter(F.col("v") >= 10)
+    merged = hist_merge(
+        fixed_histogram(a, "v", 0.0, 100.0, 10), fixed_histogram(b, "v", 0.0, 100.0, 10)
+    )
+    assert {r["bin"]: r["cnt"] for r in merged.collect()} == got
+
+
+def test_hist_quantiles_interpolation_and_error_bound(spark):
+    from dbp_etl_spark.operators.sketches import fixed_histogram, hist_quantiles
+
+    # 1..1000 uniform: p50 ~ 500, p99 ~ 990; bin width 10 bounds error
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    hist = fixed_histogram(df, "v", 0.0, 1000.0, 100)
+    got = {r["q"]: r["est"] for r in hist_quantiles(hist, [0.5, 0.99], 0.0, 1000.0, 100).collect()}
+    assert abs(got[0.5] - 500.0) <= 10.0
+    assert abs(got[0.99] - 990.0) <= 10.0
+
+
+def test_hist_quantiles_partitioning_invariant(spark):
+    from dbp_etl_spark.operators.sketches import fixed_histogram, hist_quantiles
+
+    df = spark.range(0, 5000).select((F.xxhash64("id") % 1000).cast("double").alias("v"))
+    qs = [0.25, 0.5, 0.75, 0.9]
+    outs = []
+    for parts in (1, 7, 32):
+        hist = fixed_histogram(df.repartition(parts), "v", -1000.0, 1000.0, 64)
+        outs.append(sorted(map(tuple, hist_quantiles(hist, qs, -1000.0, 1000.0, 64).collect())))
+    assert outs[0] == outs[1] == outs[2]  # deterministic across partitionings
+
+
+def test_fixed_histogram_stays_jvm_side(spark):
+    from dbp_etl_spark.operators.sketches import fixed_histogram
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    plan = fixed_histogram(df, "v", 0.0, 10.0, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
