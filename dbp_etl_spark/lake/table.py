@@ -3501,3 +3501,119 @@ class LakeTable:
                     }
                 )
         return out
+
+    # ------------------------------------------------ metadata tables
+
+    def files_df(self) -> DataFrame:
+        """The live file inventory as a DataFrame — the Iceberg
+        ``table.files`` metadata-table analog. One row per data file
+        of the CURRENT snapshot: (path, bucket, schema_version,
+        is_delta, delta_seq, size_bytes, n_rows, has_kbloom).
+
+        Metadata-only: built from the in-memory manifest plus one
+        filesystem ``size`` probe per file; ``n_rows`` comes from the
+        footer stats already recorded at write time (NULL when the
+        file predates stats collection). No data bytes are read — the
+        operational queries this feeds (small-file audits, skew maps,
+        compaction planning) must stay cheap on a 100 TB table whose
+        data scan is the expensive thing being avoided.
+        """
+        rows = []
+        for f in self.manifest["files"]:
+            st = f.get("stats") or {}
+            try:
+                size = self._fs.size(os.path.join(self.root, f["path"]))
+            except OSError:
+                size = None
+            rows.append(
+                (
+                    f["path"],
+                    int(f["bucket"]),
+                    int(f.get("schema_version", 0)),
+                    bool(f.get("delta")),
+                    int(f["seq"]) if f.get("delta") else None,
+                    size,
+                    int(st["rows"]) if "rows" in st else None,
+                    "kbloom" in f,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, schema_version int, is_delta boolean, "
+            "delta_seq int, size_bytes long, n_rows long, has_kbloom boolean",
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """Retained snapshot history as a DataFrame — the Iceberg
+        ``table.snapshots``/``history`` analog: (snapshot_id,
+        parent_id, schema_version, n_files, operation). ``operation``
+        classifies the commit from its summary keys (merge, append,
+        compact, rebucket, schema, retention, tag, constraint, …);
+        unknown summaries fall back to their first key. Driver-side
+        manifest reads only, bounded by the retention window."""
+        op_of = {
+            "counts": "merge",
+            "append": "append",
+            "compacted_buckets": "compact",
+            "rebucket": "rebucket",
+            "schema_op": "schema",
+            "expired_through": "retention",
+            "vacuumed_tombstones": "retention",
+            "tag": "tag",
+            "untag": "untag",
+            "add_constraint": "constraint",
+            "drop_constraint": "constraint",
+            "stats_columns": "stats",
+        }
+        rows = []
+        for h in self.history():
+            first = next(iter(h["summary"]), None)
+            op = next((v for k, v in op_of.items() if k in h["summary"]), first)
+            rows.append(
+                (
+                    h["snapshot_id"],
+                    h["parent_id"],
+                    h["schema_version"],
+                    h["n_files"],
+                    op,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, schema_version int, "
+            "n_files long, operation string",
+        )
+
+    def plan_compaction(
+        self,
+        max_files_per_bucket: int = 4,
+        small_file_bytes: int | None = None,
+    ) -> list[int]:
+        """Pick buckets worth compacting, from metadata alone: a
+        bucket qualifies when it holds more than ``max_files_per_bucket``
+        live files (base + MOR deltas), or when ``small_file_bytes``
+        is given and it has 2+ files under that size (the small-file
+        problem: each file is a task + a footer + a merge input at
+        read time). Returns a sorted bucket list to pass straight to
+        ``compact(buckets=...)`` — the OPTIMIZE planner that lets a
+        maintenance job touch only the degraded fraction of a 100 TB
+        table instead of rewriting all of it."""
+        by_bucket: dict[int, list[dict]] = {}
+        for f in self.manifest["files"]:
+            by_bucket.setdefault(int(f["bucket"]), []).append(f)
+        out = []
+        for b, fs_ in by_bucket.items():
+            if len(fs_) > max_files_per_bucket:
+                out.append(b)
+                continue
+            if small_file_bytes is not None and len(fs_) >= 2:
+                small = 0
+                for f in fs_:
+                    try:
+                        if self._fs.size(os.path.join(self.root, f["path"])) < small_file_bytes:
+                            small += 1
+                    except OSError:
+                        pass
+                if small >= 2:
+                    out.append(b)
+        return sorted(out)
