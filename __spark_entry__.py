@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     # scripts/check_oracle.py this round) are the deliberate
     # sacrifices: never-driver-checked new queries outrank
     # re-checking them.
+    "boilerplate_block_filter",
     "crawl_frontier_schedule",
     "anchor_text_profile",
     "hist_quantile_sketch",

@@ -5545,3 +5545,74 @@ def hist_quantile_sketch(spark, sf_dir):
     hist = fixed_histogram(ev, "value", lo=0.0, hi=500.0, nbins=50)
     out = hist_quantiles(hist, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, nbins=50)
     return out.select("q", F.round("est", 4).alias("est"))
+
+
+# =====================================================================
+# Boilerplate removal (functions/boilerplate.py)
+# =====================================================================
+# The page layout is synthesized in closed form from doc_id (nav bar,
+# two stopword-rich paragraphs, an undecided short block, a footer and
+# a gibberish div), so the oracle states the EXPECTED kept text
+# directly — it cross-checks block segmentation, all three classifier
+# signals AND the context pass without reimplementing any of them.
+
+
+@q(
+    "boilerplate_block_filter",
+    """
+    SELECT doc_id,
+           CAST(6 AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_good,
+           'the value of the data in table ' || CAST(doc_id % 97 AS VARCHAR)
+             || ' is one of the best and the scan is fast'
+             || CASE WHEN doc_id % 5 = 0 THEN ''
+                     ELSE chr(10) || 'Read more details below' || chr(10)
+                          || 'all of the rows in group ' || CAST(doc_id % 7 AS VARCHAR)
+                          || ' are sorted by the key and the scan is fast' END AS content
+    FROM documents
+    """,
+)
+def boilerplate_block_filter(spark, sf_dir):
+    """jusText-style block-level boilerplate removal
+    (functions/boilerplate.py; reference payload->clean-text analog
+    /root/reference/load/UpdateDBPTextFilesets.py:60-89, where markup
+    is trusted — on crawled pages it must be classified first): each
+    page carries a link-dense nav (bad), two stopword-rich paragraphs
+    (good), an undecided short block (kept only when BOTH neighbors
+    are good — every fifth page swaps its second paragraph for
+    gibberish, flipping the context decision), a short footer whose
+    one-sided good neighbor does NOT rescue it, and a no-stopword
+    gibberish div (bad). One pure-JVM higher-order-function expression
+    tree per row: no explode, no shuffle, no Python — map-only at IO
+    speed over a 100 TB corpus."""
+    from dbp_etl_spark.functions.boilerplate import boilerplate_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nav = F.lit(
+        '<div><a href="/">Home page link</a> <a href="/about">About our site</a></div>'
+    )
+    c1 = F.concat(
+        F.lit("<p>the value of the data in table "),
+        (did % 97).cast("string"),
+        F.lit(" is one of the best and the scan is fast</p>"),
+    )
+    short_blk = F.lit("<p>Read more details below</p>")
+    c2 = F.concat(
+        F.lit("<p>all of the rows in group "),
+        (did % 7).cast("string"),
+        F.lit(" are sorted by the key and the scan is fast</p>"),
+    )
+    junk2 = F.lit("<div>q9z k2m p4r w8n j3t v5b n6c m1x</div>")
+    footer = F.lit("<p>(c) 2026 Example Corp</p>")
+    junk = F.lit("<div>x7f z0q l9w r8e t7y u6i o5p a4s v3c</div>")
+    html = F.concat(
+        nav, c1, short_blk, F.when(did % 5 == 0, junk2).otherwise(c2), footer, junk
+    )
+    ex = boilerplate_exprs(html)
+    return d.select(
+        did,
+        ex["n_blocks"].alias("n_blocks"),
+        ex["n_good"].alias("n_good"),
+        ex["content"].alias("content"),
+    )
