@@ -87,6 +87,7 @@ _CHECK_FIRST = [
     # sacrifices: never-driver-checked new queries outrank
     # re-checking them.
     "boilerplate_block_filter",
+    "weighted_sample_es",
     "crawl_frontier_schedule",
     "anchor_text_profile",
     "hist_quantile_sketch",

@@ -5616,3 +5616,38 @@ def boilerplate_block_filter(spark, sf_dir):
         ex["n_good"].alias("n_good"),
         ex["content"].alias("content"),
     )
+
+
+@q(
+    "weighted_sample_es",
+    """
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15)
+                 AS BIGINT) + 1) / 1152921504606846976.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+      FROM u)
+    SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+    FROM r WHERE rank <= 10
+    """,
+)
+def weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement, stratified
+    (operators/sampling.py, Efraimidis-Spirakis 2006): 10 docs per
+    source with inclusion odds proportional to n_chars — the
+    data-mixing draw behind token-budget corpus blends. u is the
+    cross-engine md5 hash, so the oracle replays the IDENTICAL draw in
+    SQL. Two-phase salted top-k: hot strata spread over 32 salt shards
+    before the exact per-stratum pick, so no reducer ever sees a whole
+    stratum (reference spot-check analog
+    /root/reference/load/Validate.py, unweighted/single-node)."""
+    from dbp_etl_spark.operators.sampling import weighted_sample_stratified
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    out = weighted_sample_stratified(
+        d, stratum_col="source", weight_col="n_chars", k=10, seed=7
+    )
+    return out.select("source", "rank", "doc_id", "n_chars")

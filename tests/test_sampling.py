@@ -1,0 +1,82 @@
+"""Efraimidis–Spirakis weighted sampling (operators/sampling.py):
+salt invariance, partitioning invariance, weight proportionality, and
+degenerate weights."""
+
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.operators.sampling import es_key, weighted_sample_stratified
+from dbp_etl_spark.plans.checks import plan_str
+
+
+def _docs(spark, n=400, strata=4):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % strata).cast("string")).alias("source"),
+        (F.col("id") % 50 + 1).alias("n_chars"),
+    )
+
+
+def _sample_set(df):
+    return {(r.source, r.rank, r.doc_id) for r in df.collect()}
+
+
+def test_salted_equals_unsalted(spark):
+    d = _docs(spark)
+    a = weighted_sample_stratified(d, "source", "n_chars", 7, salt_buckets=1)
+    b = weighted_sample_stratified(d, "source", "n_chars", 7, salt_buckets=32)
+    assert _sample_set(a) == _sample_set(b)
+
+
+def test_partitioning_invariance(spark):
+    d = _docs(spark)
+    a = weighted_sample_stratified(d.repartition(1), "source", "n_chars", 5)
+    b = weighted_sample_stratified(d.repartition(13, "doc_id"), "source", "n_chars", 5)
+    assert _sample_set(a) == _sample_set(b)
+
+
+def test_k_per_stratum_and_rank_contiguous(spark):
+    out = weighted_sample_stratified(_docs(spark), "source", "n_chars", 7).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.source, []).append(r.rank)
+    assert set(by_stratum) == {"s0", "s1", "s2", "s3"}
+    for ranks in by_stratum.values():
+        assert sorted(ranks) == list(range(1, 8))
+
+
+def test_weight_proportionality(spark):
+    # one stratum, weights 1 vs 100: across 40 seeds the heavy half
+    # must dominate the sample (ES inclusion odds scale with weight)
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.when(F.col("id") < 100, 1).otherwise(100).alias("w"),
+    )
+    heavy = light = 0
+    for seed in range(40):
+        for r in weighted_sample_stratified(d, "source", "w", 10, seed=seed).collect():
+            if r.doc_id >= 100:
+                heavy += 1
+            else:
+                light += 1
+    assert heavy > 8 * light, (heavy, light)
+
+
+def test_nonpositive_and_null_weights_excluded(spark):
+    d = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 0), (3, "s", -5), (4, "s", None), (5, "s", 3)],
+        "doc_id int, source string, w int",
+    )
+    out = weighted_sample_stratified(d, "source", "w", 10).collect()
+    assert {r.doc_id for r in out} == {1, 5}
+
+
+def test_es_key_null_for_bad_weight(spark):
+    d = spark.createDataFrame([(1, 0.0)], "doc_id int, w double")
+    (r,) = d.select(es_key(F.col("doc_id"), F.col("w")).alias("k")).collect()
+    assert r.k is None
+
+
+def test_no_single_partition_exchange(spark):
+    out = weighted_sample_stratified(_docs(spark), "source", "n_chars", 7)
+    assert "SinglePartition" not in plan_str(out, "simple")
