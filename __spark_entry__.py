@@ -88,6 +88,7 @@ _CHECK_FIRST = [
     # re-checking them.
     "boilerplate_block_filter",
     "weighted_sample_es",
+    "sitemap_url_extract",
     "crawl_frontier_schedule",
     "anchor_text_profile",
     "hist_quantile_sketch",

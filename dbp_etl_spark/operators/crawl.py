@@ -137,3 +137,43 @@ def robots_filter(
         F.col("_best.p").alias("matched_prefix"),
         F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),
     )
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Parse sitemap XML bodies (sitemaps.org protocol) into one row
+    per entry: ``kind`` ('url' for ``<url>`` page entries, 'sitemap'
+    for ``<sitemap>`` index entries pointing at child sitemaps),
+    ``loc``, and the optional ``lastmod``/``changefreq``/``priority``
+    (NULL when absent). All other input columns pass through.
+
+    The discovery-side sibling of parse_robots: a recrawl scheduler
+    joins these rows against the frontier to seed and re-prioritize
+    fetches. One regexp explode bounded by entries-per-sitemap (the
+    protocol caps a file at 50k URLs), then map-only field extracts —
+    no shuffle, no Python.
+    """
+    entry = F.explode(
+        F.regexp_extract_all(
+            F.col(xml_col),
+            F.lit(r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"),
+            0,
+        )
+    ).alias("_entry")
+    passthrough = [c for c in df.columns if c != xml_col]
+
+    def opt(tag: str):
+        return F.nullif(
+            F.regexp_extract(F.col("_entry"), rf"<{tag}>\s*(.*?)\s*</{tag}>", 1),
+            F.lit(""),
+        )
+
+    return df.select(*passthrough, entry).select(
+        *passthrough,
+        F.regexp_extract(F.col("_entry"), r"^<(url|sitemap)>", 1).alias("kind"),
+        opt("loc").alias("loc"),
+        opt("lastmod").alias("lastmod"),
+        opt("changefreq").alias("changefreq"),
+        # try_cast: crawled sitemaps carry junk priorities; under ANSI
+        # mode a plain cast would kill the whole scan on one bad entry
+        opt("priority").try_cast("double").alias("priority"),
+    )

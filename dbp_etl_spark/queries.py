@@ -5651,3 +5651,58 @@ def weighted_sample_es(spark, sf_dir):
         d, stratum_col="source", weight_col="n_chars", k=10, seed=7
     )
     return out.select("source", "rank", "doc_id", "n_chars")
+
+
+@q(
+    "sitemap_url_extract",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS base,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'daily'
+                  WHEN 1 THEN 'weekly' ELSE 'monthly' END AS cf,
+             '0.' || CAST(doc_id % 10 AS VARCHAR) AS pr
+      FROM documents)
+    SELECT doc_id, 'url' AS kind, base || '/p' || CAST(doc_id AS VARCHAR) AS loc,
+           '2026-01-' || dd AS lastmod, cf AS changefreq, CAST(pr AS DOUBLE) AS priority
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'url', base || '/q' || CAST(doc_id AS VARCHAR), NULL, NULL, NULL FROM d
+    UNION ALL
+    SELECT doc_id, 'sitemap',
+           base || '/sitemap' || CAST(doc_id % 3 AS VARCHAR) || '.xml', NULL, NULL, NULL
+    FROM d
+    """,
+)
+def sitemap_url_extract(spark, sf_dir):
+    """Sitemap ingestion (operators/crawl.py parse_sitemap — the
+    discovery-side sibling of robots_longest_match): each synthesized
+    sitemap carries a fully-attributed <url> entry, a minimal <url>
+    entry (optional fields NULL), and a <sitemap> index entry pointing
+    at a child sitemap. The oracle states all three expected rows in
+    closed form from doc_id, cross-checking entry segmentation, kind
+    tagging, optional-field NULLing and priority parsing. Map-only:
+    one bounded regexp explode per sitemap (protocol caps a file at
+    50k URLs), no shuffle, no Python."""
+    from dbp_etl_spark.operators.crawl import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(F.lit("https://h"), (did % 20).cast("string"), F.lit(".example.com"))
+    dd = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    cf = (
+        F.when(did % 3 == 0, "daily").when(did % 3 == 1, "weekly").otherwise("monthly")
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), base, F.lit("/p"), did.cast("string"),
+        F.lit("</loc><lastmod>2026-01-"), dd,
+        F.lit("</lastmod><changefreq>"), cf,
+        F.lit("</changefreq><priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url><url><loc> "), base, F.lit("/q"), did.cast("string"),
+        F.lit(" </loc></url><sitemap><loc>"), base,
+        F.lit("/sitemap"), (did % 3).cast("string"),
+        F.lit(".xml</loc></sitemap></urlset>"),
+    )
+    src = d.select(did, xml.alias("sitemap_xml"))
+    return parse_sitemap(src)

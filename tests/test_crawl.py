@@ -128,3 +128,45 @@ def test_anchor_text_pairs_is_map_only(spark):
     pages = spark.createDataFrame([(1, "<a href=\"u\">t</a>")], "page_id long, html string")
     plan = anchor_text_pairs(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_parse_sitemap_entries_and_optionals(spark):
+    from dbp_etl_spark.operators.crawl import parse_sitemap
+
+    xml = (
+        "<urlset><url><loc>https://a.com/p1</loc><lastmod>2026-01-05</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc> https://a.com/q1 </loc></url>"
+        "<sitemap><loc>https://a.com/sm2.xml</loc></sitemap></urlset>"
+    )
+    df = spark.createDataFrame([("a.com", xml)], "host string, sitemap_xml string")
+    got = sorted(map(tuple, parse_sitemap(df).collect()))
+    assert got == [
+        ("a.com", "sitemap", "https://a.com/sm2.xml", None, None, None),
+        ("a.com", "url", "https://a.com/p1", "2026-01-05", "daily", 0.8),
+        ("a.com", "url", "https://a.com/q1", None, None, None),
+    ]
+
+
+def test_parse_sitemap_skips_unclosed_and_null_priority(spark):
+    from dbp_etl_spark.operators.crawl import parse_sitemap
+
+    xml = (
+        "<urlset><url><loc>https://a.com/open</loc>"  # never closed -> skipped
+        "<url><loc>https://a.com/ok</loc><priority>high</priority></url></urlset>"
+    )
+    df = spark.createDataFrame([("a.com", xml)], "host string, sitemap_xml string")
+    got = [tuple(r) for r in parse_sitemap(df).collect()]
+    # an unclosed entry's window runs to the NEXT closing tag, merging
+    # with the following entry: one row, first <loc> wins, and the
+    # malformed priority try_casts to NULL instead of killing the scan
+    assert len(got) == 1
+    assert got[0][2] == "https://a.com/open" and got[0][5] is None
+
+
+def test_parse_sitemap_is_map_only(spark):
+    from dbp_etl_spark.operators.crawl import parse_sitemap
+
+    df = spark.createDataFrame([("h", "<url><loc>u</loc></url>")], "host string, sitemap_xml string")
+    plan = parse_sitemap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
