@@ -89,6 +89,7 @@ _CHECK_FIRST = [
     "boilerplate_block_filter",
     "weighted_sample_es",
     "sitemap_url_extract",
+    "bpe_learn_merges",
     "crawl_frontier_schedule",
     "anchor_text_profile",
     "hist_quantile_sketch",

@@ -90,7 +90,14 @@ def surt_key(url: Column) -> Column:
     or any url; canonicalization is re-done here so the key is stable
     regardless of input form."""
     canon = canonicalize_url(url)
-    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+    hostport = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
     rest = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1)
+    # a non-default port survives canonicalization attached to the last
+    # label; SURT keeps it AFTER the reversed host (com,example:8080)/),
+    # so split it off before reversing
+    port = F.regexp_extract(hostport, r"(:\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    return F.concat(rev, F.lit(")"), F.when(rest == "", F.lit("/")).otherwise(rest))
+    return F.concat(
+        rev, port, F.lit(")"), F.when(rest == "", F.lit("/")).otherwise(rest)
+    )

@@ -5706,3 +5706,37 @@ def sitemap_url_extract(spark, sf_dir):
     )
     src = d.select(did, xml.alias("sitemap_xml"))
     return parse_sitemap(src)
+
+
+@q(
+    "bpe_learn_merges",
+    """
+    WITH d AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT CAST(step AS INT) AS step, lhs, rhs, CAST(m * n_docs AS BIGINT) AS n
+    FROM (VALUES (1, 'x', 'y', 5), (2, 'xy', 'z', 5), (3, 'p', 'q', 4),
+                 (4, 'r', 's', 3), (5, 't', 'u', 2), (6, 'v', 'w', 1))
+         AS t(step, lhs, rhs, m), d
+    """,
+)
+def bpe_learn_merges(spark, sf_dir):
+    """Full BPE tokenizer training (operators/bpe.py learn_bpe_merges,
+    Sennrich 2016 — the iterative half behind bpe_pair_counts): every
+    document carries the rigged word mix xyz*5 pq*4 rs*3 tu*2 vw*1, so
+    the six learned merges are forced in closed form — including the
+    re-pairing step where merging (x,y) creates the ("xy",z) pair that
+    must win round two at the same count. Trains over the word-TYPE
+    frequency table (vocabulary-bounded, not corpus-bounded); each
+    iteration is one map-side-combined pair count, a ONE-row argmax
+    collect, and a JVM greedy fold over only the words containing the
+    pair. The merge list returned is bounded (n_merges rows), so
+    building the result frame driver-side is O(6)."""
+    from dbp_etl_spark.operators.bpe import learn_bpe_merges, word_freq_table
+
+    d = _t(spark, sf_dir, "documents")
+    rig = F.lit("xyz xyz xyz xyz xyz pq pq pq pq rs rs rs tu tu vw")
+    words = word_freq_table(d.select(rig.alias("text")))
+    merges = learn_bpe_merges(words, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "step int, lhs string, rhs string, n bigint",
+    )
