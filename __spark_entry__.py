@@ -90,6 +90,7 @@ _CHECK_FIRST = [
     "weighted_sample_es",
     "sitemap_url_extract",
     "bpe_learn_merges",
+    "cohort_overlap_hll_pruned",
     "crawl_frontier_schedule",
     "anchor_text_profile",
     "hist_quantile_sketch",

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "line_dedup_ccnet",
     "dup_span_dedup",
     "semdedup_prune",
+    "boilerplate_block_filter",
+    "weighted_sample_es",
 ]
 
 # 2 batches of 500k events: production-representative batch size while

@@ -283,3 +283,86 @@ def hist_quantiles(
         F.col("bin") + (target - (F.col("_cum") - F.col("cnt"))) / F.col("cnt")
     )
     return covering.select(*keys, "q", est.alias("est"))
+
+
+def cohort_overlap_exact_pruned(
+    df: DataFrame,
+    cohort_col: str,
+    id_col: str,
+    min_common: int,
+    p: int = 12,
+    sigmas: float = 6.0,
+) -> DataFrame:
+    """Pairwise cohort-overlap sizes ``|A ∩ B| >= min_common`` — EXACT
+    output, HLL-pruned candidate pairs (the inclusion-exclusion
+    composition over hll_registers/hll_merge).
+
+    One sketch pass per cohort; per candidate pair the union sketch is
+    the register-wise max, so est_overlap = est(A) + est(B) - est(A∪B).
+    Subtraction amplifies relative error, so the prune envelope scales
+    with the SUM of the three estimates (``sigmas`` × HLL rse × sum) —
+    a pair that passes the exact bar survives the prune with
+    overwhelming probability; a loose envelope costs extra exact work,
+    never correctness. The exact pass self-joins the distinct
+    (id, cohort) table restricted to cohorts in surviving pairs.
+
+    Scale shape: sketch pass = one 2^p-bounded shuffle; pair expansion
+    = two broadcast joins of the tiny pair list against the sketch
+    (2^p × pairs rows, cohort-count-bounded, never id-scale); exact
+    pass touches only surviving cohorts' ids. At 10^10 ids with
+    hundreds of cohorts nothing driver-side or quadratic-in-ids exists.
+    """
+    sk = hll_registers(df, id_col, p=p, group_by=[cohort_col])
+    est = hll_estimate(sk, p=p, group_by=[cohort_col])
+    a = est.select(
+        F.col(cohort_col).alias("type_a"), F.col("approx_distinct").alias("_ea")
+    )
+    b = est.select(
+        F.col(cohort_col).alias("type_b"), F.col("approx_distinct").alias("_eb")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    ska = pairs.join(F.broadcast(sk), F.col(cohort_col) == F.col("type_a")).select(
+        "type_a", "type_b", "register_id", "rho"
+    )
+    skb = pairs.join(F.broadcast(sk), F.col(cohort_col) == F.col("type_b")).select(
+        "type_a", "type_b", "register_id", "rho"
+    )
+    union_sk = (
+        ska.unionByName(skb)
+        .groupBy("type_a", "type_b", "register_id")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est_u = hll_estimate(union_sk, p=p, group_by=["type_a", "type_b"]).withColumnRenamed(
+        "approx_distinct", "_eu"
+    )
+    cand = (
+        pairs.join(est_u, ["type_a", "type_b"])
+        .withColumn("_overlap", F.col("_ea") + F.col("_eb") - F.col("_eu"))
+        .withColumn(
+            "_envelope",
+            F.lit(hll_error_bound(p, sigmas=sigmas) / 3.0)
+            * (F.col("_ea") + F.col("_eb") + F.col("_eu")),
+        )
+        .filter(F.col("_overlap") >= F.lit(float(min_common)) - F.col("_envelope"))
+        .select("type_a", "type_b")
+    )
+    keep_cohorts = (
+        cand.select(F.col("type_a").alias(cohort_col))
+        .unionByName(cand.select(F.col("type_b").alias(cohort_col)))
+        .distinct()
+    )
+    dp = (
+        df.join(F.broadcast(keep_cohorts), cohort_col)
+        .select(F.col(id_col).alias("_id"), F.col(cohort_col).alias("_c"))
+        .distinct()
+    )
+    x, y = dp.alias("x"), dp.alias("y")
+    exact = (
+        x.join(y, (F.col("x._id") == F.col("y._id")) & (F.col("x._c") < F.col("y._c")))
+        .select(F.col("x._c").alias("type_a"), F.col("y._c").alias("type_b"))
+        .join(F.broadcast(cand), ["type_a", "type_b"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return exact

@@ -5740,3 +5740,37 @@ def bpe_learn_merges(spark, sf_dir):
         [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "step int, lhs string, rhs string, n bigint",
     )
+
+
+@q(
+    "cohort_overlap_hll_pruned",
+    """
+    WITH m AS (
+      SELECT DISTINCT user_id, event_type
+      FROM events
+      WHERE (user_id * (1 + length(event_type))) % 5 < 3),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_common FROM j WHERE n_common >= 60
+    """,
+)
+def cohort_overlap_hll_pruned(spark, sf_dir):
+    """Pairwise cohort-overlap sizes, EXACT output with HLL
+    inclusion-exclusion pruning (operators/sketches.py
+    cohort_overlap_exact_pruned): |A∩B| >= 60 over modular membership
+    slices of the event-type cohorts (the slice varies per type length,
+    so the threshold actually discriminates). The engine's analog of
+    the reference's cross-fileset completeness comparisons
+    (/root/reference/load/Validate.py) lifted to sketch-pruned scale:
+    candidate pairs are costed from 2^p-bounded mergeable sketches;
+    only survivors touch the exact distinct-pair self-join."""
+    from dbp_etl_spark.operators.sketches import cohort_overlap_exact_pruned
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.where(
+        (F.col("user_id") * (1 + F.length("event_type"))) % 5 < 3
+    ).select("user_id", "event_type")
+    return cohort_overlap_exact_pruned(m, "event_type", "user_id", min_common=60)

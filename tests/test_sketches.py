@@ -173,3 +173,51 @@ def test_fixed_histogram_stays_jvm_side(spark):
     df = spark.range(10).select(F.col("id").cast("double").alias("v"))
     plan = fixed_histogram(df, "v", 0.0, 10.0, 5)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_cohort_overlap_matches_bruteforce(spark):
+    from dbp_etl_spark.operators.sketches import cohort_overlap_exact_pruned
+
+    # deterministic memberships with varied overlaps
+    rows = [
+        (u, c)
+        for u in range(300)
+        for i, c in enumerate(["a", "b", "c", "d"])
+        if (u * (i + 3)) % 7 < 4
+    ]
+    df = spark.createDataFrame(rows, "user_id long, cohort string")
+    got = {
+        (r.type_a, r.type_b): r.n_common
+        for r in cohort_overlap_exact_pruned(df, "cohort", "user_id", 100).collect()
+    }
+    # brute force
+    members = {}
+    for u, c in rows:
+        members.setdefault(c, set()).add(u)
+    want = {}
+    cs = sorted(members)
+    for i in range(len(cs)):
+        for j in range(i + 1, len(cs)):
+            n = len(members[cs[i]] & members[cs[j]])
+            if n >= 100:
+                want[(cs[i], cs[j])] = n
+    assert got == want and want  # threshold must bind on something
+
+
+def test_cohort_overlap_disjoint_cohorts_empty(spark):
+    from dbp_etl_spark.operators.sketches import cohort_overlap_exact_pruned
+
+    df = spark.createDataFrame(
+        [(u, "a" if u < 100 else "b") for u in range(200)],
+        "user_id long, cohort string",
+    )
+    assert cohort_overlap_exact_pruned(df, "cohort", "user_id", 1).count() == 0
+
+
+def test_cohort_overlap_duplicate_events_counted_once(spark):
+    from dbp_etl_spark.operators.sketches import cohort_overlap_exact_pruned
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "user_id long, cohort string")
+    out = cohort_overlap_exact_pruned(df, "cohort", "user_id", 2).collect()
+    assert [(r.type_a, r.type_b, r.n_common) for r in out] == [("a", "b", 2)]
