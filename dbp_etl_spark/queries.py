@@ -5774,3 +5774,69 @@ def cohort_overlap_hll_pruned(spark, sf_dir):
         (F.col("user_id") * (1 + F.length("event_type"))) % 5 < 3
     ).select("user_id", "event_type")
     return cohort_overlap_exact_pruned(m, "event_type", "user_id", min_common=60)
+
+
+@q(
+    "multisource_tail_merge",
+    """
+    WITH ev AS (
+      SELECT 'https://ms.example/u' || CAST(user_id AS VARCHAR) AS url,
+             date_trunc('minute', ts) AS ts_m,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+             CAST(event_id % 2 AS BIGINT) AS src,
+             '<p>ms' || CAST(event_id AS VARCHAR) || '</p>' AS html,
+             round(value, 2) AS val
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY url
+                ORDER BY ts_m DESC, src ASC, is_del DESC, md5(html) DESC) AS rn
+      FROM ev)
+    SELECT url, strftime(ts_m, '%Y-%m-%d %H:%M:%S') AS last_ts, val,
+           src AS winning_src
+    FROM ranked WHERE rn = 1 AND is_del = 0
+    """,
+)
+def multisource_tail_merge(spark, sf_dir):
+    """Multi-source change-tail merge with fixed source precedence
+    (cdc/multisource.py merge_tails). Two overlapping tails — a
+    primary (even event ids, priority 0) and a replica (odd ids,
+    priority 1) — are merged into one totally-ordered batch: latest
+    minute-truncated ts wins across sources; at an equal ts the
+    primary beats the replica (including a replica TOMBSTONE — the
+    authoritative write survives); residual ties fall through
+    delete-beats-write then payload md5 (unique per event here, so
+    the order is total on both engines). Reference analog: the
+    fixed-precedence multi-source merge of language names,
+    /root/reference/load/UpdateDBPLanguageTranslation.py:47-118."""
+    from dbp_etl_spark.cdc.multisource import merge_tails
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.concat(F.lit("https://ms.example/u"), F.col("user_id").cast("string")).alias(
+                "url"
+            ),
+            F.date_trunc("minute", F.col("ts")).alias("warc_ts"),
+            F.when(F.col("event_type") == "error", "delete").otherwise("update").alias("op"),
+            F.concat(F.lit("<p>ms"), F.col("event_id").cast("string"), F.lit("</p>")).alias(
+                "html"
+            ),
+            F.round("value", 2).alias("val"),
+            (F.col("event_id") % 2).alias("_par"),
+        )
+    )
+    primary = ev.where(F.col("_par") == 0).drop("_par")
+    replica = ev.where(F.col("_par") == 1).drop("_par")
+    merged = merge_tails(
+        [(primary, 0), (replica, 1)],
+        key="url",
+        payload_col="html",
+        keep_src=True,
+    )
+    return merged.where(F.col("op") != "delete").select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "val",
+        F.col("_src_pri").cast("bigint").alias("winning_src"),
+    )
