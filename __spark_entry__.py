@@ -78,14 +78,16 @@ _CHECK_FIRST = [
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
-    # then has a green row within two rounds. The 61-entry list
-    # overflows the driver's 50-query prefix by eleven; the eleven
-    # placed last (stratified_sample_docs … window_stats_suite —
-    # classic SQL stat/window/sample batteries, r3-green,
-    # pytest-covered, and locally re-verified 111/111 by
+    # then has a green row within two rounds. The 68-entry list
+    # overflows the driver's 50-query prefix by eighteen; the
+    # eighteen placed last (sales_cube … window_stats_suite —
+    # classic SQL stat/window/sample/cube batteries, r3-green,
+    # pytest-covered, and locally re-verified by
     # scripts/check_oracle.py this round) are the deliberate
     # sacrifices: never-driver-checked new queries outrank
     # re-checking them.
+    "html_meta_extract",
+    "multisource_tail_merge",
     "boilerplate_block_filter",
     "weighted_sample_es",
     "sitemap_url_extract",

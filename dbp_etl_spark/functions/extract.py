@@ -183,3 +183,81 @@ def extract_and_lang_udf(
     texts[mask] = new_texts
     langs[mask] = new_texts.map(detect_lang_py, na_action="ignore")
     return pd.DataFrame({"text": texts, "lang": langs})
+
+
+# ---------------------------------------------------------------------
+# HTML <head> metadata extraction — pure JVM expression trees.
+# Reference analog: per-file metadata pulled out of content and pushed
+# into dimension rows (title/language fields assembled in
+# /root/reference/load/UpdateDBPFilesetTables.py and the LPTS XML
+# attributes); for web pages the equivalent head fields are title,
+# rel=canonical, meta description and robots directives.
+# ---------------------------------------------------------------------
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def decode_entities(col):
+    """Minimal named/numeric entity decode (the five ubiquitous ones).
+    ``&amp;`` is decoded LAST so ``&amp;lt;`` yields the literal
+    ``&lt;`` rather than double-decoding to ``<``."""
+    out = col
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _attr_pair(tag_re: str, key_attr: str, key_val: str, want_attr: str):
+    """Extract ``want_attr`` from the first ``<tag ...>`` whose
+    ``key_attr`` equals ``key_val``, tolerating either attribute order.
+    Returns a closure over the html string column."""
+
+    def expr(html_s):
+        before = (
+            rf"(?is)<{tag_re}[^>]*\b{key_attr}\s*=\s*[\"']{key_val}[\"']"
+            rf"[^>]*\b{want_attr}\s*=\s*[\"']([^\"']*)[\"']"
+        )
+        after = (
+            rf"(?is)<{tag_re}[^>]*\b{want_attr}\s*=\s*[\"']([^\"']*)[\"']"
+            rf"[^>]*\b{key_attr}\s*=\s*[\"']{key_val}[\"']"
+        )
+        return F.coalesce(
+            F.nullif(F.regexp_extract(html_s, before, 1), F.lit("")),
+            F.nullif(F.regexp_extract(html_s, after, 1), F.lit("")),
+        )
+
+    return expr
+
+
+def html_meta_exprs(html_col) -> dict[str, "Column"]:
+    """Head-metadata columns from an html BINARY (or string) column —
+    one JVM regexp pass per field, no UDF, so the projection stays
+    inside whole-stage codegen and prunes to the html column only.
+
+    Fields: ``title`` (entity-decoded, whitespace-collapsed),
+    ``canonical_url`` (<link rel=canonical>, entity-decoded — hrefs
+    legally carry ``&amp;``), ``meta_description`` (entity-decoded),
+    ``robots_meta`` (lowercased directive list), ``html_lang``
+    (<html lang=...>). Absent fields are NULL, not ''."""
+    s = html_col.cast("string")
+    title = F.nullif(
+        F.trim(
+            F.regexp_replace(
+                decode_entities(F.regexp_extract(s, r"(?is)<title[^>]*>(.*?)</title>", 1)),
+                r"\s+",
+                " ",
+            )
+        ),
+        F.lit(""),
+    )
+    return {
+        "title": title,
+        "canonical_url": decode_entities(_attr_pair("link", "rel", "canonical", "href")(s)),
+        "meta_description": decode_entities(
+            _attr_pair("meta", "name", "description", "content")(s)
+        ),
+        "robots_meta": F.lower(_attr_pair("meta", "name", "robots", "content")(s)),
+        "html_lang": F.lower(
+            F.nullif(F.regexp_extract(s, r"(?is)<html[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']", 1), F.lit(""))
+        ),
+    }

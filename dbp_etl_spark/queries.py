@@ -5840,3 +5840,106 @@ def multisource_tail_merge(spark, sf_dir):
         "val",
         F.col("_src_pri").cast("bigint").alias("winning_src"),
     )
+
+
+@q(
+    "html_meta_extract",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+        '<html lang="' || upper(lang) || '"><head>'
+        || CASE WHEN doc_id % 5 = 0 THEN ''
+                ELSE '<title> Doc &amp; ' || CAST(doc_id AS VARCHAR)
+                     || chr(10) || ' &lt;best&gt; </title>' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<link rel="canonical" href="https://c.example/d'
+                     || CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2">'
+                ELSE '<link href="https://c.example/d'
+                     || CAST(doc_id AS VARCHAR) || '" rel="canonical">' END
+        || CASE WHEN doc_id % 3 <> 0
+                THEN '<meta name="description" content="desc &amp; '
+                     || CAST(doc_id AS VARCHAR) || '">'
+                ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+                THEN '<meta content="NOINDEX, Nofollow" name="robots">'
+                ELSE '' END
+        || '</head><body><p>x</p></body></html>' AS html
+      FROM documents)
+    SELECT doc_id,
+      nullif(trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        '\\s+', ' ', 'g')), '') AS title,
+      replace(replace(replace(replace(replace(coalesce(
+        nullif(regexp_extract(html,
+          '(?is)<link[^>]*\\brel\\s*=\\s*["'']canonical["''][^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1), ''),
+        nullif(regexp_extract(html,
+          '(?is)<link[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["''][^>]*\\brel\\s*=\\s*["'']canonical["'']', 1), '')
+      ), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS canonical_url,
+      replace(replace(replace(replace(replace(coalesce(
+        nullif(regexp_extract(html,
+          '(?is)<meta[^>]*\\bname\\s*=\\s*["'']description["''][^>]*\\bcontent\\s*=\\s*["'']([^"'']*)["'']', 1), ''),
+        nullif(regexp_extract(html,
+          '(?is)<meta[^>]*\\bcontent\\s*=\\s*["'']([^"'']*)["''][^>]*\\bname\\s*=\\s*["'']description["'']', 1), '')
+      ), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS meta_description,
+      lower(coalesce(
+        nullif(regexp_extract(html,
+          '(?is)<meta[^>]*\\bname\\s*=\\s*["'']robots["''][^>]*\\bcontent\\s*=\\s*["'']([^"'']*)["'']', 1), ''),
+        nullif(regexp_extract(html,
+          '(?is)<meta[^>]*\\bcontent\\s*=\\s*["'']([^"'']*)["''][^>]*\\bname\\s*=\\s*["'']robots["'']', 1), '')
+      )) AS robots_meta,
+      lower(nullif(regexp_extract(html,
+        '(?is)<html[^>]*\\blang\\s*=\\s*["'']([^"'']*)["'']', 1), '')) AS html_lang
+    FROM pages
+    """,
+)
+def html_meta_extract(spark, sf_dir):
+    """HTML <head> metadata extraction (functions/extract.py
+    html_meta_exprs): title (entity-decoded, whitespace-collapsed,
+    absent => NULL), rel=canonical link with EITHER attribute order,
+    meta description, lowercased robots directives, and the <html
+    lang> attribute — all pure JVM regexp expression trees over the
+    binary payload, no UDF, codegen-friendly. Synthetic pages vary
+    structure per doc: missing titles (%5), flipped attribute order
+    (%2, and robots content-first), optional description (%3), robots
+    only on %4. Reference analog: per-file metadata promoted into
+    dimension rows, /root/reference/load/UpdateDBPFilesetTables.py."""
+    from dbp_etl_spark.functions.extract import html_meta_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    title_part = F.when(did % 5 == 0, "").otherwise(
+        F.concat(
+            F.lit("<title> Doc &amp; "), ds, F.lit("\n &lt;best&gt; </title>")
+        )
+    )
+    canon_part = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://c.example/d'), ds, F.lit('?a=1&amp;b=2">')
+        ),
+    ).otherwise(
+        F.concat(F.lit('<link href="https://c.example/d'), ds, F.lit('" rel="canonical">'))
+    )
+    desc_part = F.when(
+        did % 3 != 0,
+        F.concat(F.lit('<meta name="description" content="desc &amp; '), ds, F.lit('">')),
+    ).otherwise("")
+    robots_part = F.when(
+        did % 4 == 0, F.lit('<meta content="NOINDEX, Nofollow" name="robots">')
+    ).otherwise("")
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.upper("lang"),
+        F.lit('"><head>'),
+        title_part,
+        canon_part,
+        desc_part,
+        robots_part,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    metas = html_meta_exprs(F.col("html"))
+    return pages.select("doc_id", *[c.alias(n) for n, c in metas.items()])
