@@ -101,3 +101,53 @@ def surt_key(url: Column) -> Column:
     return F.concat(
         rev, port, F.lit(")"), F.when(rest == "", F.lit("/")).otherwise(rest)
     )
+
+
+def etld_plus_one(df, suffix_df, host_col: str = "host", max_suffix_labels: int = 4):
+    """Registrable domain (eTLD+1) per row via a public-suffix list —
+    the Mozilla-PSL longest-match algorithm, Spark-shaped.
+
+    Host grouping by naive "last two labels" is wrong on half the web
+    (``a.co.uk`` would collapse with ``b.co.uk`` under ``co.uk``'s
+    sibling ``x.co.uk`` — correct — but ``foo.com.au``/``bar.com.au``
+    would merge as ``com.au``); per-site rollups, politeness budgets
+    and dedup scopes all key on the REGISTRABLE domain. Rule: the
+    public suffix is the LONGEST suffix of the host present in the
+    list; eTLD+1 = one more label in front of it. A host that IS a
+    public suffix has no registrable domain (NULL); an unknown TLD
+    falls back to the PSL's implicit ``*`` rule (last label is the
+    suffix, so eTLD+1 = last two labels).
+
+    Scale shape: the PSL (~9k rows real-world) is collapsed to ONE row
+    holding a set column and broadcast — the join is a 1-row
+    BroadcastNestedLoopJoin, the suffix candidates (at most
+    ``max_suffix_labels`` per host) are generated and matched INSIDE
+    the row with transform/filter against the broadcast set, and the
+    set column is projected away immediately. Zero shuffles, zero
+    explode: a map-only pass even at 10^10 rows.
+
+    Adds column ``etld1`` to ``df``.
+    """
+    psl = F.broadcast(suffix_df.agg(F.collect_set("suffix").alias("_psl")))
+    labels = F.split(F.col(host_col), r"\.")
+    k = F.size(labels)
+    cands = F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.least(k - 1, F.lit(max_suffix_labels))),
+            lambda j: F.array_join(F.slice(labels, k - j + 1, j), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    matched = F.filter(cands, lambda c: F.array_contains(F.col("_psl"), c))
+    longest = F.element_at(matched, -1)  # candidates ascend by label count
+    j_len = F.size(F.split(longest, r"\."))
+    etld1 = (
+        F.when(F.array_contains(F.col("_psl"), F.col(host_col)), F.lit(None))
+        .when(
+            F.size(matched) > 0,
+            F.concat_ws(".", F.element_at(labels, k - j_len), longest),
+        )
+        .when(k >= 2, F.array_join(F.slice(labels, k - 1, 2), "."))
+        .otherwise(F.lit(None))
+    )
+    return df.join(psl).withColumn("etld1", etld1).drop("_psl")

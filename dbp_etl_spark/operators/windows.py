@@ -338,3 +338,47 @@ def pack_sequences(
         )
         .drop("_ck")
     )
+
+
+def range_lookup_join(
+    facts,
+    ranges,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_bits: int = 24,
+    how: str = "left",
+):
+    """Point-in-range enrichment (CIDR/geo-IP style): attach the range
+    row whose ``[lo, hi]`` interval contains ``facts[value_col]``.
+
+    A naive non-equi join is a BroadcastNestedLoopJoin — every fact
+    row scans every range. Instead each range EXPLODES into the
+    fixed-width buckets it covers (bucket = value >> bucket_bits) and
+    the join becomes a broadcast HASH join on the bucket key with the
+    BETWEEN as a join-side residual: each fact probes one hash slot
+    holding only the ranges that touch its bucket. Fan-out per range
+    row = width / 2^bucket_bits (a /16 CIDR at the default 24 bits is
+    one row; the whole IPv4 space is 256) — the exploded dim stays
+    broadcast-sized, and the fact side never shuffles: map-only at
+    10^10 facts.
+
+    Ranges are assumed non-overlapping (CIDR tables are); ``how`` is
+    ``left`` (keep unmatched facts, NULL enrichment) or ``inner``.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left or inner, got {how!r}")
+    v = F.col(value_col)
+    b = F.explode(
+        F.sequence(
+            F.shiftright(F.col(lo_col), bucket_bits),
+            F.shiftright(F.col(hi_col), bucket_bits),
+        )
+    ).alias("_bkt")
+    bucketed = ranges.select(b, "*")
+    cond = (
+        (F.shiftright(v, bucket_bits) == bucketed["_bkt"])
+        & (v >= bucketed[lo_col])
+        & (v <= bucketed[hi_col])
+    )
+    return facts.join(F.broadcast(bucketed), cond, how).drop("_bkt", lo_col, hi_col)

@@ -5943,3 +5943,196 @@ def html_meta_extract(spark, sf_dir):
     pages = d.select("doc_id", F.encode(html, "utf-8").alias("html"))
     metas = html_meta_exprs(F.col("html"))
     return pages.select("doc_id", *[c.alias(n) for n, c in metas.items()])
+
+
+@q(
+    "containment_neardup",
+    """
+    WITH corpus AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS id,
+             list_slice(string_split(text, ' '), 1,
+                        CAST(ceil(len(string_split(text, ' ')) * 0.6) AS INT)) AS t
+      FROM documents
+      WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 10),
+    sets AS (
+      SELECT id,
+        list_distinct(list_transform(
+          generate_series(0, greatest(len(t) - 3, 0)),
+          i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS sset
+      FROM corpus),
+    postings AS (SELECT id, unnest(sset) AS s FROM sets),
+    pruned AS (
+      SELECT s FROM postings GROUP BY s
+      HAVING count(*) BETWEEN 2 AND 20),
+    cands AS (
+      SELECT ea.id AS id_a, eb.id AS id_b
+      FROM postings ea JOIN pruned USING (s) JOIN postings eb USING (s)
+      WHERE ea.id < eb.id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    scored AS (
+      SELECT id_a, id_b,
+        round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              / len(a.sset), 4) AS c_a_in_b,
+        round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              / len(b.sset), 4) AS c_b_in_a
+      FROM cands JOIN sets a ON a.id = cands.id_a
+                 JOIN sets b ON b.id = cands.id_b)
+    SELECT * FROM scored WHERE greatest(c_a_in_b, c_b_in_a) >= 0.6
+    """,
+)
+def containment_neardup(spark, sf_dir):
+    """Broder containment detection (operators/dedup_ops.py
+    containment_pairs): subset-style duplication — prefix copies,
+    quoted pages, page supersets — that Jaccard resemblance
+    structurally misses. Inverted shingle index with DF pruning
+    (df<=20) bounds posting lists, pair fan-out unfolds JVM-side
+    inside the list (no self-join on a hot shingle), >=2 co-shingle
+    support gates the exact verify, verify touches candidates only.
+    Rigged corpus: every 7th document (>=10 tokens) gets a child that
+    is its first 60% of tokens, so child-in-parent containment ~1.0
+    while resemblance is ~0.6 — the exact case MinHash thresholds
+    drop. Oracle mirrors the same index, pruning, support and verify
+    in DuckDB."""
+    from dbp_etl_spark.operators.dedup_ops import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    child_n = F.ceil(F.size(toks) * 0.6).cast("int")
+    children = d.where((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 10)).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, child_n)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(children)
+    return containment_pairs(
+        corpus, shingle_n=3, df_cap=20, min_support=2, threshold=0.6
+    )
+
+
+@q(
+    "etld1_host_rollup",
+    """
+    WITH psl(suffix) AS (VALUES ('com'),('org'),('net'),('uk'),('co.uk'),('au'),('com.au')),
+    pslset AS (SELECT list(suffix) AS s FROM psl),
+    hosts AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+          WHEN 1 THEN 'blog.site' || CAST(doc_id AS VARCHAR) || '.com'
+          WHEN 2 THEN 'site' || CAST(doc_id AS VARCHAR) || '.org'
+          WHEN 3 THEN 'a.b.site' || CAST(doc_id AS VARCHAR) || '.com.au'
+          ELSE 'site' || CAST(doc_id AS VARCHAR) || '.unknowntld' END AS host
+      FROM documents
+      UNION ALL SELECT -1, 'co.uk'
+      UNION ALL SELECT -2, 'localhost'),
+    y AS (
+      SELECT doc_id, host, string_split(host, '.') AS labels, s,
+        CASE WHEN len(string_split(host, '.')) >= 2 THEN
+          list_filter(
+            list_transform(
+              generate_series(1, least(len(string_split(host, '.')) - 1, 4)),
+              j -> array_to_string(
+                list_slice(string_split(host, '.'),
+                           len(string_split(host, '.')) - j + 1,
+                           len(string_split(host, '.'))), '.')),
+            c -> list_contains(s, c))
+        ELSE CAST([] AS VARCHAR[]) END AS matched
+      FROM hosts, pslset)
+    SELECT doc_id, host,
+      CASE WHEN list_contains(s, host) THEN NULL
+           WHEN len(matched) > 0 THEN
+             labels[len(labels) - len(string_split(matched[len(matched)], '.'))]
+             || '.' || matched[len(matched)]
+           WHEN len(labels) >= 2 THEN
+             array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.')
+           ELSE NULL END AS etld1
+    FROM y
+    """,
+)
+def etld1_host_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction via the public-suffix
+    longest-match rule (functions/urls.py etld_plus_one): the PSL
+    collapses to ONE broadcast set row, suffix candidates are matched
+    inside each row with transform/filter — zero shuffles, zero
+    explode, map-only at 10^10 rows. Synthetic hosts exercise every
+    branch: multi-label suffixes (co.uk, com.au beat uk/au), plain
+    TLDs, the unknown-TLD implicit-* fallback, a host that IS a
+    public suffix (NULL), and a single-label host (NULL). Per-site
+    rollups / politeness / dedup scopes key on this. Reference
+    analog: damId prefix normalization as grouping key
+    (/root/reference/load/InputFileset.py:61-83)."""
+    from dbp_etl_spark.functions.urls import etld_plus_one
+
+    d = _t(spark, sf_dir, "documents")
+    did, ds = F.col("doc_id"), F.col("doc_id").cast("string")
+    host = (
+        F.when(did % 5 == 0, F.concat(F.lit("www.site"), ds, F.lit(".co.uk")))
+        .when(did % 5 == 1, F.concat(F.lit("blog.site"), ds, F.lit(".com")))
+        .when(did % 5 == 2, F.concat(F.lit("site"), ds, F.lit(".org")))
+        .when(did % 5 == 3, F.concat(F.lit("a.b.site"), ds, F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("site"), ds, F.lit(".unknowntld")))
+    )
+    hosts = d.select("doc_id", host.alias("host")).unionByName(
+        spark.createDataFrame(
+            [(-1, "co.uk"), (-2, "localhost")], "doc_id long, host string"
+        )
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("net",), ("uk",), ("co.uk",), ("au",), ("com.au",)],
+        "suffix string",
+    )
+    return etld_plus_one(hosts, psl).select("doc_id", "host", "etld1")
+
+
+@q(
+    "ip_range_enrich",
+    """
+    WITH facts AS (
+      SELECT event_id,
+             (event_id % 1000000) * 2654435761 % 4294967296 AS ip
+      FROM events),
+    ranges(label, lo, hi) AS (VALUES
+      ('alpha',   16777216,   33554431),
+      ('beta',   167772160,  184549375),
+      ('gamma',  268435456,  805306367),
+      ('delta',  805306368,  805306623),
+      ('epsln', 2147483648, 3221225471),
+      ('zeta',  3232235520, 3232301055),
+      ('eta',   4278190080, 4294967295))
+    SELECT event_id, ip, label
+    FROM facts LEFT JOIN ranges ON ip BETWEEN lo AND hi
+    """,
+)
+def ip_range_enrich(spark, sf_dir):
+    """Point-in-range enrichment (operators/windows.py
+    range_lookup_join): geo-IP/CIDR-style lookup of which range
+    contains each fact value. Ranges explode into the 2^24-wide
+    buckets they cover, so the non-equi BETWEEN becomes a broadcast
+    HASH join on the bucket key with the BETWEEN as residual — the
+    fact side never shuffles (map-only at 10^10 rows), and fan-out per
+    range is width/2^24. Synthetic ranges exercise single-bucket,
+    multi-bucket (gamma spans 32 buckets), sub-bucket tiny (delta,
+    256 addresses), and gap (NULL label) cases; ips are a
+    deterministic Knuth-hash spread over the 32-bit space. Oracle is
+    the plain BETWEEN join."""
+    from dbp_etl_spark.operators.windows import range_lookup_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = e.select(
+        "event_id",
+        ((F.col("event_id") % 1000000) * 2654435761 % 4294967296).alias("ip"),
+    )
+    ranges = spark.createDataFrame(
+        [
+            ("alpha", 16777216, 33554431),
+            ("beta", 167772160, 184549375),
+            ("gamma", 268435456, 805306367),
+            ("delta", 805306368, 805306623),
+            ("epsln", 2147483648, 3221225471),
+            ("zeta", 3232235520, 3232301055),
+            ("eta", 4278190080, 4294967295),
+        ],
+        "label string, lo long, hi long",
+    )
+    return range_lookup_join(facts, ranges, "ip").select("event_id", "ip", "label")

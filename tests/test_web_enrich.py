@@ -1,0 +1,165 @@
+"""Containment near-dup, eTLD+1 public-suffix match, and point-in-range
+enrichment: semantics plus the plan shapes that make them 100 TB-safe."""
+
+from pyspark.sql import functions as F
+
+from dbp_etl_spark.functions.urls import etld_plus_one
+from dbp_etl_spark.operators.dedup_ops import containment_pairs
+from dbp_etl_spark.operators.windows import range_lookup_join
+
+
+# ---------------------------------------------------------------- containment
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_prefix_child_found(spark):
+    parent = "a b c d e f g h i j"
+    rows = [(1, parent), (2, "a b c d e f"), (3, "x y z w v u t s r q")]
+    out = {
+        (r["id_a"], r["id_b"]): (r["c_a_in_b"], r["c_b_in_a"])
+        for r in containment_pairs(
+            _docs(spark, rows), df_cap=10, min_support=2, threshold=0.6
+        ).collect()
+    }
+    # doc 2's shingles are a strict subset of doc 1's: containment 1.0
+    # in one direction even though jaccard is only 4/8 = 0.5
+    assert (1, 2) in out
+    c_a_in_b, c_b_in_a = out[(1, 2)]
+    assert c_b_in_a == 1.0 and c_a_in_b == 0.5
+    # the unrelated doc pairs with nobody
+    assert not any(3 in p for p in out)
+
+
+def test_containment_df_cap_drops_boilerplate(spark):
+    # the same boilerplate line appears in 12 docs; with df_cap=10 its
+    # shingles can't witness any pair, so no candidates survive
+    rows = [(i, "all rights reserved footer text") for i in range(12)]
+    out = containment_pairs(_docs(spark, rows), df_cap=10, min_support=1)
+    assert out.count() == 0
+    # raising the cap lets the exact-dup pairs through at containment 1.0
+    out2 = containment_pairs(_docs(spark, rows), df_cap=20, min_support=1).collect()
+    assert len(out2) == 12 * 11 // 2 and all(r["c_a_in_b"] == 1.0 for r in out2)
+
+
+def test_containment_min_support_gate(spark):
+    # docs share exactly ONE shingle ("c d e"): support 1 < 2 => no pair
+    rows = [(1, "a b c d e"), (2, "c d e f g")]
+    assert (
+        containment_pairs(_docs(spark, rows), df_cap=10, min_support=2).count() == 0
+    )
+    got = containment_pairs(
+        _docs(spark, rows), df_cap=10, min_support=1, threshold=0.3
+    ).collect()
+    assert len(got) == 1 and got[0]["c_a_in_b"] == round(1 / 3, 4)
+
+
+def test_containment_no_shingle_self_join(spark):
+    # pair generation unfolds INSIDE the posting list, so no join may
+    # be keyed on the shingle column (the hot-key self-join shape it
+    # replaces); the only joins are the id-keyed verify lookups
+    import re
+
+    rows = [(i, f"tok{i} a b c d e") for i in range(6)]
+    plan = (
+        containment_pairs(_docs(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"Join \[s#", plan), "join keyed on the shingle column"
+    assert len(re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan)) == 2
+
+
+# --------------------------------------------------------------------- eTLD+1
+
+
+def _etld(spark, hosts):
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("uk",), ("co.uk",), ("au",), ("com.au",)],
+        "suffix string",
+    )
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    return {
+        r["host"]: r["etld1"] for r in etld_plus_one(df, psl, "host").collect()
+    }
+
+
+def test_etld1_longest_match_wins(spark):
+    m = _etld(spark, ["www.example.co.uk", "example.co.uk", "a.b.site.com.au"])
+    assert m["www.example.co.uk"] == "example.co.uk"
+    assert m["example.co.uk"] == "example.co.uk"
+    assert m["a.b.site.com.au"] == "site.com.au"
+
+
+def test_etld1_edge_cases(spark):
+    m = _etld(spark, ["co.uk", "localhost", "deep.x.unknowntld", "x.uk"])
+    assert m["co.uk"] is None  # the host IS a public suffix
+    assert m["localhost"] is None  # single label, nothing registrable
+    assert m["deep.x.unknowntld"] == "x.unknowntld"  # implicit-* fallback
+    assert m["x.uk"] == "x.uk"
+
+
+def test_etld1_plan_is_map_only(spark):
+    psl = spark.createDataFrame([("com",)], "suffix string")
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".com")).alias("host")
+    )
+    plan = (
+        etld_plus_one(df, psl, "host")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fact side must not shuffle: broadcast exchanges only
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+# --------------------------------------------------------------- range lookup
+
+
+def _ranges(spark):
+    return spark.createDataFrame(
+        [("low", 100, 199), ("wide", 16777216, 100000000), ("tiny", 500, 500)],
+        "label string, lo long, hi long",
+    )
+
+
+def test_range_lookup_boundaries_and_gaps(spark):
+    facts = spark.createDataFrame(
+        [(100,), (199,), (200,), (500,), (50000000,), (7,)], "v long"
+    )
+    got = {
+        r["v"]: r["label"]
+        for r in range_lookup_join(facts, _ranges(spark), "v").collect()
+    }
+    assert got[100] == "low" and got[199] == "low"  # inclusive both ends
+    assert got[200] is None and got[7] is None  # gaps keep the fact row
+    assert got[500] == "tiny"  # single-address range
+    assert got[50000000] == "wide"  # multi-bucket range
+
+
+def test_range_lookup_inner_and_bad_how(spark):
+    facts = spark.createDataFrame([(100,), (7,)], "v long")
+    inner = range_lookup_join(facts, _ranges(spark), "v", how="inner").collect()
+    assert [r["v"] for r in inner] == [100]
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_lookup_join(facts, _ranges(spark), "v", how="full")
+
+
+def test_range_lookup_plan_is_broadcast_hash(spark):
+    facts = spark.range(1000).select((F.col("id") * 104729 % 4294967296).alias("v"))
+    plan = (
+        range_lookup_join(facts, _ranges(spark), "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # facts never shuffle
