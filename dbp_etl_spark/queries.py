@@ -6136,3 +6136,114 @@ def ip_range_enrich(spark, sf_dir):
         "label string, lo long, hi long",
     )
     return range_lookup_join(facts, ranges, "ip").select("event_id", "ip", "label")
+
+
+@q(
+    "recrawl_change_rate",
+    """
+    WITH crawls AS (
+      SELECT 'site' || CAST(user_id % 37 AS VARCHAR) || '.com' AS host,
+             user_id,
+             concat_ws('|', event_type, CAST(floor(value) AS BIGINT)) AS payload,
+             lag(concat_ws('|', event_type, CAST(floor(value) AS BIGINT)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT host,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawls,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND payload <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           round(CAST(sum(CASE WHEN prev IS NOT NULL AND payload <> prev THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END), 0), 4) AS change_rate
+    FROM crawls GROUP BY host
+    """,
+)
+def recrawl_change_rate(spark, sf_dir):
+    """Per-host recrawl change rate — the signal that drives adaptive
+    recrawl scheduling (crawl a host as often as its content actually
+    changes; Cho & Garcia-Molina 2003 freshness policy). Each key's
+    crawl history is compared pairwise-adjacent via lag() inside an
+    entity-partitioned window (bounded state: one page's history), and
+    changed/unchanged transitions roll up host-keyed — hosts are agg
+    keys with map-side combine, so a 10^9-page host is a hot GROUP BY
+    key, not a window problem. Pairs with the CDC pipeline: 'changed'
+    here is exactly what merge_batch classifies as update vs unchanged
+    (cdc/merge.py action ladder). Events stand in for crawls (user =
+    page, host = user mod 37, payload = type|floor(value))."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.concat_ws(
+        "|", F.col("event_type"), F.floor("value").cast("bigint").cast("string")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    crawls = ev.select(
+        F.concat(F.lit("site"), (F.col("user_id") % 37).cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        "user_id",
+        payload.alias("payload"),
+        F.lag(payload).over(w).alias("prev"),
+    )
+    trans = F.when(F.col("prev").isNotNull(), 1).otherwise(0)
+    chg = F.when(
+        F.col("prev").isNotNull() & (F.col("payload") != F.col("prev")), 1
+    ).otherwise(0)
+    return crawls.groupBy("host").agg(
+        F.countDistinct("user_id").alias("n_urls"),
+        F.sum(trans).alias("n_recrawls"),
+        F.sum(chg).alias("n_changed"),
+        F.round(
+            F.sum(chg).cast("double") / F.nullif(F.sum(trans), F.lit(0)), 4
+        ).alias("change_rate"),
+    )
+
+
+@q(
+    "mixture_temperature_sample",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_d,
+             round(sqrt(count(*)), 6) AS w_d
+      FROM documents GROUP BY source),
+    z AS (SELECT round(sum(w_d), 6) AS z FROM counts),
+    rates AS (
+      SELECT source, n_d,
+             round(least(200 * w_d / z / n_d, 1.0), 9) AS rate
+      FROM counts, z)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|13'), 1, 15)
+           AS BIGINT)) / 1152921504606846976.0 < r.rate
+    """,
+)
+def mixture_temperature_sample(spark, sf_dir):
+    """Temperature-scaled mixture sampling for training-data mixes
+    (the T=2 multilingual/domain re-balancing recipe: sample share
+    proportional to n_d^(1/T), upweighting tail domains): per-domain
+    sqrt-weights normalize into inclusion rates against a 200-doc
+    budget, clamped at 1.0, and membership is a deterministic md5
+    uniform per doc — reproducible across engines and runs, no RNG
+    state. Scale shape: domain stats are one map-side-combined agg
+    over ~100s of groups, the rate table broadcasts back onto the
+    corpus, and selection is a map-only filter — nothing global except
+    two one-row reductions. sqrt (IEEE-exact in every engine, unlike
+    pow) plus 6/9-dp rounding makes the draw bit-stable between Spark
+    and the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    from dbp_etl_spark.operators.dedup_ops import _h60
+
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.round(F.sqrt(F.count(F.lit(1))), 6).alias("w_d"),
+    )
+    z = counts.agg(F.round(F.sum("w_d"), 6).alias("z"))
+    rates = counts.join(F.broadcast(z)).select(
+        "source",
+        F.round(
+            F.least(F.lit(200) * F.col("w_d") / F.col("z") / F.col("n_d"), F.lit(1.0)), 9
+        ).alias("rate"),
+    )
+    u = _h60(F.col("doc_id").cast("string"), 13) / F.lit(1152921504606846976.0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )
