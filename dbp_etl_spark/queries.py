@@ -6247,3 +6247,84 @@ def mixture_temperature_sample(spark, sf_dir):
         .where(u < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+@q(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    bigrams AS (
+      SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bigrams GROUP BY w1, w2 HAVING count(*) >= 5),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n,
+             (SELECT count(*) FROM bigrams) AS b)
+    SELECT w1, w2, c12,
+           round(CAST(c12 * n * n AS DOUBLE) / (b * u1.c * u2.c), 6) AS pmi_ratio
+    FROM bi JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, tot
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (phrase discovery for vocab/tokenizer
+    construction, Church & Hanks 1990): bigrams whose co-occurrence
+    beats chance — P(w1,w2)/(P(w1)P(w2)) with a count->=5 floor so
+    hapax pairs can't dominate. The score keeps exact integer
+    numerator/denominator (c12*N^2 vs B*c1*c2) and divides ONCE, so
+    the double is bit-identical across engines (no ln(), no pow()).
+    Scale shape: one position-explode over documents, two
+    map-side-combined aggs (unigrams, bigrams), two broadcast-sized
+    lookup joins on the >=5-count survivors, top-20 via sorted limit
+    (partial top-k per partition, no global sort materialized)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    tot = uni.agg(F.sum("c").alias("n")).crossJoin(
+        bigrams.agg(F.count(F.lit(1)).alias("b"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                (F.col("c12") * F.col("n") * F.col("n")).cast("double")
+                / (F.col("b") * F.col("c1") * F.col("c2")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(20)
