@@ -78,14 +78,16 @@ _CHECK_FIRST = [
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
-    # then has a green row within two rounds. The 74-entry list
-    # overflows the driver's 50-query prefix by twenty-four; those
+    # then has a green row within two rounds. The 76-entry list
+    # overflows the driver's 50-query prefix by twenty-six; those
     # placed last (missing_days_per_user … window_stats_suite —
     # classic SQL stat/window/sample/cube batteries, r3-green,
     # pytest-covered, and locally re-verified by
     # scripts/check_oracle.py this round) are the deliberate
     # sacrifices: never-driver-checked new queries outrank
     # re-checking them.
+    "script_profile",
+    "key_skew_histogram",
     "pmi_collocations",
     "recrawl_change_rate",
     "mixture_temperature_sample",

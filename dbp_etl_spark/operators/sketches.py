@@ -366,3 +366,31 @@ def cohort_overlap_exact_pruned(
         .filter(F.col("n_common") >= min_common)
     )
     return exact
+
+
+def key_skew_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: the count-of-counts histogram
+    of a key column set, log2-bucketed. Before shuffling 10^10 rows on
+    a key, this answers "is there a whale?" — a key landing in bucket
+    30 (2^30 rows) needs salting/AQE-skew handling, a flat histogram
+    does not. Two aggregations, both map-side combined (per-key count,
+    then per-bucket rollup); output is at most 64 rows regardless of
+    input size, so the diagnosis costs one pass and shuffles ~distinct
+    keys, never rows.
+
+    Returns (log2_bucket, n_keys, n_rows, max_count) — bucket b holds
+    keys with count in [2^b, 2^(b+1)); floor(log2) is computed exactly
+    via binary-string length (no float log), so every engine agrees on
+    bucket edges.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("c"))
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("int")
+    return (
+        counts.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_count"),
+        )
+        .orderBy("log2_bucket")
+    )

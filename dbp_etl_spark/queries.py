@@ -6328,3 +6328,109 @@ def pmi_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(20)
+
+
+@q(
+    "script_profile",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+        text || ' ' || CASE doc_id % 4
+          WHEN 0 THEN 'привет мир как дела'
+          WHEN 1 THEN '你好世界欢迎光临'
+          WHEN 2 THEN 'مرحبا بالعالم اهلا'
+          ELSE 'plain latin tail' END AS s
+      FROM documents),
+    counted AS (
+      SELECT doc_id,
+        CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        CAST(length(s) - length(regexp_replace(s, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        CAST(length(s) - length(regexp_replace(s, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        CAST(length(s) - length(regexp_replace(s, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+      FROM pages)
+    SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+      CASE greatest(n_latin, n_cyrillic, n_cjk, n_arabic)
+        WHEN n_latin THEN 'latin'
+        WHEN n_cyrillic THEN 'cyrillic'
+        WHEN n_cjk THEN 'cjk'
+        ELSE 'arabic' END AS dominant_script
+    FROM counted
+    """,
+)
+def script_profile(spark, sf_dir):
+    """Writing-system profiling for multilingual corpus routing:
+    per-document character counts for Latin / Cyrillic / CJK / Arabic
+    plus the dominant script — the cheap charset-level signal that
+    routes pages to per-script tokenizers and language-ID models
+    before any model runs. Counts use EXPLICIT code-point ranges
+    (U+0400-04FF etc.), not named classes, so Java regex and RE2
+    agree character-for-character; count = length minus
+    length-after-removal, one JVM regexp pass per script, map-only.
+    Tie-break ladder is fixed (latin > cyrillic > cjk > arabic at
+    equal counts) and mirrored in the oracle. Synthetic non-Latin
+    tails exercise every script branch deterministically."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tail = (
+        F.when(did % 4 == 0, "привет мир как дела")
+        .when(did % 4 == 1, "你好世界欢迎光临")
+        .when(did % 4 == 2, "مرحبا بالعالم اهلا")
+        .otherwise("plain latin tail")
+    )
+    s = F.concat(F.col("text"), F.lit(" "), tail)
+
+    def n_in(rng):
+        return (F.length(s) - F.length(F.regexp_replace(s, f"[{rng}]", ""))).cast(
+            "long"
+        )
+
+    counts = {
+        "n_latin": n_in("A-Za-z"),
+        "n_cyrillic": n_in("Ѐ-ӿ"),
+        "n_cjk": n_in("一-鿿"),
+        "n_arabic": n_in("؀-ۿ"),
+    }
+    out = d.select("doc_id", *[c.alias(n) for n, c in counts.items()])
+    top = F.greatest("n_latin", "n_cyrillic", "n_cjk", "n_arabic")
+    dom = (
+        F.when(top == F.col("n_latin"), "latin")
+        .when(top == F.col("n_cyrillic"), "cyrillic")
+        .when(top == F.col("n_cjk"), "cjk")
+        .otherwise("arabic")
+    )
+    return out.withColumn("dominant_script", dom)
+
+
+@q(
+    "key_skew_histogram",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS k
+      FROM events),
+    counts AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY k)
+    SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_count
+    FROM counts GROUP BY 1 ORDER BY 1
+    """,
+)
+def key_skew_histogram(spark, sf_dir):
+    """Shuffle-key skew diagnosis (operators/sketches.py
+    key_skew_histogram): log2-bucketed count-of-counts for a join key
+    — the one-pass answer to "does this key have a whale?" before
+    committing 10^10 rows to a shuffle. Both aggs map-side combine;
+    the output is <=64 rows at any input size; bucket edges come from
+    binary-string length, not float log2, so engines agree exactly.
+    The rigged key folds 30%% of users into one hot key, which must
+    surface as a lone high bucket with n_keys=1."""
+    from dbp_etl_spark.operators.sketches import key_skew_histogram as kh
+
+    e = _t(spark, sf_dir, "events")
+    keyed = e.select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    return kh(keyed, ["k"])
