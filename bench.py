@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "boilerplate_block_filter",
     "weighted_sample_es",
+    "containment_neardup",
+    "pmi_collocations",
 ]
 
 # 2 batches of 500k events: production-representative batch size while
