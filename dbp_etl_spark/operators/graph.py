@@ -222,3 +222,94 @@ def pagerank(
         )
         ranks = ckpt(ranks)
     return ranks.select("node", "pr")
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Resolve redirect chains to their terminal target by pointer
+    doubling. Input is a directed edge list (``src`` redirects to
+    ``dst``); multiple out-edges per src are collapsed to min(dst) so
+    the graph is functional and the result deterministic. Returns one
+    row per distinct redirect source:
+
+        (node, final, hops, is_cycle)
+
+    where ``final`` is the first node reached that has no out-edge,
+    ``hops`` the number of edges followed, and ``is_cycle`` flags
+    sources whose walk never terminates (they sit on or feed into a
+    redirect loop; ``final``/``hops`` are NULL for them).
+
+    Why this shape (the reference resolves asset moves one row at a
+    time in Python — /root/reference/load/UpdateDBPFilesetTables.py
+    re-reads state per record; a 100 TB crawl snapshot cannot): pointer
+    doubling composes the walk with itself each round, so a chain of
+    length L resolves in ceil(log2 L) self-joins instead of L
+    sequential lookups. Each round is ONE equi-join of the state frame
+    with itself keyed by the current pointer — an AQE-friendly shuffle
+    join, no driver-side maps, no per-row recursion. Cycles cannot
+    terminate, so the loop stops when every row is done or after
+    ceil(log2 n)+2 rounds, at which point any open row is provably on
+    a cycle (a terminating walk has length < n).
+    """
+    f = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("ptr"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .groupBy("node")
+        .agg(F.min("ptr").alias("ptr"))
+        .localCheckpoint(eager=True)
+    )
+    n_src = f.count()
+    if n_src == 0:
+        return f.select(
+            "node",
+            F.col("ptr").alias("final"),
+            F.lit(None).cast("bigint").alias("hops"),
+            F.lit(False).alias("is_cycle"),
+        )
+    # a row is done when its pointer is not itself a redirect source
+    srcs = f.select(F.col("node").alias("_o")).withColumn("_has", F.lit(True))
+    state = (
+        f.join(srcs, F.col("ptr") == F.col("_o"), "left")
+        .select(
+            "node",
+            "ptr",
+            F.lit(1).cast("bigint").alias("hops"),
+            F.coalesce(~F.col("_has"), F.lit(True)).alias("done"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = min(max_rounds, max(1, n_src.bit_length() + 2))
+    for _ in range(rounds):
+        open_n = state.where(~F.col("done")).count()
+        if open_n == 0:
+            break
+        nxt = state.select(
+            F.col("node").alias("_jn"),
+            F.col("ptr").alias("_jptr"),
+            F.col("hops").alias("_jhops"),
+            F.col("done").alias("_jdone"),
+        )
+        state = (
+            state.join(nxt, (F.col("ptr") == F.col("_jn")) & ~F.col("done"), "left")
+            .select(
+                "node",
+                F.when(F.col("done") | F.col("_jn").isNull(), F.col("ptr"))
+                .otherwise(F.col("_jptr"))
+                .alias("ptr"),
+                F.when(F.col("done") | F.col("_jn").isNull(), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("_jhops"))
+                .alias("hops"),
+                (F.col("done") | F.coalesce(F.col("_jdone"), F.lit(False))).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node",
+        F.when(F.col("done"), F.col("ptr")).alias("final"),
+        F.when(F.col("done"), F.col("hops")).cast("bigint").alias("hops"),
+        (~F.col("done")).alias("is_cycle"),
+    )

@@ -6434,3 +6434,61 @@ def key_skew_histogram(spark, sf_dir):
         .alias("k")
     )
     return kh(keyed, ["k"])
+
+
+@q(
+    "redirect_resolve",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id AS d FROM documents),
+    edges AS (
+      SELECT a.d AS src, b.d AS dst
+      FROM docs a JOIN docs b
+        ON b.d = CASE WHEN a.d <= 2 THEN (a.d + 1) % 3
+                      WHEN (a.d + 1) % 5 <> 0 THEN a.d + 1 END),
+    walk AS (
+      SELECT src, dst AS cur, 1 AS hops FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE w.hops < 48),
+    term AS (
+      SELECT w.src, w.cur AS final, w.hops
+      FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur))
+    SELECT s.src AS node,
+           CAST(t.final AS BIGINT) AS final,
+           CAST(t.hops AS BIGINT) AS hops,
+           (t.src IS NULL) AS is_cycle
+    FROM (SELECT DISTINCT src FROM edges) s
+    LEFT JOIN term t ON t.src = s.src
+    ORDER BY node
+    """,
+)
+def redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/graph.py
+    resolve_redirects): every crawl snapshot carries 3xx chains that
+    must be collapsed to the terminal URL before dedup/canonical
+    election (the reference walks asset moves row-at-a-time,
+    /root/reference/load/UpdateDBPFilesetTables.py; a 100 TB snapshot
+    needs the log-round form). Pointer doubling: chains of length L
+    resolve in ceil(log2 L) self-joins; loops are detected, not
+    followed forever. The rigged graph over doc_id carves the corpus
+    into 4-hop chains broken at multiples of 5 plus one 3-node cycle
+    (docs 0,1,2), so the output must show hops 1..4, terminal nodes
+    absent (they have no out-edge), and exactly three is_cycle rows
+    with NULL final/hops — the oracle's recursive CTE agrees on every
+    row."""
+    from dbp_etl_spark.operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("d"))
+    did = F.col("a.d")
+    dst_id = F.when(did <= 2, (did + 1) % 3).when(
+        (did + 1) % 5 != 0, did + 1
+    )
+    edges = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.d") == dst_id)
+        .select(did.alias("src"), F.col("b.d").alias("dst"))
+    )
+    return resolve_redirects(edges).orderBy("node")

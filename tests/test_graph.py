@@ -151,3 +151,57 @@ def test_cc_truncated_iterations_mapping_stays_single_valued(spark):
     nodes = [r["node"] for r in out]
     assert sorted(nodes) == list(range(31))  # one row per node
     assert all(r["component"] <= r["node"] for r in out)
+
+
+# ---------------------------------------------------------------- redirects
+
+
+def _resolve_map(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from dbp_etl_spark.operators.graph import resolve_redirects
+
+    return {
+        r["node"]: (r["final"], r["hops"], r["is_cycle"])
+        for r in resolve_redirects(df).collect()
+    }
+
+
+def test_redirect_simple_chain(spark):
+    got = _resolve_map(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: (4, 3, False), 2: (4, 2, False), 3: (4, 1, False)}
+
+
+def test_redirect_long_chain_log_rounds(spark):
+    # chain of 65 nodes exercises > 6 doubling rounds
+    n = 65
+    got = _resolve_map(spark, [(i, i + 1) for i in range(n)])
+    assert got[0] == (n, n, False)
+    assert got[n - 1] == (n, 1, False)
+    assert all(not c for (_, _, c) in got.values())
+
+
+def test_redirect_pure_cycle_and_feeder(spark):
+    # 10 -> 11 -> 12 -> 10 cycle, 9 feeds into it, 1 -> 2 terminates
+    got = _resolve_map(spark, [(10, 11), (11, 12), (12, 10), (9, 10), (1, 2)])
+    assert got[1] == (2, 1, False)
+    for n in (9, 10, 11, 12):
+        assert got[n] == (None, None, True)
+
+
+def test_redirect_multi_out_edge_collapses_to_min(spark):
+    # 1 has two targets; min(dst)=2 wins deterministically
+    got = _resolve_map(spark, [(1, 5), (1, 2), (2, 3)])
+    assert got[1] == (3, 2, False)
+
+
+def test_redirect_self_loop_is_cycle(spark):
+    got = _resolve_map(spark, [(7, 7), (1, 7)])
+    assert got[7] == (None, None, True)
+    assert got[1] == (None, None, True)
+
+
+def test_redirect_empty(spark):
+    from dbp_etl_spark.operators.graph import resolve_redirects
+
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    assert resolve_redirects(df).count() == 0
