@@ -177,3 +177,79 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
         # mode a plain cast would kill the whole scan on one bad entry
         opt("priority").try_cast("double").alias("priority"),
     )
+
+
+def mine_url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    content_col: str | None = None,
+    min_urls: int = 20,
+    max_diversity: float = 0.1,
+    exact: bool = True,
+) -> DataFrame:
+    """URL-template mining + crawler-trap detection.
+
+    Collapses each URL to a (host, template) by masking volatile path
+    material — hex ids of 8+ chars to ``H``, digit runs to ``N``, and
+    the query string to ``?Q`` — then profiles each template:
+
+        (host, template, n_urls, n_content, diversity, is_trap)
+
+    ``n_urls`` counts distinct URLs under the template, ``n_content``
+    distinct page bodies (when ``content_col`` is given; else NULL),
+    ``diversity`` their ratio, and ``is_trap`` flags templates that
+    enumerate many URLs over near-constant content
+    (n_urls >= min_urls AND diversity <= max_diversity) — calendars,
+    session-id echoes, faceted-search grids: the infinite URL spaces a
+    frontier must prune before they eat the fetch budget. The
+    reference ingests a curated bucket and never faces this; a
+    Common-Crawl-scale recrawl does.
+
+    Scale shape: template derivation is map-only JVM regexp (no UDF);
+    the profile is ONE groupBy keyed by (host, template) — templates
+    are the point: cardinality collapses from URL-count to
+    template-count, so the shuffle is small by construction. With
+    ``exact=False`` the two distinct counts become
+    approx_count_distinct (HLL, single-pass, no count-distinct
+    expand) — the 100 TB default; exact=True is the oracle-parity
+    mode.
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    masked = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "H"), r"[0-9]+", "N"
+    )
+    template = F.concat(
+        masked,
+        F.when(u.contains("?"), F.lit("?Q")).otherwise(F.lit("")),
+    )
+    keyed = pages.select(
+        host.alias("host"),
+        template.alias("template"),
+        u.alias("_url"),
+        *(
+            [F.col(content_col).alias("_content")]
+            if content_col is not None
+            else []
+        ),
+    )
+    cd = (F.countDistinct if exact else F.approx_count_distinct)
+    aggs = [cd("_url").cast("bigint").alias("n_urls")]
+    if content_col is not None:
+        aggs.append(cd("_content").cast("bigint").alias("n_content"))
+    prof = keyed.groupBy("host", "template").agg(*aggs)
+    if content_col is None:
+        prof = prof.withColumn("n_content", F.lit(None).cast("bigint"))
+    diversity = (F.col("n_content") / F.col("n_urls")).cast("double")
+    return prof.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_content",
+        diversity.alias("diversity"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & F.coalesce(diversity <= F.lit(float(max_diversity)), F.lit(False))
+        ).alias("is_trap"),
+    )

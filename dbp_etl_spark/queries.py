@@ -6492,3 +6492,87 @@ def redirect_resolve(spark, sf_dir):
         .select(did.alias("src"), F.col("b.d").alias("dst"))
     )
     return resolve_redirects(edges).orderBy("node")
+
+
+@q(
+    "crawler_trap_detect",
+    """
+    WITH pages AS (
+      SELECT CASE
+               WHEN user_id % 3 = 0 THEN 'https://example.com/cal/2026/' || CAST(event_id AS VARCHAR)
+               WHEN user_id % 3 = 1 THEN 'https://site.org/s/' || md5(CAST(event_id % 5 AS VARCHAR))
+               ELSE 'https://blog.net/post/' || CAST(event_id % 7 AS VARCHAR)
+                    || '?page=' || CAST(event_id % 3 AS VARCHAR)
+             END AS url,
+             CASE
+               WHEN user_id % 3 = 0 THEN 'calendar grid'
+               WHEN user_id % 3 = 1 THEN 'session ' || CAST(event_id % 5 AS VARCHAR)
+               ELSE 'post body ' || CAST(event_id % 7 AS VARCHAR)
+             END AS content
+      FROM events),
+    keyed AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                 '[0-9a-f]{8,}', 'H', 'g'),
+               '[0-9]+', 'N', 'g')
+             || CASE WHEN url LIKE '%?%' THEN '?Q' ELSE '' END AS template,
+             url, content
+      FROM pages),
+    prof AS (
+      SELECT host, template,
+             CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT content) AS BIGINT) AS n_content
+      FROM keyed GROUP BY host, template)
+    SELECT host, template, n_urls, n_content,
+           CAST(n_content AS DOUBLE) / n_urls AS diversity,
+           (n_urls >= 20 AND CAST(n_content AS DOUBLE) / n_urls <= 0.1) AS is_trap
+    FROM prof ORDER BY host, template
+    """,
+)
+def crawler_trap_detect(spark, sf_dir):
+    """Crawler-trap detection by URL-template mining
+    (operators/crawl.py mine_url_templates): mask volatile path
+    material (hex ids -> H, digit runs -> N, query string -> ?Q), then
+    profile each (host, template) for URL fan-out vs content
+    diversity. Templates that enumerate many URLs over near-constant
+    bodies — calendars, session ids, facet grids — are the infinite
+    URL spaces a 100 TB recrawl frontier must prune. Map-only JVM
+    regexp derivation + ONE groupBy whose key cardinality is
+    template-count, not URL-count; exact distincts here for oracle
+    parity, approx_count_distinct (HLL) is the scale default. The
+    rigged corpus plants one calendar trap (/cal/N/N: thousands of
+    URLs, one body), one hex-session template (/s/H: 5 urls, 5
+    bodies), and one paginated-but-diverse template (/post/N?Q: 21
+    urls over 7 bodies — many URLs but NOT a trap), so the flag must
+    fire exactly once."""
+    from dbp_etl_spark.operators.crawl import mine_url_templates
+
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    url = (
+        F.when(
+            uid % 3 == 0,
+            F.concat(F.lit("https://example.com/cal/2026/"), eid.cast("string")),
+        )
+        .when(
+            uid % 3 == 1,
+            F.concat(F.lit("https://site.org/s/"), F.md5((eid % 5).cast("string"))),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://blog.net/post/"),
+                (eid % 7).cast("string"),
+                F.lit("?page="),
+                (eid % 3).cast("string"),
+            )
+        )
+    )
+    content = (
+        F.when(uid % 3 == 0, F.lit("calendar grid"))
+        .when(uid % 3 == 1, F.concat(F.lit("session "), (eid % 5).cast("string")))
+        .otherwise(F.concat(F.lit("post body "), (eid % 7).cast("string")))
+    )
+    pages = ev.select(url.alias("url"), content.alias("content"))
+    return mine_url_templates(pages, "url", "content").orderBy("host", "template")

@@ -170,3 +170,69 @@ def test_parse_sitemap_is_map_only(spark):
     df = spark.createDataFrame([("h", "<url><loc>u</loc></url>")], "host string, sitemap_xml string")
     plan = parse_sitemap(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ------------------------------------------------------- template mining
+
+
+def _tmpl_rows(spark, rows, **kw):
+    from dbp_etl_spark.operators.crawl import mine_url_templates
+
+    df = spark.createDataFrame(rows, "url string, content string")
+    return {
+        (r["host"], r["template"]): r
+        for r in mine_url_templates(df, "url", "content", **kw).collect()
+    }
+
+
+def test_template_masking_and_trap_flag(spark):
+    rows = [(f"https://a.com/cal/2026/{i}", "same page") for i in range(25)]
+    rows += [(f"https://a.com/post/{i}", f"body {i}") for i in range(3)]
+    rows += [("https://b.org/s/0123456789abcdef", "s1"),
+             ("https://b.org/s/fedcba9876543210", "s2")]
+    got = _tmpl_rows(spark, rows, min_urls=20, max_diversity=0.1)
+    trap = got[("a.com", "/cal/N/N")]
+    assert trap["n_urls"] == 25 and trap["n_content"] == 1 and trap["is_trap"]
+    posts = got[("a.com", "/post/N")]
+    assert posts["n_urls"] == 3 and not posts["is_trap"]
+    hexes = got[("b.org", "/s/H")]
+    assert hexes["n_urls"] == 2 and hexes["n_content"] == 2 and not hexes["is_trap"]
+
+
+def test_template_query_string_masked(spark):
+    rows = [(f"https://a.com/p?page={i}", f"c{i}") for i in range(4)]
+    got = _tmpl_rows(spark, rows)
+    assert set(got) == {("a.com", "/p?Q")}
+    assert got[("a.com", "/p?Q")]["n_urls"] == 4
+
+
+def test_template_no_content_column(spark):
+    from dbp_etl_spark.operators.crawl import mine_url_templates
+
+    df = spark.createDataFrame(
+        [(f"https://a.com/x/{i}",) for i in range(30)], "url string"
+    )
+    r = mine_url_templates(df, "url").collect()[0]
+    assert r["n_urls"] == 30 and r["n_content"] is None and not r["is_trap"]
+
+
+def test_template_approx_mode_close(spark):
+    from dbp_etl_spark.operators.crawl import mine_url_templates
+
+    rows = [(f"https://a.com/cal/{i}", "same") for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, content string")
+    r = mine_url_templates(df, "url", "content", exact=False).collect()[0]
+    assert abs(r["n_urls"] - 200) <= 20 and r["is_trap"]
+
+
+def test_template_mining_plan_map_only_derivation(spark):
+    from dbp_etl_spark.operators.crawl import mine_url_templates
+
+    df = spark.createDataFrame([("https://a.com/1", "c")], "url string, content string")
+    plan = (
+        mine_url_templates(df, "url", "content", exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # approx mode: single agg exchange, no count-distinct expand, no UDF
+    assert plan.count("Exchange") <= 1 and "Expand" not in plan
+    assert "Python" not in plan
