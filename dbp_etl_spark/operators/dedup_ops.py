@@ -552,3 +552,74 @@ def containment_pairs(
         )
     )
     return out.where(F.greatest("c_a_in_b", "c_b_in_a") >= threshold)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of the text,
+    slide a window of ``w`` consecutive hashes, and in each window
+    select the minimum hash (leftmost on ties). Returns the distinct
+    selected set, one row per fingerprint:
+
+        (id, pos, fp)    pos = 1-based k-gram start offset
+
+    Guarantees (the reason winnowing beats "every Nth hash" / mod-p
+    sampling): any shared substring of length >= k + w - 1 between two
+    documents yields at least one SHARED selected fingerprint, and the
+    selected density is ~2/(w+1) — position-robust local sampling that
+    random sampling cannot give. This is the localized complement to
+    the global MinHash resemblance / Broder containment ops above:
+    those answer "how similar", winnowed fingerprints answer "which
+    spans match" (plagiarism spans, boilerplate islands, quote
+    detection).
+
+    Scale shape: one explode bounded by document length, then ONE
+    window partitioned by document id — the same per-doc shuffle the
+    other fingerprint ops pay; no joins, no driver state. Documents
+    shorter than k + w - 1 chars produce no fingerprints (no full
+    window exists — the algorithm's own definition). ``hash_fn=
+    "md5_60"`` switches to the cross-engine 60-bit md5 lane so
+    external engines reproduce fp values bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    t = F.col(text_col)
+    # empty-safe: a doc shorter than k has no k-grams (a bare sequence()
+    # would descend and emit bogus positions)
+    gram_starts = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(gram_starts).alias("_i", "pos"),
+        t.alias("_t"),
+    ).select(
+        "id", "pos", F.substring(F.col("_t"), F.col("pos"), k).alias("_gram")
+    )
+    h = (
+        _h60(F.col("_gram"), 0)
+        if hash_fn == "md5_60"
+        else F.xxhash64(F.col("_gram"))
+    )
+    hashed = grams.select("id", "pos", h.alias("_h"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    seq = Window.partitionBy("id").orderBy("pos")
+    sel = hashed.select(
+        "id",
+        F.row_number().over(seq).alias("_rn"),
+        F.min(F.struct(F.col("_h"), F.col("pos"))).over(win).alias("_sel"),
+    )
+    return (
+        sel.where(F.col("_rn") >= w)
+        .select("id", F.col("_sel.pos").alias("pos"), F.col("_sel._h").alias("fp"))
+        .distinct()
+    )

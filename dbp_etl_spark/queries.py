@@ -6576,3 +6576,56 @@ def crawler_trap_detect(spark, sf_dir):
     )
     pages = ev.select(url.alias("url"), content.alias("content"))
     return mine_url_templates(pages, "url", "content").orderBy("host", "template")
+
+
+@q(
+    "winnow_fingerprint_profile",
+    """
+    WITH grams AS (
+      SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+             CAST('0x' || substr(md5(substr(text, CAST(u.pos AS INTEGER), 8) || '|0'), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents, unnest(generate_series(1, length(text) - 7)) AS u(pos)),
+    sel AS (
+      SELECT doc_id,
+             min({'h': h, 'p': pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM grams),
+    fp AS (
+      SELECT DISTINCT doc_id, s.p AS pos, s.h AS fp FROM sel WHERE rn >= 4)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(fp) AS DECIMAL(38,0)) AS fp_sum,
+           CAST(min(pos) AS INTEGER) AS min_pos,
+           CAST(max(pos) AS INTEGER) AS max_pos
+    FROM fp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def winnow_fingerprint_profile(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/dedup_ops.py
+    winnow_fingerprints — Schleimer et al. SIGMOD'03, the MOSS
+    algorithm) profiled per document: k=8 char grams, window w=4,
+    leftmost-min selection in the cross-engine md5-60 hash lane. The
+    guarantee random sampling can't give: any shared span >= k+w-1
+    chars between two docs shares a selected fingerprint, at ~2/(w+1)
+    density — the localized "which spans match" complement to global
+    MinHash/containment resemblance. One explode bounded by text
+    length + ONE per-doc window; no joins. The oracle recomputes the
+    full selection in SQL (struct-min window, identical leftmost tie
+    discipline) and compares count / checksum / position extent per
+    doc — a bit-stable pin of the entire selected set."""
+    from dbp_etl_spark.operators.dedup_ops import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=8, w=4, hash_fn="md5_60")
+    return (
+        fps.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum(F.col("fp").cast("decimal(38,0)")).alias("fp_sum"),
+            F.min("pos").cast("int").alias("min_pos"),
+            F.max("pos").cast("int").alias("max_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,74 @@
+"""Winnowing fingerprint selection (operators/dedup_ops.py, MOSS)."""
+
+# ----------------------------------------------------------- winnowing
+
+
+def _py_winnow(text, k, w):
+    """Reference mirror: leftmost-min per window of w k-gram hashes."""
+    import hashlib
+
+    def h60(g):
+        return int(hashlib.md5(f"{g}|0".encode()).hexdigest()[:15], 16)
+
+    grams = [(i + 1, h60(text[i : i + k])) for i in range(len(text) - k + 1)]
+    out = set()
+    for end in range(w - 1, len(grams)):
+        window = grams[end - w + 1 : end + 1]
+        best = min(window, key=lambda t: (t[1], t[0]))
+        out.add((best[0], best[1]))
+    return out
+
+
+def _spark_winnow(spark, rows, k, w):
+    from dbp_etl_spark.operators.dedup_ops import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = winnow_fingerprints(df, k=k, w=w, hash_fn="md5_60").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    return by_doc
+
+
+def test_winnow_matches_python_mirror(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcabcabcabcabc",
+        "aaaaaaaaaaaa",  # all-equal hashes: leftmost-tie discipline
+        "short",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = _spark_winnow(spark, rows, k=4, w=3)
+    for i, t in enumerate(texts):
+        expect = _py_winnow(t, 4, 3)
+        assert got.get(i, set()) == expect, f"doc {i}"
+
+
+def test_winnow_shared_span_guarantee(spark):
+    # any shared substring of length >= k + w - 1 shares a fingerprint
+    k, w = 5, 4
+    shared = "zqxjkvbwpy_common_zone_17"
+    a = "left padding here " + shared + " tail alpha"
+    b = "completely different prefix " + shared + " other end"
+    got = _spark_winnow(spark, [(0, a), (1, b)], k, w)
+    fps_a = {fp for _, fp in got[0]}
+    fps_b = {fp for _, fp in got[1]}
+    assert fps_a & fps_b
+
+
+def test_winnow_short_and_empty_docs_no_rows(spark):
+    got = _spark_winnow(spark, [(0, "abc"), (1, ""), (2, "abcdefgh")], k=4, w=6)
+    # doc 2 has 5 grams < w=6 windows -> none either
+    assert got == {}
+
+
+def test_winnow_density(spark):
+    import random
+
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefghij ") for _ in range(2000))
+    k, w = 8, 4
+    got = _spark_winnow(spark, [(0, text)], k, w)
+    n = len(text) - k + 1
+    density = len(got[0]) / n
+    assert 0.25 <= density <= 0.6  # expected ~2/(w+1) = 0.4
