@@ -6629,3 +6629,87 @@ def winnow_fingerprint_profile(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "gazetteer_phrase_tag",
+    """
+    WITH np AS (
+      SELECT n_nationkey AS k,
+             CASE WHEN n_nationkey % 3 = 0
+                  THEN 'republic of ' || lower(n_name)
+                  ELSE lower(n_name) END AS phrase
+      FROM nation),
+    docs2 AS (
+      SELECT d.doc_id,
+             d.text || ' home of ' || p1.phrase || ', and ' || p1.phrase
+                    || ' again; plus ' || p2.phrase || '.' AS text
+      FROM documents d
+      JOIN np p1 ON p1.k = d.doc_id % 25
+      JOIN np p2 ON p2.k = (d.doc_id + 7) % 25),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9_]+', ' ', 'g')), ' ') AS arr
+      FROM docs2),
+    pos AS (
+      SELECT doc_id, arr, CAST(u.i AS INTEGER) AS i
+      FROM toks, unnest(generate_series(1, len(arr))) AS u(i)),
+    dictk AS (
+      SELECT DISTINCT phrase,
+             string_split(phrase, ' ')[1] AS tok,
+             len(string_split(phrase, ' ')) AS n
+      FROM np),
+    cand AS (
+      SELECT p.doc_id, d.phrase, p.i
+      FROM pos p JOIN dictk d ON p.arr[p.i] = d.tok
+      WHERE array_to_string(list_slice(p.arr, p.i, p.i + d.n - 1), ' ') = d.phrase)
+    SELECT doc_id, phrase,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(min(i) AS INTEGER) AS first_idx
+    FROM cand GROUP BY doc_id, phrase ORDER BY doc_id, phrase
+    """,
+)
+def gazetteer_phrase_tag(spark, sf_dir):
+    """Gazetteer phrase tagging (operators/text_search.py
+    gazetteer_match): dictionary NER over the corpus — every mention
+    of every dictionary phrase, single- and multi-word, with counts
+    and first position. The plan a 100 TB corpus needs: tokenize each
+    doc ONCE, broadcast the dictionary keyed by FIRST token, candidate
+    = equi-join, verify = map-side token-slice compare — no
+    scan-per-phrase, no cross join, no UDF. The rig mixes single-token
+    phrases with 3-token 'republic of …' phrases, plants one phrase
+    twice and another once per doc behind punctuation, so multi-word
+    runs, repeat counting, and the matching normal form are all
+    value-pinned against the SQL recompute."""
+    from dbp_etl_spark.operators.text_search import gazetteer_match
+
+    d = _t(spark, sf_dir, "documents")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.concat(F.lit("republic of "), F.lower(F.col("n_name"))),
+        )
+        .otherwise(F.lower(F.col("n_name")))
+        .alias("phrase"),
+    )
+    p1 = n.select(F.col("k").alias("k1"), F.col("phrase").alias("ph1"))
+    p2 = n.select(F.col("k").alias("k2"), F.col("phrase").alias("ph2"))
+    docs2 = (
+        d.join(F.broadcast(p1), F.col("doc_id") % 25 == F.col("k1"))
+        .join(F.broadcast(p2), (F.col("doc_id") + 7) % 25 == F.col("k2"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" home of "),
+                F.col("ph1"),
+                F.lit(", and "),
+                F.col("ph1"),
+                F.lit(" again; plus "),
+                F.col("ph2"),
+                F.lit("."),
+            ).alias("text"),
+        )
+    )
+    return gazetteer_match(docs2, n.select("phrase")).orderBy("doc_id", "phrase")

@@ -188,3 +188,56 @@ def test_fuzzy_neighborhood_rejects_distance_two(spark):
     docs = spark.createDataFrame([(0, "ba xx")], ["doc_id", "text"])
     got = fuzzy_expand_terms(build_postings(docs), ["ab"]).collect()
     assert got == []
+
+
+# ----------------------------------------------------------- gazetteer
+
+
+def _gaz(spark, docs, phrases):
+    from dbp_etl_spark.operators.text_search import gazetteer_match
+
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    return {
+        (r["doc_id"], r["phrase"]): (r["n_mentions"], r["first_idx"])
+        for r in gazetteer_match(ddf, pdf).collect()
+    }
+
+
+def test_gazetteer_single_and_multiword(spark):
+    got = _gaz(
+        spark,
+        [(1, "I left New York for New York City, then york again.")],
+        ["new york", "new york city", "york"],
+    )
+    # tokens: i left new york for new york city then york again
+    # "new york" matches at tokens 3 and 6; "new york city" once at 6;
+    # bare "york" matches inside both bigrams plus the standalone -> 3
+    assert got[(1, "new york")] == (2, 3)
+    assert got[(1, "new york city")] == (1, 6)
+    assert got[(1, "york")] == (3, 4)
+
+
+def test_gazetteer_normalization_and_punctuation(spark):
+    got = _gaz(spark, [(1, "Hello,   WORLD!  (hello world)")], ["hello world"])
+    assert got[(1, "hello world")] == (2, 1)
+
+
+def test_gazetteer_no_partial_token_match(spark):
+    got = _gaz(spark, [(1, "nationwide nation_7 internationally")], ["nation"])
+    assert got == {}
+
+
+def test_gazetteer_phrase_at_end_and_truncated(spark):
+    got = _gaz(spark, [(1, "the end is near"), (2, "the end is")], ["is near"])
+    assert got == {(1, "is near"): (1, 3)}
+
+
+def test_gazetteer_plan_broadcast_no_cross(spark):
+    from dbp_etl_spark.operators.text_search import gazetteer_match
+
+    ddf = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    pdf = spark.createDataFrame([("a",)], "phrase string")
+    plan = gazetteer_match(ddf, pdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
