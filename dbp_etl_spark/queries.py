@@ -6713,3 +6713,74 @@ def gazetteer_phrase_tag(spark, sf_dir):
         )
     )
     return gazetteer_match(docs2, n.select("phrase")).orderBy("doc_id", "phrase")
+
+
+@q(
+    "vocab_growth_heaps",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, u.tok
+      FROM documents d,
+           unnest(string_split(trim(regexp_replace(lower(d.text), '[^a-z0-9_]+', ' ', 'g')), ' ')) AS u(tok)
+      WHERE u.tok <> ''),
+    mx AS (SELECT max(doc_id) AS mid FROM documents),
+    dec AS (
+      SELECT t.tok, CAST((t.doc_id * 10) // (mx.mid + 1) AS INTEGER) AS decile
+      FROM toks t, mx),
+    tok_per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_tok FROM dec GROUP BY decile),
+    first_seen AS (
+      SELECT tok, min(decile) AS first_dec FROM dec GROUP BY tok),
+    typ_per AS (
+      SELECT first_dec AS decile, CAST(count(*) AS BIGINT) AS n_typ
+      FROM first_seen GROUP BY first_dec)
+    SELECT t.decile,
+           CAST(sum(t.n_tok) OVER (ORDER BY t.decile) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(y.n_typ, 0)) OVER (ORDER BY t.decile) AS BIGINT) AS cum_types
+    FROM tok_per t LEFT JOIN typ_per y ON y.decile = t.decile
+    ORDER BY t.decile
+    """,
+)
+def vocab_growth_heaps(spark, sf_dir):
+    """Heaps-law vocabulary-growth profile: cumulative distinct types
+    vs cumulative tokens at ten corpus prefixes — the statistic that
+    sizes a tokenizer vocabulary and detects corpus staleness (a
+    flattening curve means new data adds no new language). All-integer
+    outputs: bit-stable across engines by construction, no FP
+    regression fit needed (the Zipf count-of-counts half of this
+    picture is `key_skew_histogram`). Scale shape: one explode + the
+    standard token-keyed wordcount shuffle (min-decile per type), one
+    10-row decile rollup, cumulative window over 10 rows. The decile
+    assignment is pure integer arithmetic over doc_id against a 1-row
+    broadcast max — deterministic under any partitioning."""
+    from dbp_etl_spark.operators.text_search import normalize_for_match
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_for_match(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    dec = toks.crossJoin(F.broadcast(mx)).select(
+        "tok",
+        F.floor(F.col("doc_id") * 10 / (F.col("mid") + 1)).cast("int").alias("decile"),
+    )
+    tok_per = dec.groupBy("decile").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    typ_per = (
+        dec.groupBy("tok")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_typ"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per.join(typ_per, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_typ"), F.lit(0))).over(w).cast("bigint").alias("cum_types"),
+        )
+        .orderBy("decile")
+    )
