@@ -623,3 +623,93 @@ def winnow_fingerprints(
         .select("id", F.col("_sel.pos").alias("pos"), F.col("_sel._h").alias("fp"))
         .distinct()
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mask_bits: int = 5,
+    hash_fn: str = "xxhash64",
+    with_text: bool = False,
+) -> DataFrame:
+    """Content-defined chunking (Manber '94 / LBFS): split each
+    document at positions where the rolling k-gram hash satisfies
+    ``h % 2**mask_bits == 0`` — expected chunk length 2**mask_bits.
+    Returns one row per chunk:
+
+        (id, start, length, chunk_hash [, chunk])   start 1-based
+
+    Why content-defined instead of fixed-width: an insertion near the
+    head of a document shifts every fixed-width block boundary after
+    it, so block-level dedup finds nothing; content-defined boundaries
+    re-synchronize within ~one chunk of the edit, so every untouched
+    chunk dedups again. This is the storage-dedup primitive (rsync,
+    LBFS, backup systems) applied to the corpus plane — the
+    between-granularity complement to line-level and whole-doc dedup:
+    shared boilerplate/quoted spans dedup as chunks without any
+    alignment step.
+
+    Scale shape: one explode bounded by text length computes boundary
+    marks map-side, ONE per-doc window (lag over cut positions) turns
+    marks into (start, end) spans, and the chunk hash is map-side md5
+    over a substring — no joins, no UDF, no per-doc state on the
+    driver. ``hash_fn="md5_60"`` = cross-engine boundary decisions.
+    Documents shorter than ``k`` become a single whole-doc chunk.
+    The plain rule has no min/max clamp (FastCDC adds one); expected
+    length is exact for random text, so a 100 TB run sizes its chunk
+    index as corpus_bytes >> mask_bits rows.
+    """
+    from pyspark.sql import Window
+
+    m = 1 << mask_bits
+    t = F.col(text_col)
+    # boundary candidates: gram ENDING at position i (i = k .. L)
+    ends = F.when(
+        F.length(t) >= k, F.sequence(F.lit(k), F.length(t))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        F.explode(ends).alias("pos"),
+    ).select(
+        "id", "_t", "pos",
+        F.substring(F.col("_t"), F.col("pos") - (k - 1), k).alias("_gram"),
+    )
+    h = (
+        _h60(F.col("_gram"), 0)
+        if hash_fn == "md5_60"
+        else F.pmod(F.xxhash64(F.col("_gram")), F.lit(2**61 - 1))
+    )
+    cuts = grams.where((h % m) == 0).select("id", "_t", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = cuts.select(
+        "id", "_t",
+        (F.lag("pos", 1, 0).over(w) + 1).alias("start"),
+        F.col("pos").alias("end"),
+    )
+    # final (or only) chunk: from the last cut (0 if none) to the end
+    tail = (
+        docs.select(F.col(id_col).alias("id"), t.alias("_t"))
+        .join(
+            cuts.groupBy("id").agg(F.max("pos").alias("_last")),
+            "id",
+            "left",
+        )
+        .select(
+            "id", "_t",
+            (F.coalesce(F.col("_last"), F.lit(0)) + 1).alias("start"),
+            F.length("_t").alias("end"),
+        )
+        .where(F.col("start") <= F.col("end"))
+    )
+    chunk = F.substring(F.col("_t"), F.col("start"), F.col("end") - F.col("start") + 1)
+    out = spans.union(tail).select(
+        "id",
+        "start",
+        (F.col("end") - F.col("start") + 1).cast("int").alias("length"),
+        F.md5(chunk).alias("chunk_hash"),
+        *([chunk.alias("chunk")] if with_text else []),
+    )
+    return out

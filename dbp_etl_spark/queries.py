@@ -6784,3 +6784,85 @@ def vocab_growth_heaps(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+_CHUNK_FOOTER = (
+    " === standard footer: this boilerplate trailer is appended to every"
+    " document so content-defined chunk boundaries resynchronize and the"
+    " shared chunks dedup across the whole corpus ==="
+)
+
+
+@q(
+    "content_chunk_dedup",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, text || '{_CHUNK_FOOTER}' AS text FROM documents),
+    cuts AS (
+      SELECT doc_id, text, CAST(u.pos AS INTEGER) AS pos
+      FROM docs2, unnest(generate_series(8, length(text))) AS u(pos)
+      WHERE CAST('0x' || substr(md5(substr(text, CAST(u.pos AS INTEGER) - 7, 8) || '|0'), 1, 15)
+                 AS BIGINT) % 32 = 0),
+    spans AS (
+      SELECT doc_id, text,
+             lag(pos, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) + 1 AS start,
+             pos AS fin
+      FROM cuts),
+    tails AS (
+      SELECT d.doc_id, d.text,
+             coalesce(c.last_cut, 0) + 1 AS start,
+             length(d.text) AS fin
+      FROM docs2 d
+      LEFT JOIN (SELECT doc_id, max(pos) AS last_cut FROM cuts GROUP BY doc_id) c
+        ON c.doc_id = d.doc_id
+      WHERE coalesce(c.last_cut, 0) + 1 <= length(d.text)),
+    chunkrows AS (
+      SELECT md5(substr(text, start, fin - start + 1)) AS chunk_hash,
+             fin - start + 1 AS len
+      FROM (SELECT * FROM spans UNION ALL SELECT * FROM tails)),
+    per_hash AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS copies, min(len) AS len
+      FROM chunkrows GROUP BY chunk_hash)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM chunkrows) AS total_chunks,
+           CAST(count(*) AS BIGINT) AS distinct_chunks,
+           (SELECT CAST(sum(len) AS BIGINT) FROM chunkrows) AS total_chars,
+           CAST(sum(len) AS BIGINT) AS distinct_chars,
+           CAST(max(copies) AS BIGINT) AS max_copies
+    FROM per_hash
+    """,
+)
+def content_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (operators/dedup_ops.py
+    content_defined_chunks — Manber '94 / LBFS): split every document
+    at rolling-hash-chosen boundaries (h(8-gram) % 32 == 0, expected
+    32-char chunks) and dedup chunks by hash across the corpus. The
+    storage-dedup primitive the fixed-unit ops can't replace: an edit
+    shifts every fixed block after it, but content-defined boundaries
+    resynchronize within ~one chunk, so shared boilerplate dedups
+    without alignment. The rig appends one shared footer to every doc;
+    its chunks must collapse to single copies corpus-wide (max_copies
+    ~= doc count), and the rollup (total vs distinct chunks/chars) is
+    the dedup-savings ledger. md5_60 boundary hash = bit-identical cut
+    decisions in the SQL recompute; all outputs integer."""
+    from dbp_etl_spark.operators.dedup_ops import content_defined_chunks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_CHUNK_FOOTER)).alias("text")
+    )
+    chunks = content_defined_chunks(d, k=8, mask_bits=5, hash_fn="md5_60")
+    tot = chunks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_chunks"),
+        F.sum("length").cast("bigint").alias("total_chars"),
+    )
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+        F.min("length").alias("len"),
+    )
+    dis = per_hash.agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum("len").cast("bigint").alias("distinct_chars"),
+        F.max("copies").cast("bigint").alias("max_copies"),
+    )
+    return tot.crossJoin(dis).select(
+        "total_chunks", "distinct_chunks", "total_chars", "distinct_chars", "max_copies"
+    )

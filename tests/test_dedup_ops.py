@@ -72,3 +72,81 @@ def test_winnow_density(spark):
     n = len(text) - k + 1
     density = len(got[0]) / n
     assert 0.25 <= density <= 0.6  # expected ~2/(w+1) = 0.4
+
+
+# ------------------------------------------------ content-defined chunks
+
+
+def _py_cdc_chunks(text, k=8, bits=5):
+    import hashlib
+
+    def h60(g):
+        return int(hashlib.md5(f"{g}|0".encode()).hexdigest()[:15], 16)
+
+    m = 1 << bits
+    cuts = [
+        i
+        for i in range(k, len(text) + 1)
+        if h60(text[i - k : i]) % m == 0
+    ]
+    last = cuts[-1] if cuts else 0
+    bounds = [0] + cuts + ([len(text)] if len(text) > last else [])
+    out = []
+    for a, b in zip(bounds, bounds[1:]):
+        out.append((a + 1, b - a, hashlib.md5(text[a:b].encode()).hexdigest()))
+    return out
+
+
+def _spark_cdc_chunks(spark, rows, **kw):
+    from dbp_etl_spark.operators.dedup_ops import content_defined_chunks
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = content_defined_chunks(df, hash_fn="md5_60", **kw).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["id"], []).append((r["start"], r["length"], r["chunk_hash"]))
+    return {k: sorted(v) for k, v in by.items()}
+
+
+def test_cdc_chunks_match_python_mirror(spark):
+    import random
+
+    rng = random.Random(11)
+    texts = [
+        "".join(rng.choice("abcdefgh ") for _ in range(400)),
+        "tiny",
+        "",
+        "x" * 7,   # one char short of a gram
+        "y" * 200,  # degenerate constant text
+    ]
+    got = _spark_cdc_chunks(spark, list(enumerate(texts)))
+    for i, t in enumerate(texts):
+        expect = sorted(_py_cdc_chunks(t))
+        assert got.get(i, []) == [e for e in expect], f"doc {i}"
+
+
+def test_cdc_chunks_tile_document_exactly(spark):
+    import random
+
+    rng = random.Random(3)
+    text = "".join(rng.choice("qwertyuiop asdf") for _ in range(1500))
+    chunks = _spark_cdc_chunks(spark, [(0, text)])[0]
+    chunks.sort()
+    pos = 1
+    for start, length, _ in chunks:
+        assert start == pos
+        pos += length
+    assert pos == len(text) + 1
+
+
+def test_cdc_chunks_resync_after_head_edit(spark):
+    import random
+
+    rng = random.Random(5)
+    body = "".join(rng.choice("abcdefghij klmno") for _ in range(2000))
+    edited = "INSERTED PREFIX >> " + body
+    got = _spark_cdc_chunks(spark, [(0, body), (1, edited)])
+    h0 = {h for _, _, h in got[0]}
+    h1 = {h for _, _, h in got[1]}
+    # fixed-width blocks would share ~nothing; CDC must re-sync
+    assert len(h0 & h1) / len(h0) > 0.8
