@@ -76,3 +76,37 @@ def weighted_sample_stratified(
         .where(F.col("rank") <= k)
         .drop("_es_key")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe deterministic holdout split: assign every row to a
+    named split by hashing ``key_col`` — NOT by random() and NOT by
+    row position. ``splits`` is [(name, percent), ...] summing to 100.
+
+    The property that matters for training data: the split is a pure
+    function of the key, so (a) all rows sharing a key (all pages of a
+    host, all chunks of a doc) land in the SAME split — val/test can
+    never share a host/doc with train (the standard contamination
+    vector random row-splits create), (b) re-runs, retries, and
+    late-arriving rows of the same key are split-stable with no state
+    to store, and (c) growing the corpus never moves an existing key
+    between splits. Map-only JVM expression: zero shuffles at any
+    scale. Use the registrable domain (functions/urls.py
+    etld_plus_one) as the key for host-disjoint LLM corpus splits.
+    """
+    splits = splits or [("train", 80), ("val", 10), ("test", 10)]
+    if sum(p for _, p in splits) != 100:
+        raise ValueError("split percents must sum to 100")
+    bucket = _h60(F.col(key_col), seed) % 100
+    edge = 0
+    expr = None
+    for name, pct in splits:
+        edge += pct
+        cond = bucket < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -6866,3 +6866,65 @@ def content_chunk_dedup(spark, sf_dir):
     return tot.crossJoin(dis).select(
         "total_chunks", "distinct_chunks", "total_chars", "distinct_chars", "max_copies"
     )
+
+
+@q(
+    "holdout_split_disjoint",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 37 AS VARCHAR) ||
+             CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.co.uk' END AS domain
+      FROM documents),
+    assigned AS (
+      SELECT doc_id, domain,
+             CASE
+               WHEN CAST('0x' || substr(md5(domain || '|0'), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || substr(md5(domain || '|0'), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+      FROM pages),
+    per_host AS (
+      SELECT domain, CAST(count(DISTINCT split) AS BIGINT) AS n_splits FROM assigned GROUP BY domain)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT domain) AS BIGINT) AS n_hosts,
+           (SELECT CAST(max(n_splits) AS BIGINT) FROM per_host) AS max_splits_per_host
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def holdout_split_disjoint(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py
+    hash_split): split assignment is a pure hash of the registrable
+    domain, so every page of a host lands in ONE split — the
+    host-disjointness property that random row-splits violate (val
+    sharing a domain with train is the classic contamination vector).
+    Map-only, zero shuffle, re-run- and growth-stable: new pages of a
+    known host join its existing split with no state. The rig folds
+    500 docs onto 111 shared domains; max_splits_per_host == 1 IS the
+    disjointness proof, value-checked alongside the per-split doc and
+    host counts in the cross-engine md5-60 lane."""
+    from dbp_etl_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    domain = F.concat(
+        F.lit("site"),
+        (did % 37).cast("string"),
+        F.when(did % 3 == 0, ".com").when(did % 3 == 1, ".org").otherwise(".co.uk"),
+    )
+    pages = d.select("doc_id", domain.alias("domain"))
+    assigned = hash_split(pages, "domain")
+    per_host = assigned.groupBy("domain").agg(
+        F.countDistinct("split").cast("bigint").alias("n_splits")
+    )
+    mx = per_host.agg(F.max("n_splits").cast("bigint").alias("max_splits_per_host"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("domain").cast("bigint").alias("n_hosts"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select("split", "n_docs", "n_hosts", "max_splits_per_host")
+        .orderBy("split")
+    )

@@ -80,3 +80,45 @@ def test_es_key_null_for_bad_weight(spark):
 def test_no_single_partition_exchange(spark):
     out = weighted_sample_stratified(_docs(spark), "source", "n_chars", 7)
     assert "SinglePartition" not in plan_str(out, "simple")
+
+
+# ------------------------------------------------------------ hash split
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from dbp_etl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(f"host{i}.com",) for i in range(500)], "k string")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9
+
+
+def test_hash_split_key_rows_stay_together(spark):
+    from dbp_etl_spark.operators.sampling import hash_split
+
+    rows = [(f"h{i % 11}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = hash_split(df, "k").groupBy("k").agg(F.countDistinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in got)
+
+
+def test_hash_split_bad_percents_raise(spark):
+    import pytest as _pytest
+
+    from dbp_etl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError):
+        hash_split(df, "k", splits=[("train", 50), ("val", 20)])
+
+
+def test_hash_split_map_only_plan(spark):
+    from dbp_etl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([("a",)], "k string")
+    plan = hash_split(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
