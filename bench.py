@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "weighted_sample_es",
     "containment_neardup",
     "pmi_collocations",
+    "winnow_fingerprint_profile",
+    "content_chunk_dedup",
 ]
 
 # 2 batches of 500k events: production-representative batch size while

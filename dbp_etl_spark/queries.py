@@ -6928,3 +6928,90 @@ def holdout_split_disjoint(spark, sf_dir):
         .select("split", "n_docs", "n_hosts", "max_splits_per_host")
         .orderBy("split")
     )
+
+
+_QUOTE = (
+    " >> the quick brown fox jumps over the lazy dog, said the archivist,"
+    " and every mirror of this page repeats that exact sentence verbatim <<"
+)
+
+
+@q(
+    "winnow_span_matches",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 < 2 THEN text || '{_QUOTE}' ELSE text END AS text
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+             CAST('0x' || substr(md5(substr(text, CAST(u.pos AS INTEGER), 8) || '|0'), 1, 15)
+                  AS BIGINT) AS h
+      FROM docs2, unnest(generate_series(1, length(text) - 7)) AS u(pos)),
+    sel AS (
+      SELECT doc_id,
+             min({{'h': h, 'p': pos}}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM grams),
+    fp AS (
+      SELECT DISTINCT doc_id, s.p AS pos, s.h AS fp FROM sel WHERE rn >= 4),
+    live AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) <= 50),
+    fpl AS (
+      SELECT f.doc_id, f.pos, f.fp FROM fp f JOIN live l ON l.fp = f.fp),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(min(a.pos) AS INTEGER) AS a_from, CAST(max(a.pos) AS INTEGER) AS a_to,
+             CAST(min(b.pos) AS INTEGER) AS b_from, CAST(max(b.pos) AS INTEGER) AS b_to
+      FROM fpl a JOIN fpl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT * FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b
+    """,
+)
+def winnow_span_matches(spark, sf_dir):
+    """MOSS span matching (operators/dedup_ops.py winnow_fingerprints
+    composed to pairs): which documents share text spans, and where —
+    the quotation/mirror/plagiarism report. Pairing is an equi-join of
+    the winnowed fingerprint table with itself keyed by fp — candidate
+    generation shuffles by fingerprint value, never all-pairs — and
+    the scale-critical detail is STOP-FINGERPRINT pruning first: any
+    fp present in > 50 docs is dropped before the join (a boilerplate
+    8-gram shared by 10^6 pages would otherwise create a 10^12-row
+    join group; pruning it loses nothing a span report wants). The rig
+    appends one verbatim quote to 2 docs per 50; every such pair must
+    surface with n_shared >= 3 and span extents covering the quote,
+    value-checked against the SQL recompute end to end."""
+    from dbp_etl_spark.operators.dedup_ops import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 < 2, F.concat(F.col("text"), F.lit(_QUOTE)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fps = winnow_fingerprints(d, k=8, w=4, hash_fn="md5_60")
+    live = fps.groupBy("fp").agg(F.countDistinct("id").alias("df")).where(
+        F.col("df") <= 50
+    )
+    fpl = fps.join(live.select("fp"), "fp")
+    a = fpl.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "fp")
+    b = fpl.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.min("pa").cast("int").alias("a_from"),
+            F.max("pa").cast("int").alias("a_to"),
+            F.min("pb").cast("int").alias("b_from"),
+            F.max("pb").cast("int").alias("b_to"),
+        )
+        .where(F.col("n_shared") >= 3)
+        .select("id_a", "id_b", "n_shared", "a_from", "a_to", "b_from", "b_to")
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
