@@ -150,3 +150,22 @@ def test_cdc_chunks_resync_after_head_edit(spark):
     h1 = {h for _, _, h in got[1]}
     # fixed-width blocks would share ~nothing; CDC must re-sync
     assert len(h0 & h1) / len(h0) > 0.8
+
+
+def test_winnow_and_chunk_plan_shapes(spark):
+    """Winnowing: explode + ONE per-doc window, no joins. Chunking:
+    the only join is the tail's left join back to docs; no UDF
+    anywhere; per-doc window for spans."""
+    from dbp_etl_spark.operators.dedup_ops import (
+        content_defined_chunks,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id bigint, text string")
+    wp = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in wp and "Python" not in wp
+    assert wp.count("Window") == 1
+
+    cp = content_defined_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in cp and "CartesianProduct" not in cp
+    assert cp.count("Window") == 1
