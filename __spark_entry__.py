@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     # scripts/check_oracle.py this round) are the deliberate
     # sacrifices: never-driver-checked new queries outrank
     # re-checking them.
+    "robots_politeness_frontier",
     "winnow_span_matches",
     "holdout_split_disjoint",
     "content_chunk_dedup",

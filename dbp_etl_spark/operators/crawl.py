@@ -253,3 +253,39 @@ def mine_url_templates(
             & F.coalesce(diversity <= F.lit(float(max_diversity)), F.lit(False))
         ).alias("is_trap"),
     )
+
+
+def parse_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    default_sec: int = 1,
+) -> DataFrame:
+    """Extract the global group's ``Crawl-delay:`` directive as
+    (host, crawl_delay_sec). The directive is non-standard (absent
+    from RFC 9309) but honored by major crawlers; multiple values per
+    host collapse to the MAX (the conservative reading). Hosts whose
+    robots.txt carries no parseable delay get ``default_sec``.
+    Same shape as parse_robots: one explode, map-only, then a
+    host-keyed max — feeds frontier_schedule's ``delay_col``."""
+    line = F.explode(F.split(F.col(txt_col), "\n")).alias("line")
+    d = robots.select(F.col(host_col).alias("host"), line)
+    trimmed = F.trim(F.col("line"))
+    directive = F.lower(F.regexp_extract(trimmed, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(
+        F.regexp_extract(trimmed, r"^[A-Za-z-]+\s*:\s*(\S+)", 1)
+    ).try_cast("double")
+    delays = d.select("host", directive.alias("directive"), value.alias("v")).where(
+        (F.col("directive") == "crawl-delay") & F.col("v").isNotNull() & (F.col("v") >= 0)
+    )
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return hosts.join(
+        delays.groupBy("host").agg(F.ceil(F.max("v")).cast("long").alias("crawl_delay_sec")),
+        "host",
+        "left",
+    ).select(
+        "host",
+        F.coalesce(F.col("crawl_delay_sec"), F.lit(int(default_sec)).cast("long")).alias(
+            "crawl_delay_sec"
+        ),
+    )

@@ -7015,3 +7015,82 @@ def winnow_span_matches(spark, sf_dir):
         .orderBy("id_a", "id_b")
     )
     return pairs
+
+
+@q(
+    "robots_politeness_frontier",
+    """
+    WITH robots AS (
+      SELECT 'h' || CAST(r_regionkey AS VARCHAR) AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'Crawl-delay: ' || CAST(r_regionkey + 2 AS VARCHAR) || '.5'
+                  ELSE '# no delay' END AS robots_txt
+      FROM region),
+    lines AS (
+      SELECT host, trim(u.line) AS line
+      FROM robots, unnest(string_split(robots_txt, chr(10))) AS u(line)),
+    delays AS (
+      SELECT host, max(TRY_CAST(trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(\\S+)', 1)) AS DOUBLE)) AS v
+      FROM lines
+      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) = 'crawl-delay'
+        AND TRY_CAST(trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(\\S+)', 1)) AS DOUBLE) >= 0
+      GROUP BY host),
+    hostdelay AS (
+      SELECT r.host, CAST(coalesce(CAST(ceil(d.v) AS BIGINT), 1) AS BIGINT) AS crawl_delay_sec
+      FROM (SELECT DISTINCT host FROM robots) r LEFT JOIN delays d ON d.host = r.host),
+    frontier AS (
+      SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             '/p/' || CAST(event_id AS VARCHAR) AS url,
+             value AS priority
+      FROM events),
+    ranked AS (
+      SELECT f.host, f.url, hd.crawl_delay_sec,
+             row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.url) AS fetch_slot
+      FROM frontier f JOIN hostdelay hd ON hd.host = f.host)
+    SELECT host, url, CAST(fetch_slot AS BIGINT) AS fetch_slot,
+           CAST((fetch_slot - 1) * crawl_delay_sec AS BIGINT) AS fetch_offset_sec
+    FROM ranked WHERE fetch_slot <= 3 ORDER BY host, fetch_slot
+    """,
+)
+def robots_politeness_frontier(spark, sf_dir):
+    """Robots Crawl-delay extraction composed into frontier scheduling
+    (operators/crawl.py parse_crawl_delay + frontier_schedule): parse
+    the non-standard but widely-honored Crawl-delay directive per host
+    (max of duplicates, ceil to whole seconds, default 1 when absent
+    or unparseable), broadcast-join it onto the frontier, and emit
+    politeness-offset fetch slots under a per-host budget. The rig
+    gives even-keyed hosts fractional delays (ceil path) and odd-keyed
+    hosts none (default path); one explode + host-keyed max for the
+    parse, ONE host window for the schedule."""
+    from dbp_etl_spark.operators.crawl import frontier_schedule, parse_crawl_delay
+
+    r = _t(spark, sf_dir, "region")
+    robots = r.select(
+        F.concat(F.lit("h"), F.col("r_regionkey").cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\n"),
+            F.when(
+                F.col("r_regionkey") % 2 == 0,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("r_regionkey") + 2).cast("string"),
+                    F.lit(".5"),
+                ),
+            ).otherwise(F.lit("# no delay")),
+        ).alias("robots_txt"),
+    )
+    delays = parse_crawl_delay(robots)
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("value").alias("priority"),
+    ).join(F.broadcast(delays), "host")
+    sched = frontier_schedule(frontier, budget=3)
+    return sched.select(
+        "host",
+        "url",
+        F.col("fetch_slot").cast("bigint").alias("fetch_slot"),
+        "fetch_offset_sec",
+    ).orderBy("host", "fetch_slot")

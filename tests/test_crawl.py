@@ -236,3 +236,22 @@ def test_template_mining_plan_map_only_derivation(spark):
     # approx mode: single agg exchange, no count-distinct expand, no UDF
     assert plan.count("Exchange") <= 1 and "Expand" not in plan
     assert "Python" not in plan
+
+
+# -------------------------------------------------------- crawl-delay
+
+
+def test_parse_crawl_delay_variants(spark):
+    from dbp_etl_spark.operators.crawl import parse_crawl_delay
+
+    rows = [
+        ("a", "User-agent: *\nCrawl-delay: 5\nDisallow: /x"),
+        ("b", "crawl-DELAY:  2.5 \n# c"),            # case + fraction -> ceil 3
+        ("c", "Crawl-delay: nonsense\nAllow: /"),     # unparseable -> default
+        ("d", "Disallow: /"),                         # absent -> default
+        ("e", "Crawl-delay: 1\nCrawl-delay: 9"),      # duplicates -> max
+        ("f", "Crawl-delay: -4"),                     # negative -> default
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r["host"]: r["crawl_delay_sec"] for r in parse_crawl_delay(df).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1, "d": 1, "e": 9, "f": 1}
