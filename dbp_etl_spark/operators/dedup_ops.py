@@ -653,9 +653,10 @@ def content_defined_chunks(
 
     Scale shape: one explode bounded by text length computes boundary
     marks map-side, ONE per-doc window (lag over cut positions) turns
-    marks into (start, end) spans, and the chunk hash is map-side md5
-    over a substring — no joins, no UDF, no per-doc state on the
-    driver. ``hash_fn="md5_60"`` = cross-engine boundary decisions.
+    marks into (start, end) spans — the window shuffles only
+    (id, pos), never the text — and the chunk hash is map-side md5
+    over a substring after one equi-join re-attaches the body; no
+    UDF, no per-doc state on the driver. ``hash_fn="md5_60"`` = cross-engine boundary decisions.
     Documents shorter than ``k`` become a single whole-doc chunk.
     The plain rule has no min/max clamp (FastCDC adds one); expected
     length is exact for random text, so a 100 TB run sizes its chunk
@@ -682,34 +683,42 @@ def content_defined_chunks(
         if hash_fn == "md5_60"
         else F.pmod(F.xxhash64(F.col("_gram")), F.lit(2**61 - 1))
     )
-    cuts = grams.where((h % m) == 0).select("id", "_t", "pos")
+    # the window shuffles ONLY (id, pos) — never the text: a cut row
+    # carrying the whole document would put O(L^2 / 2^bits) bytes per
+    # doc through the exchange; text is re-attached map-side afterwards
+    cuts = grams.where((h % m) == 0).select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     spans = cuts.select(
-        "id", "_t",
+        "id",
         (F.lag("pos", 1, 0).over(w) + 1).alias("start"),
         F.col("pos").alias("end"),
     )
     # final (or only) chunk: from the last cut (0 if none) to the end
     tail = (
-        docs.select(F.col(id_col).alias("id"), t.alias("_t"))
+        docs.select(F.col(id_col).alias("id"), F.length(t).alias("_len"))
         .join(
             cuts.groupBy("id").agg(F.max("pos").alias("_last")),
             "id",
             "left",
         )
         .select(
-            "id", "_t",
+            "id",
             (F.coalesce(F.col("_last"), F.lit(0)) + 1).alias("start"),
-            F.length("_t").alias("end"),
+            F.col("_len").alias("end"),
         )
         .where(F.col("start") <= F.col("end"))
     )
+    body = docs.select(F.col(id_col).alias("id"), t.alias("_t"))
     chunk = F.substring(F.col("_t"), F.col("start"), F.col("end") - F.col("start") + 1)
-    out = spans.union(tail).select(
-        "id",
-        "start",
-        (F.col("end") - F.col("start") + 1).cast("int").alias("length"),
-        F.md5(chunk).alias("chunk_hash"),
-        *([chunk.alias("chunk")] if with_text else []),
+    out = (
+        spans.union(tail)
+        .join(body, "id")
+        .select(
+            "id",
+            "start",
+            (F.col("end") - F.col("start") + 1).cast("int").alias("length"),
+            F.md5(chunk).alias("chunk_hash"),
+            *([chunk.alias("chunk")] if with_text else []),
+        )
     )
     return out
