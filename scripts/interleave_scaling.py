@@ -91,6 +91,50 @@ def quota_control(lo: int, hi: int, iters: int = 40_000_000) -> dict:
     }
 
 
+def _bw_worker(cpu, q):
+    import numpy as np
+
+    os.sched_setaffinity(0, {cpu})
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch pages / warm
+    t0 = bench.time.time()
+    for _ in range(10):
+        np.copyto(b, a)
+    q.put(10 * 2 * a.nbytes / (bench.time.time() - t0) / 1e9)
+
+
+def bw_control(lo: int, hi: int) -> dict:
+    """Same-window memcpy-bandwidth ladder: aggregate read+write GB/s
+    at lo / hi / 2*hi pinned procs. Complements the ALU busy-loop
+    control, which has a ~zero memory footprint: round-5 sample D
+    (BENCH/scaling_r5_sp16_36M_d.json) caught the hi engine leg
+    clamped to 0.48x its healthy-window rate while EVERY ALU control
+    and bracketing probe read green, and a separately-run memcpy
+    ladder measured the same clamp episodes throttling DRAM streaming
+    3-6x harder than they throttle ALU work (healthy window:
+    18/81/156 GB/s at 1/4/8 procs, eff ~1.0; clamped: 5.5/18/25).
+    A shuffle-heavy Spark leg streams memory the way this probe does,
+    not the way a busy-loop does, so this is the control that can see
+    the engine's clamp."""
+    from multiprocessing import Process, Queue
+
+    rates = {}
+    for n in sorted({lo, hi, 2 * hi}):
+        q = Queue()
+        ps = [Process(target=_bw_worker, args=(i, q)) for i in range(n)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        rates[n] = round(sum(q.get() for _ in ps), 1)
+    return {
+        "agg_gbps": {str(k): v for k, v in rates.items()},
+        "eff": round((rates[hi] / rates[lo]) / (hi / lo), 3),
+        "eff_threads_at_2hi": round((rates[2 * hi] / rates[lo]) / (2 * hi / lo), 3),
+    }
+
+
 def run_level_pinned(cores: int, n_events: int, warmup: int, sp: int | None = None) -> dict:
     """One measurement at ``cores``, in a fresh subprocess pinned to
     exactly that many CPUs. Fresh process per level => the pin applies
@@ -145,10 +189,14 @@ def main():
     pair_effs = []
     probes: list[dict] = []
     controls: list[dict] = []
+    bw_controls: list[dict] = []
     for r in range(rounds):
         ctl = quota_control(lo, hi)
         controls.append(ctl)
         print(f"round {r} quota-control: {ctl}", flush=True)
+        bwc = bw_control(lo, hi)
+        bw_controls.append({"round": r, "when": "pre", **bwc})
+        print(f"round {r} bw-control: {bwc}", flush=True)
         row = {}
         for cores in (lo, hi):
             if pin:
@@ -181,6 +229,13 @@ def main():
             probes.append(
                 {"round": r, "cores": cores, "before": p0, "after": p1}
             )
+            if cores == hi:
+                # bandwidth snapshot RIGHT after the hi leg: sample D
+                # showed the clamp can engage during the leg and lift
+                # before the next ALU bracket reads it
+                bwc = bw_control(lo, hi)
+                bw_controls.append({"round": r, "when": "post_hi", **bwc})
+                print(f"round {r} post-hi bw-control: {bwc}", flush=True)
             per_level[cores].append(res)
             row[cores] = res["events_per_sec"]
             print(
@@ -246,6 +301,7 @@ def main():
                 },
                 "best_pair_quota_control": controls[best_pair],
                 "quota_controls": controls,
+                "bw_controls": bw_controls,
                 "control_eff": control_eff,
                 "control_eff_threads": control_eff_threads,
                 "eff_vs_control": eff_vs_control,
