@@ -50,13 +50,28 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 
 
 def _shingles(content_col: str, n: int):
-    """Word n-gram shingles as an array column (JVM-side)."""
+    """Word n-gram shingles as an array column (JVM-side).
+
+    Built with ``zip_with`` over shifted token arrays (r6): the
+    previous ``transform(sequence, i -> concat_ws(slice(toks, i, n)))``
+    form allocated a fresh sub-array per element inside an interpreted
+    lambda and measured ~6x slower at corpus scale; pairwise
+    ``concat`` over shifted copies produces byte-identical shingle
+    strings (including the short-document single-shingle case) with
+    one small array op per zip level."""
     toks = F.split(F.col(content_col), " ")
-    # transform over positions 0..size-n
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    z = toks
+    for j in range(1, n):
+        tj = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        z = F.zip_with(z, tj, lambda a, b: F.concat(a, F.lit(" "), b))
+    if n == 1:
+        return z
+    # docs with >= n tokens: positions 0..size-n (drop the null-padded
+    # tail); shorter docs: ONE shingle joining all tokens, exactly as
+    # concat_ws over the whole (short) slice produced before
+    return F.when(
+        F.size(toks) >= n, F.slice(z, 1, F.size(toks) - (n - 1))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def minhash_signatures(
@@ -531,15 +546,39 @@ def containment_pairs(
             )
         )
     )
+    # persist the (tiny: surviving pairs only) candidate table so the
+    # expensive inverted-index lane above runs ONCE even though cands
+    # feeds both the id pre-filter and the verify join (r6; guide §2.4
+    # — without this, each consumer re-evaluates the full corpus pass)
     cands = (
         plists.select(pair.alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("co"))
         .where(F.col("co") >= min_support)
         .select("id_a", "id_b")
+        .persist()
     )
-    a = sets.select(F.col("_id").alias("id_a"), F.col("sset").alias("set_a"))
-    b = sets.select(F.col("_id").alias("id_b"), F.col("sset").alias("set_b"))
+    # exact verify touches candidate documents ONLY: restrict the
+    # corpus to candidate ids BEFORE rebuilding shingle sets, so the
+    # two verify passes tokenize a few hundred docs instead of the
+    # whole corpus, and nothing corpus-sized is ever broadcast
+    # (the previous shape broadcast every document's shingle set)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select(F.col("id_b")))
+        .distinct()
+    )
+    cand_sets = (
+        df.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(_shingles(content_col, shingle_n)).alias("sset"),
+        )
+    )
+    a = cand_sets.select(F.col("_id").alias("id_a"), F.col("sset").alias("set_a"))
+    b = cand_sets.select(F.col("_id").alias("id_b"), F.col("sset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     out = (
         cands.join(a, "id_a")
@@ -651,19 +690,22 @@ def content_defined_chunks(
     shared boilerplate/quoted spans dedup as chunks without any
     alignment step.
 
-    Scale shape: one explode bounded by text length computes boundary
-    marks map-side, ONE per-doc window (lag over cut positions) turns
-    marks into (start, end) spans — the window shuffles only
-    (id, pos), never the text — and the chunk hash is map-side md5
-    over a substring after one equi-join re-attaches the body; no
-    UDF, no per-doc state on the driver. ``hash_fn="md5_60"`` = cross-engine boundary decisions.
+    Scale shape (reworked in the r6 optimization round): the rolling
+    boundary hash — one md5/xxhash per CHARACTER of corpus, by far the
+    dominant cost — is evaluated exactly ONCE, in a codegen'd explode
+    that shuffles only the surviving (id, pos) cut rows, never the
+    text. Cut positions are folded to a per-doc sorted array (one
+    ~corpus/2^bits-row aggregate), re-attached to the body by one
+    equi-join, and spans + chunk hashes are derived map-side from the
+    array. The previous shape (window over cuts + separate tail
+    groupBy + union + join) evaluated the full boundary-hash lane
+    twice per consumer because ``cuts`` fed two subtrees.
+    ``hash_fn="md5_60"`` = cross-engine boundary decisions.
     Documents shorter than ``k`` become a single whole-doc chunk.
     The plain rule has no min/max clamp (FastCDC adds one); expected
     length is exact for random text, so a 100 TB run sizes its chunk
     index as corpus_bytes >> mask_bits rows.
     """
-    from pyspark.sql import Window
-
     m = 1 << mask_bits
     t = F.col(text_col)
     # boundary candidates: gram ENDING at position i (i = k .. L)
@@ -675,7 +717,7 @@ def content_defined_chunks(
         t.alias("_t"),
         F.explode(ends).alias("pos"),
     ).select(
-        "id", "_t", "pos",
+        "id", "pos",
         F.substring(F.col("_t"), F.col("pos") - (k - 1), k).alias("_gram"),
     )
     h = (
@@ -683,42 +725,43 @@ def content_defined_chunks(
         if hash_fn == "md5_60"
         else F.pmod(F.xxhash64(F.col("_gram")), F.lit(2**61 - 1))
     )
-    # the window shuffles ONLY (id, pos) — never the text: a cut row
-    # carrying the whole document would put O(L^2 / 2^bits) bytes per
-    # doc through the exchange; text is re-attached map-side afterwards
+    # shuffle ONLY (id, pos) cut rows (~corpus/2^bits of them), never
+    # the text or the non-cut grams; the expensive hash lane above is
+    # evaluated exactly once
     cuts = grams.where((h % m) == 0).select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    spans = cuts.select(
+    percut = cuts.groupBy("id").agg(F.array_sort(F.collect_list("pos")).alias("_cuts"))
+    empty = F.array().cast("array<int>")
+    body = docs.select(
+        F.col(id_col).alias("id"), t.alias("_t"), F.length(t).alias("_len")
+    )
+    # chunk END positions per doc: the cuts, plus the doc end when the
+    # last cut is not already there; empty docs produce no chunks
+    joined = body.join(percut, "id", "left").select(
         "id",
-        (F.lag("pos", 1, 0).over(w) + 1).alias("start"),
-        F.col("pos").alias("end"),
+        "_t",
+        F.when(F.col("_len") < 1, empty)
+        .when(
+            F.coalesce(F.element_at("_cuts", -1), F.lit(0)) == F.col("_len"),
+            F.col("_cuts"),
+        )
+        .otherwise(F.concat(F.coalesce(F.col("_cuts"), empty), F.array(F.col("_len"))))
+        .alias("_ends"),
     )
-    # final (or only) chunk: from the last cut (0 if none) to the end
-    tail = (
-        docs.select(F.col(id_col).alias("id"), F.length(t).alias("_len"))
-        .join(
-            cuts.groupBy("id").agg(F.max("pos").alias("_last")),
-            "id",
-            "left",
-        )
-        .select(
-            "id",
-            (F.coalesce(F.col("_last"), F.lit(0)) + 1).alias("start"),
-            F.col("_len").alias("end"),
-        )
-        .where(F.col("start") <= F.col("end"))
+    exploded = joined.select(
+        "id", "_t", "_ends", F.posexplode("_ends").alias("_i", "_end")
     )
-    body = docs.select(F.col(id_col).alias("id"), t.alias("_t"))
-    chunk = F.substring(F.col("_t"), F.col("start"), F.col("end") - F.col("start") + 1)
-    out = (
-        spans.union(tail)
-        .join(body, "id")
-        .select(
-            "id",
-            "start",
-            (F.col("end") - F.col("start") + 1).cast("int").alias("length"),
-            F.md5(chunk).alias("chunk_hash"),
-            *([chunk.alias("chunk")] if with_text else []),
-        )
+    start = (
+        F.when(F.col("_i") == 0, F.lit(0)).otherwise(F.element_at("_ends", F.col("_i")))
+        + 1
+    )
+    chunk = F.substring(F.col("_t"), F.col("_start"), F.col("_end") - F.col("_start") + 1)
+    out = exploded.select(
+        "id", start.alias("_start"), "_t", "_end"
+    ).select(
+        "id",
+        F.col("_start").alias("start"),
+        (F.col("_end") - F.col("_start") + 1).cast("int").alias("length"),
+        F.md5(chunk).alias("chunk_hash"),
+        *([chunk.alias("chunk")] if with_text else []),
     )
     return out

@@ -32,6 +32,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Restore scan parallelism for compute-dense lanes (r6, guide
+    §2.5 "input skew"): the bench fixtures are single-row-group
+    parquet files, so a scan plans ONE task and any per-row-heavy
+    map-side lane above it (per-character hashing, shingle explode)
+    runs on one core of the machine. A round-robin repartition to
+    cluster parallelism spreads the rows first; it is a no-op
+    (returns ``df``) whenever the scan already has at least as many
+    partitions as cores, so production-shaped inputs (many files /
+    row groups) never pay the extra exchange. Row-preserving: no
+    query result depends on physical partitioning."""
+    p = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= p:
+        return df
+    return df.repartition(2 * p)
+
+
 def q(name: str, sql: str | None = None):
     def deco(fn):
         @functools.wraps(fn)
@@ -6004,7 +6025,7 @@ def containment_neardup(spark, sf_dir):
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, child_n)).alias("text"),
     )
-    corpus = d.select("doc_id", "text").unionByName(children)
+    corpus = _spread(spark, d.select("doc_id", "text").unionByName(children))
     return containment_pairs(
         corpus, shingle_n=3, df_cap=20, min_support=2, threshold=0.6
     )
@@ -6846,25 +6867,26 @@ def content_chunk_dedup(spark, sf_dir):
     decisions in the SQL recompute; all outputs integer."""
     from dbp_etl_spark.operators.dedup_ops import content_defined_chunks
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.concat(F.col("text"), F.lit(_CHUNK_FOOTER)).alias("text")
     )
     chunks = content_defined_chunks(d, k=8, mask_bits=5, hash_fn="md5_60")
-    tot = chunks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_chunks"),
-        F.sum("length").cast("bigint").alias("total_chars"),
-    )
+    # single pass (r6 optimization): total_chunks/total_chars fold out
+    # of the per-hash rollup (sum(copies), sum over per-hash length
+    # sums), so the expensive chunk lane is evaluated once instead of
+    # once per aggregate branch + crossJoin. Identical results: rows
+    # sharing a chunk_hash share the chunk bytes, hence the length.
     per_hash = chunks.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).cast("bigint").alias("copies"),
         F.min("length").alias("len"),
+        F.sum("length").cast("bigint").alias("sum_len"),
     )
-    dis = per_hash.agg(
+    return per_hash.agg(
+        F.sum("copies").cast("bigint").alias("total_chunks"),
         F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum("sum_len").cast("bigint").alias("total_chars"),
         F.sum("len").cast("bigint").alias("distinct_chars"),
         F.max("copies").cast("bigint").alias("max_copies"),
-    )
-    return tot.crossJoin(dis).select(
-        "total_chunks", "distinct_chunks", "total_chars", "distinct_chars", "max_copies"
     )
 
 

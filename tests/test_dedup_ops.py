@@ -153,9 +153,10 @@ def test_cdc_chunks_resync_after_head_edit(spark):
 
 
 def test_winnow_and_chunk_plan_shapes(spark):
-    """Winnowing: explode + ONE per-doc window, no joins. Chunking:
-    the only join is the tail's left join back to docs; no UDF
-    anywhere; per-doc window for spans."""
+    """Winnowing: explode + ONE per-doc window, no joins. Chunking
+    (r6 shape): the expensive boundary-hash explode appears exactly
+    ONCE, cut positions fold to one per-doc array aggregate, and the
+    only join re-attaches the body; no window, no UDF anywhere."""
     from dbp_etl_spark.operators.dedup_ops import (
         content_defined_chunks,
         winnow_fingerprints,
@@ -168,4 +169,6 @@ def test_winnow_and_chunk_plan_shapes(spark):
 
     cp = content_defined_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in cp and "CartesianProduct" not in cp
-    assert cp.count("Window") == 1
+    assert cp.count("Window") == 0
+    # the per-character boundary-hash lane is evaluated exactly once
+    assert cp.count("Generate explode(CASE WHEN") == 1

@@ -70,7 +70,13 @@ def test_containment_no_shingle_self_join(spark):
         .toString()
     )
     assert not re.search(r"Join \[s#", plan), "join keyed on the shingle column"
-    assert len(re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan)) == 2
+    # r6 shape: the candidate-id semi prefilter plus the id-keyed
+    # verify lookups — and nothing corpus-sized on a broadcast side
+    # (exact node count varies with AQE size estimates)
+    assert len(re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan)) <= 4
+    # the candidate-id semi prefilter (subtree appears once per verify
+    # side; each filters the corpus to a handful of candidate docs)
+    assert 1 <= plan.count("LeftSemi") <= 2
 
 
 # --------------------------------------------------------------------- eTLD+1
