@@ -619,49 +619,86 @@ def winnow_fingerprints(
     spans match" (plagiarism spans, boilerplate islands, quote
     detection).
 
-    Scale shape: one explode bounded by document length, then ONE
-    window partitioned by document id — the same per-doc shuffle the
-    other fingerprint ops pay; no joins, no driver state. Documents
-    shorter than k + w - 1 chars produce no fingerprints (no full
-    window exists — the algorithm's own definition). ``hash_fn=
-    "md5_60"`` switches to the cross-engine 60-bit md5 lane so
-    external engines reproduce fp values bit-for-bit.
+    Scale shape (reworked in the r6 optimization round): the whole
+    selection — k-gram hashing, sliding-window struct-min, per-doc
+    distinct — runs MAP-SIDE inside array expressions, so the
+    operator shuffles nothing at all (the previous shape exploded one
+    row per character and shuffled them all into a per-doc window,
+    then paid a global distinct). Selected sets are identical: the
+    leftmost-tie rule is the lexicographic (hash, pos) struct min,
+    and fingerprints are per-doc values so array_distinct equals the
+    global distinct. Documents shorter than k + w - 1 chars produce
+    no fingerprints (no full window exists — the algorithm's own
+    definition). ``hash_fn="md5_60"`` switches to the cross-engine
+    60-bit md5 lane so external engines reproduce fp values
+    bit-for-bit.
     """
-    from pyspark.sql import Window
-
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    arr = winnow_fingerprint_arrays(docs, id_col, text_col, k, w, hash_fn)
+    # explode_outer + null-drop, NOT explode: InferFiltersFromGenerate
+    # would wrap a plain explode in `size(fps) > 0`, and predicate
+    # pushdown then re-evaluates the whole fingerprint lane a second
+    # time below any upstream exchange (measured: the entire per-char
+    # hash pass ran inside ONE map task). The outer variant infers no
+    # filter; empty-set docs surface as one null row dropped here.
+    return (
+        arr.select("id", F.explode_outer("fps").alias("_sel"))
+        .where(F.col("_sel").isNotNull())
+        .select("id", F.col("_sel.pos").alias("pos"), F.col("_sel._h").alias("fp"))
+    )
+
+
+def winnow_fingerprint_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Map-side core of :func:`winnow_fingerprints`: one row per doc,
+    ``fps`` = the distinct selected set as an array of
+    ``struct<_h:long, pos:int>`` (empty when no full window exists).
+    Per-doc profile queries can aggregate this array directly without
+    any shuffle."""
+
+    def h(c):
+        return _h60(c, 0) if hash_fn == "md5_60" else F.xxhash64(c)
+
     t = F.col(text_col)
     # empty-safe: a doc shorter than k has no k-grams (a bare sequence()
     # would descend and emit bogus positions)
     gram_starts = F.when(
         F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(gram_starts).alias("_i", "pos"),
-        t.alias("_t"),
-    ).select(
-        "id", "pos", F.substring(F.col("_t"), F.col("pos"), k).alias("_gram")
+    hs = F.transform(
+        gram_starts,
+        lambda p: F.struct(
+            h(F.substring(t, p, F.lit(k))).alias("_h"), p.alias("pos")
+        ),
     )
-    h = (
-        _h60(F.col("_gram"), 0)
-        if hash_fn == "md5_60"
-        else F.xxhash64(F.col("_gram"))
-    )
-    hashed = grams.select("id", "pos", h.alias("_h"))
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    seq = Window.partitionBy("id").orderBy("pos")
-    sel = hashed.select(
-        "id",
-        F.row_number().over(seq).alias("_rn"),
-        F.min(F.struct(F.col("_h"), F.col("pos"))).over(win).alias("_sel"),
-    )
-    return (
-        sel.where(F.col("_rn") >= w)
-        .select("id", F.col("_sel.pos").alias("pos"), F.col("_sel._h").alias("fp"))
-        .distinct()
-    )
+    # window count derives from text length, NOT size(_hs): every
+    # extra reference to _hs re-inlines the whole per-char hash lane
+    # under CollapseProject (no CSE for interpreted HOF trees), so the
+    # expression below references the array exactly once
+    docs2 = docs.select(F.col(id_col).alias("id"), hs.alias("_hs"))
+    # NOTE: _hs is deliberately referenced MORE THAN ONCE below (via
+    # size() and inside the slice lambda). CollapseProject inlines a
+    # non-cheap alias only when it is referenced at most once; with a
+    # single reference the whole per-char hash transform gets inlined
+    # INTO the per-window lambda and re-evaluates O(len) hashes for
+    # every window — measured as an O(len^2) blowup (~150x). The
+    # multiple references keep _hs a materialized column.
+    nwin = F.size(F.col("_hs")) - (w - 1)
+    sel = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(F.slice(F.col("_hs"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<struct<_h:long,pos:int>>"))
+    return docs2.select("id", F.array_distinct(sel).alias("fps"))
 
 
 def content_defined_chunks(

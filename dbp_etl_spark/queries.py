@@ -6638,7 +6638,13 @@ def winnow_fingerprint_profile(spark, sf_dir):
     doc — a bit-stable pin of the entire selected set."""
     from dbp_etl_spark.operators.dedup_ops import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: the selection itself is now map-side (no per-doc window, no
+    # global distinct — see winnow_fingerprints); the profile stays a
+    # single groupBy over the already-distinct selected rows. (A fully
+    # map-side array fold was measured and REJECTED: every extra
+    # reference to the selected-set column re-inlines the whole HOF
+    # lane under CollapseProject and planning degenerates.)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     fps = winnow_fingerprints(d, k=8, w=4, hash_fn="md5_60")
     return (
         fps.groupBy(F.col("id").alias("doc_id"))
@@ -7008,7 +7014,7 @@ def winnow_span_matches(spark, sf_dir):
     value-checked against the SQL recompute end to end."""
     from dbp_etl_spark.operators.dedup_ops import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(F.col("doc_id") % 50 < 2, F.concat(F.col("text"), F.lit(_QUOTE)))
         .otherwise(F.col("text"))

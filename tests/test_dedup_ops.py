@@ -165,7 +165,10 @@ def test_winnow_and_chunk_plan_shapes(spark):
     df = spark.createDataFrame([(1, "abcdefghij")], "doc_id bigint, text string")
     wp = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in wp and "Python" not in wp
-    assert wp.count("Window") == 1
+    # r6 shape: selection runs map-side in array expressions — no
+    # window, no exchange at all
+    assert wp.count("Window") == 0
+    assert wp.count("Exchange") == 0
 
     cp = content_defined_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in cp and "CartesianProduct" not in cp
