@@ -635,6 +635,18 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    if hash_fn == "md5_60":
+        # r6 optimization (guide §4.2): the md5-60 lane is per-CHARACTER
+        # md5 work — measured ~60 µs/k-gram as interpreted higher-order
+        # functions (no codegen for HOF lambdas) vs ~1 µs/k-gram as
+        # vectorized batches in the Python worker (hashlib's C md5 + a
+        # NumPy sliding-window argmin). mapInArrow streams (id, text)
+        # batches in and the exploded (id, pos, fp) rows out; selected
+        # sets are bit-identical to the JVM lane (pytest parity suite:
+        # leftmost-tie = first argmin, distinct-by-pos = struct
+        # distinct). The xxhash64 lane stays on the JVM path below —
+        # no bit-exact xxhash64 is available Python-side.
+        return _winnow_fingerprints_arrow(docs, id_col, text_col, k, w)
     arr = winnow_fingerprint_arrays(docs, id_col, text_col, k, w, hash_fn)
     # explode_outer + null-drop, NOT explode: InferFiltersFromGenerate
     # would wrap a plain explode in `size(fps) > 0`, and predicate
@@ -647,6 +659,71 @@ def winnow_fingerprints(
         .where(F.col("_sel").isNotNull())
         .select("id", F.col("_sel.pos").alias("pos"), F.col("_sel._h").alias("fp"))
     )
+
+
+def _winnow_fingerprints_arrow(
+    docs: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Arrow-batched md5-60 winnowing: same selected set as the JVM
+    lane of :func:`winnow_fingerprint_arrays`, computed per batch in
+    the Python worker. Hash = first 15 hex chars of
+    md5(kgram + '|0') base-16 (== ``_h60(gram, 0)``); window min by
+    (hash, pos) with leftmost tie = NumPy's first-occurrence argmin;
+    per-doc distinct = unique selected gram positions (fp is a
+    function of pos within a doc)."""
+    import pyarrow as pa
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_pos, out_fp = [], [], []
+            for rid, t in zip(ids, texts):
+                if t is None:
+                    continue
+                n = len(t) - k + 1
+                if n - w + 1 < 1:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(md5((t[i : i + k] + "|0").encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                if w > 1:
+                    sel = np.unique(
+                        sliding_window_view(hs, w).argmin(axis=1)
+                        + np.arange(n - w + 1)
+                    )
+                else:
+                    sel = np.arange(n)
+                out_id.extend([rid] * len(sel))
+                out_pos.append(sel + 1)
+                out_fp.append(hs[sel])
+            if not out_id:
+                continue  # empty output batch would carry a null-typed id
+            yield pa.record_batch(
+                [
+                    pa.array(out_id),
+                    pa.array(np.concatenate(out_pos), type=pa.int32()),
+                    pa.array(np.concatenate(out_fp), type=pa.int64()),
+                ],
+                names=["id", "pos", "fp"],
+            )
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInArrow(batches, f"id {id_type}, pos int, fp long")
 
 
 def winnow_fingerprint_arrays(

@@ -74,6 +74,41 @@ def test_winnow_density(spark):
     assert 0.25 <= density <= 0.6  # expected ~2/(w+1) = 0.4
 
 
+def test_winnow_arrow_lane_matches_jvm_lane(spark):
+    """The r6 Arrow md5-60 fast path (mapInArrow + NumPy argmin) must
+    select the bit-identical set the JVM array-expression lane selects
+    — including unicode text, all-equal-hash tie runs, nulls and
+    empty/short docs."""
+    from pyspark.sql import functions as F
+
+    from dbp_etl_spark.operators.dedup_ops import (
+        winnow_fingerprint_arrays,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaaaaaaaaaaaaaaa"),
+        (2, "héllo wörld — ünïcode çontent ß∂ƒ and more of it"),
+        (3, None),
+        (4, ""),
+        (5, "tiny"),
+        (6, "abcabcabcabcabcabcabc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arrow = {
+        (r["id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=5, w=3, hash_fn="md5_60").collect()
+    }
+    jvm = {
+        (r["id"], r["_sel"]["pos"], r["_sel"]["_h"])
+        for r in winnow_fingerprint_arrays(df, k=5, w=3, hash_fn="md5_60")
+        .select("id", F.explode("fps").alias("_sel"))
+        .collect()
+    }
+    assert arrow == jvm
+
+
 # ------------------------------------------------ content-defined chunks
 
 
