@@ -529,11 +529,27 @@ def containment_pairs(
     )
     postings = sets.select("_id", F.explode("sset").alias("s"))
     # posting list per shingle, DF-pruned; pairs unfold JVM-side so a
-    # hot shingle never becomes a join key
-    plists = (
+    # hot shingle never becomes a join key. DF pruning is TWO-phase
+    # (r6, guide §2.3 "aggregate before you shuffle"): collect_list has
+    # no map-side combine, so a one-phase groupBy shuffles EVERY
+    # posting row and materializes full lists for boilerplate shingles
+    # only to drop them at the df_cap filter — on a 50k-doc corpus with
+    # a hot vocabulary that is a 2.9M-row shuffle building thousands-
+    # long lists. Counting first partial-aggregates to ~|vocab| rows
+    # per mapper, and the list-building shuffle then carries only the
+    # postings of surviving (df<=cap) shingles. The second shingle
+    # pass this costs is a cheap zip_with map; nothing corpus-sized is
+    # persisted or broadcast (AQE picks the join strategy for `keep`).
+    keep = (
         postings.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
+        .select("s")
+    )
+    plists = (
+        postings.join(keep, "s", "left_semi")
+        .groupBy("s")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= df_cap))
     )
     pair = F.explode(
         F.flatten(

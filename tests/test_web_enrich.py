@@ -69,14 +69,22 @@ def test_containment_no_shingle_self_join(spark):
         .executedPlan()
         .toString()
     )
-    assert not re.search(r"Join \[s#", plan), "join keyed on the shingle column"
-    # r6 shape: the candidate-id semi prefilter plus the id-keyed
-    # verify lookups — and nothing corpus-sized on a broadcast side
-    # (exact node count varies with AQE size estimates)
-    assert len(re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan)) <= 4
-    # the candidate-id semi prefilter (subtree appears once per verify
-    # side; each filters the corpus to a handful of candidate docs)
-    assert 1 <= plan.count("LeftSemi") <= 2
+    # every join keyed on the shingle column must be the LeftSemi
+    # DF-prune filter (bounded multiplicity: one keep row per shingle)
+    # — never an inner pair-generating self-join (the hot-key shape
+    # pair unfolding replaced)
+    s_joins = re.findall(r"Join \[s#[^\]]*\], \[s#[^\]]*\], (\w+)", plan)
+    assert all(t == "LeftSemi" for t in s_joins), f"non-semi shingle join: {s_joins}"
+    # r6 shape: the DF-keep semi + candidate-id semi prefilter plus the
+    # id-keyed verify lookups — and nothing corpus-sized on a broadcast
+    # side (exact node count varies with AQE size estimates)
+    # (the persisted cands subtree is textually expanded under every
+    # consumer in the pre-execution plan string, so joins inside it
+    # count once per consumer; the bound covers that expansion)
+    assert len(re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan)) <= 10
+    # the DF-keep semi plus the candidate-id semi prefilter (each
+    # appears once per consumer of its subtree)
+    assert 2 <= plan.count("LeftSemi") <= 8
 
 
 # --------------------------------------------------------------------- eTLD+1
