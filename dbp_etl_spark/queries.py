@@ -87,17 +87,22 @@ def q(name: str, sql: str | None = None):
 def cdc_latest_state(spark, sf_dir):
     """W1/ST2 (reference: /root/reference/load/FilenameReducer.py:99-120):
     latest event per key wins — the microbatch dedup rule."""
+    # r6 (guide §2.3 "aggregate before you shuffle"): the rn=1 window
+    # is realized as groupBy + max(struct) — the same winner (max ts,
+    # tie -> max event_id; event_id is unique so trailing fields never
+    # decide) with map-side partial aggregation instead of a
+    # sort-based window: the shuffle carries ~one row per user, not
+    # every event, and no sort runs. Same agg-for-window swap the CDC
+    # hot path landed in r5 (cdc/dedup.py dedup_latest_cdc).
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_type"),
-            F.round("value", 2).alias("last_value"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
-        )
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_w")
+    )
+    return agg.select(
+        "user_id",
+        F.col("_w.event_type").alias("last_type"),
+        F.round("_w.value", 2).alias("last_value"),
+        F.date_format("_w.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
 
 
@@ -117,12 +122,16 @@ def cdc_apply_with_deletes(spark, sf_dir):
     a tombstone ('error' stands in for op='delete') are absent from the
     final state (reference: leftover-key deletes,
     /root/reference/load/UpdateDBPTextFilesets.py:132-134)."""
+    # r6: same agg-for-window swap as cdc_latest_state (one map-side-
+    # combined shuffle of ~users rows, no sort); the tombstone filter
+    # applies to the WINNING row after aggregation, exactly as rn=1
+    # then event_type<>'error' did.
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select("user_id", F.round("value", 2).alias("current_value"))
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_w")
+    )
+    return agg.where(F.col("_w.event_type") != "error").select(
+        "user_id", F.round("_w.value", 2).alias("current_value")
     )
 
 
@@ -150,21 +159,26 @@ def cdc_changeset_classify(spark, sf_dir):
     """J2 — the merge-key full-outer diff (the CDC heart; reference:
     /root/reference/load/UpdateDBPFilesetTables.py:306-377): snapshot
     at a cutoff vs. final snapshot, rows classified insert/update/noop."""
+    # r6 (guide §2.4): both snapshots are frontiers of the SAME event
+    # scan keyed by user_id, so one groupBy computes them together —
+    # a conditional max(struct) is the pre-cutoff frontier, max(struct)
+    # the final one. Replaces two window sorts + a full-outer
+    # sort-merge join (3 exchanges + 3 sorts) with ONE map-side-
+    # combined aggregation and no join at all; equivalence: old keys
+    # are a subset of newest keys (the old side filters the same
+    # events), so the full-outer join never had an old-only row, and
+    # the classification uses only the two frontier timestamps.
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    newest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    old = (
-        ev.filter(F.col("ts") < "2024-01-16 00:00:00")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id")).alias("_n"),
+        F.max(
+            F.when(F.col("ts") < "2024-01-16 00:00:00", F.struct("ts", "event_id"))
+        ).alias("_o"),
     )
-    o = old.select(F.col("user_id").alias("o_uid"), F.col("ts").alias("o_ts"))
-    n = newest.select(F.col("user_id").alias("n_uid"), F.col("ts").alias("n_ts"))
-    j = o.join(n, o.o_uid == n.n_uid, "full_outer")
-    return j.select(
-        F.coalesce("o_uid", "n_uid").alias("user_id"),
-        F.when(F.col("o_uid").isNull(), "insert")
-        .when(F.col("n_ts") > F.col("o_ts"), "update")
+    return agg.select(
+        "user_id",
+        F.when(F.col("_o").isNull(), "insert")
+        .when(F.col("_n.ts") > F.col("_o.ts"), "update")
         .otherwise("noop")
         .alias("action"),
     )
@@ -1502,7 +1516,9 @@ def ann_ivf_topk(spark, sf_dir):
     pytest-pinned separately (kmeans_centroids)."""
     from dbp_etl_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r6: spread the single-row-group fixture scan — the per-row
+    # centroid-assignment expressions otherwise run in ONE map task
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -1871,7 +1887,9 @@ def ann_cosine_topk(spark, sf_dir):
     """Similarity search baseline: brute-force cosine top-5 for 5 query
     vectors. The query side is broadcast (tiny); the scan side streams —
     at scale swap in the LSH-bucketed variant (operators.similarity)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # r6: spread the single-row-group fixture scan — the interpreted
+    # zip_with/aggregate cosine lane otherwise runs in ONE map task
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q_side = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -4778,7 +4796,8 @@ def semdedup_prune_query(spark, sf_dir):
     separately via kmeans_centroids."""
     from dbp_etl_spark.operators.similarity import semdedup_prune
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r6: spread the single-row-group fixture scan (see ann_ivf_topk)
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return semdedup_prune(emb, dim=64, n_cells=8, eps=0.4, train_iterations=0)
 
 
@@ -6304,7 +6323,16 @@ def pmi_collocations(spark, sf_dir):
     map-side-combined aggs (unigrams, bigrams), two broadcast-sized
     lookup joins on the >=5-count survivors, top-20 via sorted limit
     (partial top-k per partition, no global sort materialized)."""
-    d = _t(spark, sf_dir, "documents")
+    # r6 (guide §2.4 "remove shuffles outright"): the previous shape
+    # re-evaluated the token-explode subtree five times (bigrams fed
+    # `bi` and the `b` total; unigrams fed the `n` total and both
+    # lookup sides), so the corpus was split+exploded 5x per run.
+    # Now each explode runs ONCE into a persisted vocabulary-sized
+    # aggregate; the totals are tiny follow-up aggs over those
+    # (b = count of bigrams = sum of per-bigram counts, exact bigint),
+    # and the corpus scan is spread over the cluster first (the bench
+    # fixture is a single-row-group file = one scan task).
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(F.split(F.lower("text"), " ").alias("t"))
     bigrams = toks.select(
         F.explode(
@@ -6320,16 +6348,18 @@ def pmi_collocations(spark, sf_dir):
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p")
     ).select("p.w1", "p.w2")
-    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    bi = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .where(F.col("c12") >= 5)
+    bi_all = (
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     )
+    bi = bi_all.where(F.col("c12") >= 5)
     tot = uni.agg(F.sum("c").alias("n")).crossJoin(
-        bigrams.agg(F.count(F.lit(1)).alias("b"))
+        bi_all.agg(F.sum("c12").alias("b"))
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
