@@ -160,6 +160,42 @@ def test_cdc_chunks_match_python_mirror(spark):
         assert got.get(i, []) == [e for e in expect], f"doc {i}"
 
 
+def test_cdc_chunks_arrow_lane_matches_jvm_lane(spark):
+    """The r6 Arrow md5-60 chunking fast path must emit the
+    bit-identical rows the JVM explode lane emits — including null,
+    empty, short, constant and unicode texts, and the with_text
+    variant."""
+    from dbp_etl_spark.operators.dedup_ops import content_defined_chunks
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "tiny"),
+        (4, "x" * 40),
+        (5, "héllo wörld ünïcode çontent " * 8),
+        (6, "the quick brown fox jumps over the lazy dog " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for with_text in (False, True):
+        arrow = sorted(
+            tuple(r)
+            for r in content_defined_chunks(
+                df, hash_fn="md5_60", with_text=with_text
+            ).collect()
+        )
+        # JVM lane: same parameters through the xxhash64-branch
+        # machinery but with the md5-60 hash forced via the private
+        # explode path — reconstruct by calling the JVM builder
+        # directly
+        from dbp_etl_spark.operators import dedup_ops as ops
+
+        jvm_df = ops._content_defined_chunks_jvm(
+            df, "doc_id", "text", 8, 5, "md5_60", with_text
+        )
+        jvm = sorted(tuple(r) for r in jvm_df.collect())
+        assert arrow == jvm, f"with_text={with_text}"
+
+
 def test_cdc_chunks_tile_document_exactly(spark):
     import random
 
