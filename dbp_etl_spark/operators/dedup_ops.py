@@ -398,11 +398,21 @@ def segment_dedup(
     """
     seg = df.select(F.col(id_col), F.posexplode(F.col(segs_col)).alias("pos", "seg"))
     segh = seg.withColumn("h", F.md5(F.col("seg")))
-    first = segh.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f")
-    )
-    kept = segh.join(first, "h").where(
-        (F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p"))
+    # r6 (guide §2.4): the kept rows ARE the per-hash winners, so the
+    # election needs no back-join at all — carry the segment text
+    # inside the min-struct ((doc,pos) is unique, so the winner is
+    # unchanged; map-side combine still collapses a hot segment to one
+    # candidate per mapper). This removes one join+shuffle AND the
+    # second evaluation of the segmentation+md5 lane the join side
+    # re-ran (the exploded subtree fed two consumers).
+    kept = segh.groupBy("h").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("d"), F.col("pos").alias("p"), F.col("seg").alias("s")
+            )
+        ).alias("f")
+    ).select(
+        F.col("f.d").alias(id_col), F.col("f.p").alias("pos"), F.col("f.s").alias("seg")
     )
     kept_by_doc = kept.groupBy(id_col).agg(
         F.array_join(

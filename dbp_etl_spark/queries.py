@@ -4737,7 +4737,9 @@ def line_dedup_ccnet(spark, sf_dir):
     segmentation and compares per-doc md5 of the rebuilt text."""
     from dbp_etl_spark.operators.dedup_ops import segment_dedup, segment_windows
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the single-row-group fixture scan — the 8-word
+    # window segmentation is a per-row HOF lane
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     segs = docs.select("doc_id", segment_windows(F.col("text"), 8).alias("segments"))
     out = segment_dedup(segs, "segments", "doc_id")
     return out.select(
@@ -4886,7 +4888,9 @@ def dup_span_dedup(spark, sf_dir):
     text."""
     from dbp_etl_spark.operators.dedup_ops import dup_span_mask
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the scan — the rolling-window fingerprint lane is
+    # interpreted HOF work per row
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = dup_span_mask(docs, k=8)
     return out.select(
         "doc_id", "n_tok", "n_masked", F.md5(F.col("clean_text")).alias("clean_md5")
@@ -5627,7 +5631,9 @@ def boilerplate_block_filter(spark, sf_dir):
     speed over a 100 TB corpus."""
     from dbp_etl_spark.functions.boilerplate import boilerplate_exprs
 
-    d = _t(spark, sf_dir, "documents")
+    # r6: spread the scan — the block-classification HOF tree is
+    # heavy per-row compute on a single-row-group fixture
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     nav = F.lit(
         '<div><a href="/">Home page link</a> <a href="/about">About our site</a></div>'

@@ -45,7 +45,11 @@ ETYPES = ["click", "view", "purchase", "signup", "error"]
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
     path = os.path.join(out_dir, f"{name}.parquet")
-    pq.write_table(table, path, row_group_size=max(table.num_rows, 1))
+    # pyarrow default row-group size (1Mi rows): matches the observed
+    # driver fixtures (sf0.1 tables are single-row-group at <=1M rows),
+    # so multi-million-row tables get a few row groups, like a plain
+    # pq.write_table would produce
+    pq.write_table(table, path)
     print(f"  {name}: {table.num_rows} rows -> {path}", flush=True)
 
 
