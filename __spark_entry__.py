@@ -75,6 +75,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked go FIRST so every query gets driver-verified across rounds;
 # the remainder keeps definition order.
 _CHECK_FIRST = [
+    # Round-6 (optimization round) rotation: every query whose Spark
+    # side was RESTRUCTURED this round goes first — the optimization
+    # contract is "identical results, faster plan", so these carry the
+    # regression risk and must re-earn a driver-green row. (Duplicates
+    # later in the list collapse harmlessly: queries() builds an
+    # ordered dict keyed on first occurrence.) maxwell_tail_apply
+    # rides along per the r5 verdict: modified after its last green
+    # row (hot-path dedup swap), never driver-checked since.
+    "winnow_fingerprint_profile",
+    "winnow_span_matches",
+    "content_chunk_dedup",
+    "containment_neardup",
+    "pmi_collocations",
+    "cdc_latest_state",
+    "cdc_apply_with_deletes",
+    "cdc_changeset_classify",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "semdedup_prune",
+    "line_dedup_ccnet",
+    "dup_span_dedup",
+    "boilerplate_block_filter",
+    "maxwell_tail_apply",
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
