@@ -97,6 +97,8 @@ _CHECK_FIRST = [
     "line_dedup_ccnet",
     "dup_span_dedup",
     "boilerplate_block_filter",
+    "session_gaps",
+    "activity_islands",
     "maxwell_tail_apply",
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3

@@ -519,16 +519,32 @@ def session_gaps(spark, sf_dir):
     """W3 — lag-window gap detection (reference verse-range gaps:
     /root/reference/load/FilenameParser.py:480-509). 6-hour threshold
     compared in exact microseconds on both engines."""
+    # r6 (guide §2.3): gap counting needs only the SORTED per-user ts
+    # multiset (consecutive-diff counts are invariant to the event_id
+    # tiebreak at equal ts), so one collect_list aggregation + a
+    # map-side array pass replaces the lag window — 1 exchange, no
+    # sort, no second aggregation. parquet timestamps load as
+    # TIMESTAMP_NTZ; cast for unix_micros (session TZ is UTC so the
+    # cast is value-preserving).
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps load as TIMESTAMP_NTZ; cast for unix_micros
-    # (session TZ is UTC so the cast is value-preserving)
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("_a")
+    )
+    a = F.col("_a")
+    n_gaps = F.when(
+        F.size(a) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.size(a) - 2),
+                lambda i: (F.get(a, i + 1) - F.get(a, i)) > 21600000000,
+            )
+        ),
+    ).otherwise(F.lit(0))
     return (
-        ev.withColumn("prev", F.lag("ts").over(w))
-        .filter(F.col("prev").isNotNull() & (us("ts") - us("prev") > 21600000000))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        agg.select("user_id", n_gaps.cast("long").alias("n_gaps"))
+        .where(F.col("n_gaps") > 0)
     )
 
 
@@ -548,17 +564,41 @@ def activity_islands(spark, sf_dir):
     """W4 — gaps-and-islands run-length compression (reference
     consecutive error-range collapse:
     /root/reference/load/FilenameReducer.py:215-264)."""
+    # r6 (guide §2.4): islands are a per-user property of the sorted
+    # distinct-day array, so ONE aggregation (collect_set + map-side
+    # array fold) replaces distinct + row_number window + final agg
+    # (3 exchanges + a sort -> 1 map-side-combined exchange). Same
+    # rows: run starts are positions where the previous day is not
+    # adjacent; length = number of distinct days in the run (the old
+    # count(*) per (user, grp)).
     ev = _t(spark, sf_dir, "events")
-    days = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
-    w = Window.partitionBy("user_id").orderBy("d")
-    nb = days.withColumn(
-        "grp", F.datediff("d", F.lit("2024-01-01")) - F.row_number().over(w)
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(F.to_date(F.date_trunc("day", "ts")))
+        ).alias("_ds")
     )
-    return nb.groupBy("user_id", "grp").agg(
-        F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
-        F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
-        F.count(F.lit(1)).alias("len"),
-    ).drop("grp")
+    ds = F.col("_ds")
+    n = F.size(ds)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.datediff(F.get(ds, i), F.get(ds, i - 1)) > 1),
+    )
+    islands = F.transform(
+        F.sequence(F.lit(0), F.size(starts) - 1),
+        lambda j: F.struct(
+            F.get(ds, F.get(starts, j)).alias("s"),
+            F.get(ds, F.coalesce(F.get(starts, j + 1), n) - 1).alias("e"),
+            (F.coalesce(F.get(starts, j + 1), n) - F.get(starts, j))
+            .cast("long")
+            .alias("ln"),
+        ),
+    )
+    return agg.select("user_id", F.explode(islands).alias("_i")).select(
+        "user_id",
+        F.date_format(F.col("_i.s"), "yyyy-MM-dd").alias("island_start"),
+        F.date_format(F.col("_i.e"), "yyyy-MM-dd").alias("island_end"),
+        F.col("_i.ln").alias("len"),
+    )
 
 
 @q(
