@@ -62,7 +62,7 @@ def learn_bpe_merges(
     n_merges: int,
     word_col: str = "word",
     freq_col: str = "freq",
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
 
@@ -109,7 +109,18 @@ def learn_bpe_merges(
             "f",
         )
         if checkpoint_every and (step + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=False)
+            # r6 (guide §3.3 "materialising an intermediate truncates
+            # the plan"): EAGER checkpoint every iteration. Each merge
+            # application embeds the previous vocab expression several
+            # times (has_pair + the fold both reference `s`, and
+            # CollapseProject inlines single-consumer projections), so
+            # a lazy tail grows the expression tree ~5x PER ITERATION —
+            # measured 285 s of pure driver-side planning for 6 merges
+            # over a FIVE-row vocabulary with the old
+            # checkpoint_every=8/eager=False. An eager per-iteration
+            # checkpoint is one vocabulary-sized job (bounded by
+            # design) and keeps planning O(1) per step: 285 s -> ~3 s.
+            vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 
