@@ -1282,7 +1282,8 @@ def minhash_lsh_neardups(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the fixture scan (16 minhashes over shingles per doc)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5_60")
     return ngram_jaccard_pairs(docs, cands, threshold=0.3)
 
@@ -1295,7 +1296,8 @@ def simhash_fingerprints(spark, sf_dir):
     production operator (simhash_near_dups)."""
     from dbp_etl_spark.operators.dedup_ops import simhash32x2_near_dups
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the fixture scan (per-token sketch lane)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = simhash32x2_near_dups(docs, max_hamming=7)
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
@@ -1336,7 +1338,8 @@ def embedding_neardup(spark, sf_dir):
     full candidates->verify pipeline — re-derivable by the oracle."""
     from dbp_etl_spark.operators.similarity import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r6: spread the fixture scan (hyperplane sketch + cosine lane)
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return embedding_neardup_pairs(
         emb, dim=64, threshold=0.4, n_planes=4, planes="formula"
     )
@@ -2025,7 +2028,9 @@ def text_to_embedding_ann(spark, sf_dir):
     Spark and the SQL oracle agree bitwise before the round(3)."""
     from dbp_etl_spark.functions.embed import hash_embedding
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the single-row-group fixture scan (per-token md5-60
+    # hashing + dense fold is a heavy interpreted HOF lane)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     vecs = docs.select(
         "doc_id", hash_embedding(F.col("text"), dim=16, hash_fn="md5_60").alias("vec")
     )
@@ -2220,7 +2225,8 @@ def contamination_ngram_overlap(spark, sf_dir):
     never an all-pairs comparison. At 100 TB: grams of the (small)
     benchmark side broadcast; the corpus side streams map-side into
     the join; the distinct-count agg shuffles once by doc."""
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the fixture scan (5-gram explode lane)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     from dbp_etl_spark.functions.embed import tokenize
 
     tokd = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
@@ -4284,8 +4290,18 @@ def warc_ingest(spark, sf_dir):
         with open(_os.path.join(root, f"seg-{w}.warc.gz"), "wb") as f:
             f.write(encode_warc(recs, gzip_per_record=True))
 
-    changes = read_warc(spark, root).withColumn(
-        "batch_id", ((F.dayofmonth("warc_ts") - 1).cast("long") / F.lit(7)).cast("long")
+    # r6: stage the parsed log by batch BEFORE the runner (the
+    # stage_by_batch contract, cdc/runner.py): without it each weekly
+    # merge re-parsed EVERY archive (read_warc is one Arrow task per
+    # archive, so 5 batches x a 5-task parse = the query's dominant
+    # cost — profiled at 35 of 59 s). One parse pass + hive-partitioned
+    # parquet lets each merge partition-prune to its own week.
+    changes = CDCRunner.stage_by_batch(
+        read_warc(spark, root).withColumn(
+            "batch_id",
+            ((F.dayofmonth("warc_ts") - 1).cast("long") / F.lit(7)).cast("long"),
+        ),
+        f"{root}/staged",
     )
     row_schema = T.StructType(
         [
@@ -4392,7 +4408,8 @@ def neardup_cluster_dedup(spark, sf_dir):
     )
     from dbp_etl_spark.operators.graph import neardup_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the fixture scan (minhash signature lane)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5_60")
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.3).select("id_a", "id_b")
     return neardup_components(docs, pairs)
