@@ -2428,6 +2428,9 @@ def patch_update_events(spark, sf_dir):
         )
     )
     root = tempfile.mkdtemp(prefix="patch_events_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
     CDCRunner(table, patch_ops=True).run(changes)
     return table.read().select(
@@ -3063,6 +3066,9 @@ def mor_delta_merge_state(spark, sf_dir):
         )
     )
     root = tempfile.mkdtemp(prefix="mor_merge_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     table = LakeTable.create(
         spark, f"{root}/pages", schema, key="url", num_buckets=8, merge_on_read=True
     )
@@ -3264,6 +3270,9 @@ def debezium_tail_apply(spark, sf_dir):
     changes = from_debezium(envelopes, row_schema, batch_col="batch_id")
     schema = TableSchema.from_struct(row_schema)
     root = tempfile.mkdtemp(prefix="dbz_tail_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
     CDCRunner(table).run(changes)
     return table.read().select(
@@ -3355,6 +3364,9 @@ def maxwell_tail_apply(spark, sf_dir):
     changes = from_maxwell(envelopes, row_schema, batch_col="batch_id")
     schema = TableSchema.from_struct(row_schema)
     root = tempfile.mkdtemp(prefix="mxw_tail_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     table = LakeTable.create(spark, f"{root}/pages", schema, key="url", num_buckets=8)
     CDCRunner(table).run(changes)
     return table.read().select(
@@ -3517,7 +3529,12 @@ def scd2_history(spark, sf_dir):
         F.when(~is_del, F.round("value", 2)).alias("val"),
         ((F.dayofmonth("ts") - 1).cast("long") / F.lit(7)).cast("long").alias("batch_id"),
     )
+    from dbp_etl_spark.cdc import CDCRunner
+
     root = tempfile.mkdtemp(prefix="scd2_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     hist = LakeTable.create(
         spark, f"{root}/hist", scd2_schema({"val": "double"}), key="url", num_buckets=8
     )
@@ -3736,6 +3753,9 @@ def replica_filtered_sync(spark, sf_dir):
         )
     )
     root = tempfile.mkdtemp(prefix="replica_q_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     src = LakeTable.create(spark, f"{root}/src", schema, key="url", num_buckets=8)
     tgt = LakeTable.create(
         spark, f"{root}/tgt", schema, key="url", num_buckets=4, merge_on_read=True
@@ -4102,6 +4122,9 @@ def cdf_changelog_feed(spark, sf_dir):
         )
     )
     root = tempfile.mkdtemp(prefix="cdf_feed_")
+    # r6: stage the rendered log by batch (one lane evaluation total
+    # instead of one per weekly merge; see cdc/runner.py stage_by_batch)
+    changes = CDCRunner.stage_by_batch(changes, f"{root}/staged")
     table = LakeTable.create(
         spark, f"{root}/pages", schema, key="url", num_buckets=8, changelog=True
     )
