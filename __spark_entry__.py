@@ -100,6 +100,20 @@ _CHECK_FIRST = [
     "session_gaps",
     "activity_islands",
     "maxwell_tail_apply",
+    "bpe_learn_merges",
+    "warc_ingest",
+    "text_to_embedding_ann",
+    "simhash_fingerprints",
+    "minhash_lsh_neardups",
+    "embedding_neardup",
+    "neardup_cluster_dedup",
+    "contamination_ngram_overlap",
+    "patch_update_events",
+    "debezium_tail_apply",
+    "replica_filtered_sync",
+    "mor_delta_merge_state",
+    "cdf_changelog_feed",
+    "scd2_history",
     # Round-5 rotation (VERDICT r4 item 2): new-this-round queries
     # first, then the 39 whose last driver-green row is round 3
     # (CORRECTNESS_r03 minus CORRECTNESS_r04) — every registry query
