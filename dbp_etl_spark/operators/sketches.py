@@ -121,8 +121,12 @@ def hll_prefilter_groups(
     est = hll_estimate(sk, p=p, group_by=[group])
     cut = min_distinct * (1.0 - hll_error_bound(p, sigmas=sigmas))
     candidates = est.filter(F.col("approx_distinct") >= F.lit(cut)).select(group)
+    # r6 (ADVICE r5): no forced broadcast — the candidate count is
+    # data-dependent and unbounded (a loose threshold at 10^10-key
+    # scale could OOM the driver via a mandatory broadcast). AQE picks
+    # broadcast at runtime whenever the survivors actually fit.
     exact = (
-        df.join(F.broadcast(candidates), group)
+        df.join(candidates, group)
         .groupBy(group)
         .agg(F.countDistinct(col).alias("distinct_cnt"))
         .filter(F.col("distinct_cnt") >= min_distinct)
@@ -187,8 +191,10 @@ def cm_heavy_hitters_exact(
     sk = cm_sketch(df, col, width=width, depth=depth)
     est = cm_estimate(sk, df.select(col), col, width=width, depth=depth)
     candidates = est.filter(F.col("approx_cnt") >= min_count).select(col)
+    # r6 (ADVICE r5): same as hll_prefilter_groups — candidate count is
+    # unbounded, let AQE decide the join strategy at runtime.
     return (
-        df.join(F.broadcast(candidates), col)
+        df.join(candidates, col)
         .groupBy(col)
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
