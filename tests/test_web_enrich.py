@@ -87,6 +87,42 @@ def test_containment_no_shingle_self_join(spark):
     assert 2 <= plan.count("LeftSemi") <= 8
 
 
+def test_shingle_postings_arrow_matches_jvm(spark):
+    """The r6 Arrow posting builder must emit exactly the rows of
+    explode(array_distinct(_shingles(...))) — including null text,
+    empty text, short docs, repeated shingles and multi-space runs."""
+    from pyspark.sql import functions as F
+
+    from dbp_etl_spark.operators.dedup_ops import (
+        _distinct_shingle_postings,
+        _shingles,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "a"),
+        (4, "a b"),
+        (5, "a b c d e"),
+        (6, "a  b c "),
+        (7, "x y z x y z x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3):
+        arrow = {
+            (r["_id"], r["s"])
+            for r in _distinct_shingle_postings(df, "doc_id", "text", n).collect()
+        }
+        jvm = {
+            (r["doc_id"], r["s"])
+            for r in df.select(
+                "doc_id",
+                F.explode(F.array_distinct(_shingles("text", n))).alias("s"),
+            ).collect()
+        }
+        assert arrow == jvm, f"n={n}"
+
+
 # --------------------------------------------------------------------- eTLD+1
 
 
